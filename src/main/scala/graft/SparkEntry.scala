@@ -1,13 +1,325 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.ScalarFuncs
+import graft.operators._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each with a DuckDB-equivalent oracle where the semantics are
+  * SQL-expressible. Queries whose derivation depends on Spark-specific
+  * hashes (xxhash64-based MinHash/SimHash/SRP-LSH, the custom Fnv1a64
+  * expression) or on approximate sketches have no oracle entry → the
+  * driver records a rows-only check; their correctness is covered by
+  * ScalaTest cross-checks against the exact variants instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.dashboardJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational / dashboard (SURVEY §2.2-§2.6) ---
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q02_dashboard_join" -> ((s, d) => Relational.dashboardJoin(s, d)),
+    "q03_dashboard_metrics" -> ((s, d) => Relational.dashboardMetrics(s, d)),
+    "q04_revenue_by_segment" -> ((s, d) => Relational.revenueBySegment(s, d)),
+    "q05_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "q06_topk_products" -> ((s, d) => Relational.topkProducts(s, d)),
+    "q07_topk_per_segment" -> ((s, d) => Relational.topkPerSegment(s, d)),
+    "q08_recent_events" -> ((s, d) => Relational.recentEvents(s, d)),
+    "q09_metric_delta" -> ((s, d) => Relational.metricDelta(s, d)),
+    "q10_event_sequence" -> ((s, d) => Relational.eventSequence(s, d)),
+    "q11_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
+    "q12_local_supplier_volume" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    // --- streaming semantics, batch-expressed (SURVEY §2.9) ---
+    "q13_supplier_stats" -> ((s, d) => SupplierStats.tumbleEvents(s, d)),
+    "q14_late_tag" -> ((s, d) => SupplierStats.tagLate(s, d)),
+    "q15_branch_counts" -> ((s, d) => SupplierStats.branchCounts(s, d)),
+    // --- CDC envelope (SURVEY §2.1 S5/S6) ---
+    "q16_cdc_unwrap" -> ((s, d) => Cdc.ordersUnwrapped(s, d)),
+    // --- scalar function surface (SURVEY §2.8) ---
+    "q17_scalar_funcs" -> ((s, d) => ScalarFuncs.demo(s, d)),
+    "q18_json_extract_agg" -> ((s, d) => ScalarFuncs.jsonExtractAgg(s, d)),
+    // --- dedup family ---
+    "q19_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "q20_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.5)),
+    "q21_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d, 0.5)),
+    "q22_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q23_embedding_pairs" -> ((s, d) => Dedup.embeddingPairs(s, d, 0.4)),
+    // --- similarity search ---
+    "q24_ann_brute_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q25_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // --- text analysis ---
+    "q26_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
+    "q27_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q28_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "q29_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+  )
+
+  // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
+  // lock-step on the money arithmetic: per-row DECIMAL(18,4) revenue,
+  // decimal-exact sums — see graft.functions.ExactNum).
+  private val rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+  private def revSum(alias: String) =
+    s"ROUND(CAST(SUM($rev) AS DOUBLE), 2) AS $alias"
+  private val dashFrom =
+    """FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'""".stripMargin
+  private val shingles =
+    """SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> concat_ws(' ', string_split(text, ' ')[i],
+      |         string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingles
+      |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_dashboard_join" ->
+      s"""SELECT c_custkey AS user_id, c_mktsegment AS segment,
+         |  o_orderkey AS order_id, o_orderstatus AS order_status,
+         |  l_linenumber AS item_no, p_name AS product_name, p_type AS category,
+         |  p_brand AS brand, CAST($rev AS DOUBLE) AS sale_price,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         |$dashFrom""".stripMargin,
+    "q03_dashboard_metrics" ->
+      s"""SELECT COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  COUNT(DISTINCT c_custkey) AS n_users,
+         |  COUNT(DISTINCT l_partkey) AS n_parts,
+         |  COUNT(*) AS n_items, ${revSum("total_revenue")}
+         |$dashFrom""".stripMargin,
+    "q04_revenue_by_segment" ->
+      s"""SELECT c_mktsegment AS segment, ${revSum("revenue")},
+         |  COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_items
+         |$dashFrom
+         |GROUP BY c_mktsegment ORDER BY revenue DESC, segment""".stripMargin,
+    "q05_revenue_by_nation" ->
+      s"""SELECT r_name AS region, n_name AS nation, ${revSum("revenue")},
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q06_topk_products" ->
+      s"""SELECT p_partkey AS product_id, p_name AS product_name, ${revSum("revenue")}
+         |$dashFrom
+         |GROUP BY p_partkey, p_name
+         |ORDER BY revenue DESC, product_id LIMIT 5""".stripMargin,
+    "q07_topk_per_segment" ->
+      s"""SELECT * FROM (
+         |  SELECT c_mktsegment AS segment, p_partkey AS product_id, ${revSum("revenue")},
+         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY ROUND(CAST(SUM($rev) AS DOUBLE), 2) DESC, p_partkey) AS rank
+         |  $dashFrom
+         |  GROUP BY c_mktsegment, p_partkey
+         |) WHERE rank <= 3""".stripMargin,
+    "q08_recent_events" ->
+      """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) FROM events) - 300000000""".stripMargin,
+    "q09_metric_delta" ->
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT hour_start, revenue, n_events,
+        |  ROUND(revenue - LAG(revenue, 1) OVER (ORDER BY hour_start), 2) AS revenue_delta,
+        |  n_events - LAG(n_events, 1) OVER (ORDER BY hour_start) AS events_delta
+        |FROM hourly""".stripMargin,
+    "q10_event_sequence" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS seq
+        |FROM events""".stripMargin,
+    "q11_shipping_priority" ->
+      s"""SELECT o_orderkey AS order_id, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  o_orderpriority, ${revSum("revenue")}
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+         |ORDER BY revenue DESC, order_id LIMIT 10""".stripMargin,
+    "q12_local_supplier_volume" ->
+      s"""SELECT n_name AS nation, ${revSum("revenue")}, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+    "q13_supplier_stats" ->
+      """SELECT
+        |  strftime(make_timestamp((epoch_us(ts) // 1000000 // 5 * 5) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(make_timestamp((epoch_us(ts) // 1000000 // 5 * 5 + 5) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type AS supplier,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q14_late_tag" ->
+      """SELECT event_id, window_end_us, stream_us > window_end_us + 5000000 AS late
+        |FROM (
+        |  SELECT event_id,
+        |    epoch_us(ts) - (epoch_us(ts) % 5000000) + 5000000 AS window_end_us,
+        |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_us
+        |  FROM events)""".stripMargin,
+    "q15_branch_counts" ->
+      """WITH tagged AS (
+        |  SELECT event_id,
+        |    epoch_us(ts) - (epoch_us(ts) % 5000000) + 5000000 AS window_end_us,
+        |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_us
+        |  FROM events)
+        |SELECT 'valid' AS branch, COUNT(*) AS n FROM tagged WHERE NOT (stream_us > window_end_us + 5000000)
+        |UNION ALL
+        |SELECT 'late' AS branch, COUNT(*) AS n FROM tagged WHERE stream_us > window_end_us + 5000000""".stripMargin,
+    "q16_cdc_unwrap" ->
+      """SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+        |  o_totalprice AS total_price,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+        |  'c' AS op, 'orders' AS src_table
+        |FROM orders""".stripMargin,
+    "q17_scalar_funcs" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  epoch_us(ts) // 1000 AS epoch_ms,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |  strftime(ts, '%A') AS day_name,
+        |  strftime(ts, '%A') IN ('Saturday', 'Sunday') AS is_weekend,
+        |  CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 11 THEN 'morning'
+        |       WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 17 THEN 'afternoon'
+        |       ELSE 'evening' END AS tod,
+        |  upper(event_type) AS event_type_uc,
+        |  lower(regexp_replace(event_type, '[^A-Za-z0-9]', '', 'g')) || '@example.com' AS synth_email,
+        |  ROUND(value / 7.0, 2) AS value_scaled,
+        |  ROUND(1.0 / (1.0 + exp(-(value / 100.0))), 6) AS sigmoid_score
+        |FROM events""".stripMargin,
+    "q18_json_extract_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n,
+        |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text""".stripMargin,
+    "q20_jaccard_pairs" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |  ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
+         |FROM inter JOIN sz na ON doc_i = na.doc_id JOIN sz nb ON doc_j = nb.doc_id
+         |WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5""".stripMargin,
+    "q23_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |  ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm), 4) >= 0.4""".stripMargin,
+    "q24_ann_brute_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, e.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM e JOIN q ON e.vec_id <> qid)
+        |SELECT qid, vec_id AS nbr_id, rank, cos_sim FROM (
+        |  SELECT qid, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "q26_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens_re,
+        |  (n_chars + 3) // 4 AS n_tokens_bpe_est,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+    "q27_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS type_token_ratio,
+        |  (n_tokens >= 10 AND n_chars >= 50 AND n_stop > 0) AS passes_quality
+        |FROM t""".stripMargin,
+    "q28_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS BIGINT) AS score_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('el', 'la', 'los', 'de', 'es'))) AS score_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('le', 'la', 'les', 'de', 'est'))) AS score_fr
+        |  FROM documents)
+        |SELECT doc_id, lang AS lang_label,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+        |         AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS lang_pred,
+        |  score_en,
+        |  (CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr
+        |         AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+        |       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+        |       WHEN score_fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END) = lang AS agrees
+        |FROM t""".stripMargin,
+  )
 }

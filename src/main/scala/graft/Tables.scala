@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical readers for the driver testdata (`TESTDATA.md`).
+  *
+  * One parquet file per table under `sfDir`. Schemas are fixed by the
+  * driver; we never infer in streaming paths. The reference models its
+  * relational universe as explicit-schema tables written row-by-row
+  * (reference: `cdc-local/src/utils.py:257-261`); here the same role is
+  * played by parquet scans whose column pruning + predicate pushdown come
+  * from Catalyst for free.
+  *
+  * Scale note: each table is a single parquet file locally, but every
+  * reader goes through `spark.read.parquet` so a directory of thousands
+  * of files on a real cluster binds identically.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** `events` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects outright. With `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[GraftSession]]) the column arrives as epoch-nanos
+    * `LongType`. The engine standardizes on MICROSECOND precision:
+    * `ts_us` (long) + a derived `TimestampType` `ts` — Spark timestamps
+    * are µs-precision anyway, and other engines (e.g. DuckDB's parquet
+    * reader) truncate ns to µs, so µs is the portable event-time grain.
+    * Event-time extraction from a raw payload mirrors the reference's
+    * timestamp extractor
+    * (`kotlin-examples/orders-stats-streams/.../BidTimeTimestampExtractor.kt:13-37`).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Runtime-settable SQLConf; set defensively in case the caller's
+    // session was not built through GraftSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns_raw")
+      .withColumn("ts_us", expr("ts_ns_raw div 1000"))
+      .drop("ts_ns_raw")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}
+
+/** Session factory with the configs every entry point needs. */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

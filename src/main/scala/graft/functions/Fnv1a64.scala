@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit FNV-1a document fingerprint as a native Catalyst expression.
+  *
+  * Preference order for extending Spark (SURVEY.md §4.2): compose
+  * built-ins > custom `Expression` with codegen > UDF. A fingerprint
+  * over raw bytes has no built-in composition, so this is the codegen
+  * tier: `doGenCode` emits a tight byte loop that participates in
+  * whole-stage codegen — no boxing, no UDF call overhead, which matters
+  * when fingerprinting 100 TB of documents.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 requires STRING input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1a64.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |byte[] graftFnvBytes = $c.getBytes();
+         |long graftFnvH = ${Fnv1a64.OffsetBasis}L;
+         |for (int graftFnvI = 0; graftFnvI < graftFnvBytes.length; graftFnvI++) {
+         |  graftFnvH ^= (long)(graftFnvBytes[graftFnvI] & 0xff);
+         |  graftFnvH *= ${Fnv1a64.Prime}L;
+         |}
+         |${ev.value} = graftFnvH;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv1a64"
+}
+
+object Fnv1a64 {
+  val OffsetBasis: Long = -3750763034362895579L // 0xcbf29ce484222325
+  val Prime: Long = 1099511628211L              // 0x100000001b3
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = OffsetBasis
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xff).toLong
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** CDC envelope semantics (S5/S6): the reference captures row-level
+  * changes from Postgres via Debezium and unwraps them with the
+  * `ExtractNewRecordState` SMT, adding `op, db, table, schema, lsn,
+  * source.ts_ms` metadata (`cdc-local/config/debezium/
+  * application.properties:16-26`). The engine-side capability is the
+  * JSON envelope decode: `from_json` on the wire bytes → `payload.*` +
+  * metadata — the same plan shape whether the bytes come from a Kafka
+  * `readStream` or, as here, a batch table.
+  */
+object Cdc {
+
+  /** Wire schema of an unwrapped Debezium change event for the orders
+    * table (payload flattened by the SMT, metadata appended). */
+  val ordersEnvelopeSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("order_status", StringType),
+    StructField("total_price", DoubleType),
+    StructField("order_date", StringType),
+    StructField("op", StringType),
+    StructField("db", StringType),
+    StructField("table", StringType),
+    StructField("lsn", LongType)))
+
+  /** Produce the change-event stream: each orders row JSON-encoded as an
+    * insert envelope, keyed like the reference's topic records
+    * (`<prefix>.<schema>.<table>`, key = PK). */
+  def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      col("o_orderkey").cast("string").as("key"),
+      to_json(struct(
+        col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("order_status"),
+        col("o_totalprice").as("total_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date"),
+        lit("c").as("op"),
+        lit("demo").as("db"),
+        lit("orders").as("table"),
+        col("o_orderkey").as("lsn"))).as("value"))
+
+  /** S6: unwrap — `from_json` on the envelope, project payload columns +
+    * metadata. Round-trips [[ordersEnvelope]], so the composite is
+    * oracle-checkable against a plain projection of `orders`. */
+  def ordersUnwrapped(spark: SparkSession, sfDir: String): DataFrame =
+    ordersEnvelope(spark, sfDir)
+      .select(from_json(col("value"), ordersEnvelopeSchema).as("payload"))
+      .select(
+        col("payload.order_id"), col("payload.order_status"),
+        col("payload.total_price"), col("payload.order_date"),
+        col("payload.op"), col("payload.table").as("src_table"))
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * n-gram-Jaccard similarity join, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Everything is expressed as joins/groupBys
+  * on derived keys — no driver-side loops, no cartesian products — so the
+  * same plans run on a 100 TB corpus: the inverted-index join shuffles on
+  * shingle/band/bucket keys whose fan-in is bounded by true near-dup
+  * density, not corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): canonical representative per distinct
+    * text = min doc_id, with the duplicate count. At scale the group key
+    * would be sha2(text) to keep shuffle rows narrow — semantics
+    * identical. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("keep_id"), col("dup_cnt"))
+
+  /** 3-gram word shingles, distinct, per document. Shared by the Jaccard
+    * join, MinHash, and SimHash paths. */
+  def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
+        .as("shingles"))
+
+  /** Exact n-gram Jaccard similarity join via inverted index: explode
+    * shingles → self-join on shingle → per-pair intersection count →
+    * |A∩B| / (|A|+|B|-|A∩B|). This is the standard scalable exact
+    * algorithm (shuffle on shingle, group on pair); candidate fan-in is
+    * bounded because only co-occurring shingles join.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("na"), col("doc_i") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .withColumn("jaccard", round(col("c").cast("double") /
+        (col("na.n") + col("nb.n") - col("c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+  }
+
+  // --- MinHash + LSH ---
+  // 64 hash functions realized as per-index seeded xxhash64(s, i) — an
+  // independent 64-bit hash per signature slot, with no modular
+  // arithmetic so the plan stays legal under ANSI mode (Spark 4
+  // default). 16 bands × 4 rows: for a pair at Jaccard 0.8 the
+  // detection probability is 1-(1-0.8^4)^16 ≈ 0.9997; candidates are
+  // then verified with the exact Jaccard, so output = exact pairs
+  // (with that recall).
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = 4
+
+  /** MinHash signature per doc: all map-side expression work — zero
+    * shuffle until banding. */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    shingled(spark, sfDir)
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${NumHashes - 1}), i -> " +
+          "array_min(transform(shingles, s -> xxhash64(s, i))))"))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+
+  /** LSH banding → candidate pairs → exact-Jaccard verification. */
+  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir)
+    val bands = sigs.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), j -> " +
+          s"struct(j AS band, xxhash64(slice(sig, j*$RowsPerBand + 1, $RowsPerBand)) AS bh))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.as("na"), col("doc_i") === col("na.doc_id"))
+      .join(sh.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("na.shingles"), col("nb.shingles"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("na.shingles")) + size(col("nb.shingles")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+  }
+
+  // --- SimHash ---
+  // 64-bit signature: bit b of the signature is the sign of
+  // sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
+  // Near-dup iff hamming distance <= maxHamming; candidate generation
+  // shares 16-bit bands so the pair join never goes cartesian.
+
+  def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    shingled(spark, sfDir)
+      .withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("bitsums", expr(
+        "aggregate(hs, array_repeat(0L, 64), (acc, h) -> " +
+          "zip_with(acc, sequence(0, 63), (a, b) -> " +
+          "a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END))"))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 63), 0L, (s, b) -> " +
+          "s | shiftleft(CASE WHEN element_at(bitsums, CAST(b+1 AS INT)) > 0 THEN 1L ELSE 0L END, CAST(b AS INT)))"))
+      .select(col("doc_id"), col("simhash"))
+
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 6): DataFrame = {
+    val sig = simhashSignatures(spark, sfDir)
+    // 4 bands of 16 bits: hamming<=6 pairs fail at most 6 bands of 4,
+    // so at least one 16-bit band matches exactly when distance <= 3 per
+    // pigeonhole over 4 bands (guaranteed recall for hamming <= 3;
+    // probabilistic above — documented approximation).
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), j -> " +
+          "struct(j AS band, shiftright(simhash, CAST(j*16 AS INT)) & 65535 AS bh))")).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup: brute-force pair scan (exact, the
+    * baseline). The scale path is the LSH-bucketed variant in
+    * [[Similarity.lshTopK]] — same scoring expression, bucketed join. */
+  def embeddingPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cos_sim"))
+  }
+}

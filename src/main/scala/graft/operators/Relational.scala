@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** The reference's relational surface (dashboard query + derived metrics),
+  * re-expressed as single Catalyst plans.
+  *
+  * The reference splits this computation across two engines — join+filter
+  * in Postgres (`product-demos/producer/api.py:35-63`), aggregation in the
+  * browser/Streamlit (`product-demos/streamlit/utils.py:25-104`,
+  * `nextjs/src/lib/processing.tsx:35-116`) — recomputed from scratch every
+  * 5 s. Here each variant is ONE declarative plan: Catalyst pushes the
+  * date predicate into the parquet scan, prunes columns, and broadcasts
+  * the small dimension tables, so the same query that runs on 60k rows
+  * locally shuffles only the fact table at cluster scale.
+  *
+  * Table role mapping (FIXTURES.md §6): users→customer, orders→orders,
+  * order_items→lineitem, products→part.
+  */
+object Relational {
+
+  /** Lookback cutoff (P2 analog, `api.py:55-56`): the reference filters on
+    * `created_at >= now() - interval '5 minutes'`; against the static
+    * testdata we pin a fixed cutoff so results are reproducible.
+    */
+  private val lookback = "2001-01-01 00:00:00"
+
+  /** J1 + P1 + P2: 3-way equi-join with projection/aliasing and lookback
+    * filter — the dashboard frame (`api.py:37-58`).
+    * `part` and `customer` are broadcast-size dimensions; the explicit
+    * broadcast hint keeps the fact-table scan shuffle-free at any scale.
+    */
+  def dashboardBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") >= lit(lookback).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+  }
+
+  /** The dashboard projection (P1): 10 aliased columns incl. a per-row
+    * computed sale price. */
+  def dashboardJoin(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir).select(
+      col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"),
+      col("o_orderkey").as("order_id"),
+      col("o_orderstatus").as("order_status"),
+      col("l_linenumber").as("item_no"),
+      col("p_name").as("product_name"),
+      col("p_type").as("category"),
+      col("p_brand").as("brand"),
+      revenue(col("l_extendedprice"), col("l_discount")).cast("double").as("sale_price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** A1 + A2: the dashboard KPI row — distinct orders / users / parts,
+    * row count, total revenue. `countDistinct` is exact here for oracle
+    * parity; the 100 TB variant is `approx_count_distinct` (HLL), exposed
+    * in [[dashboardMetricsApprox]].
+    */
+  def dashboardMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir).agg(
+      countDistinct(col("o_orderkey")).as("n_orders"),
+      countDistinct(col("c_custkey")).as("n_users"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      count(lit(1)).as("n_items"),
+      round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("total_revenue"))
+
+  /** Scale path for A1: HLL-sketch distinct counts — one pass, no
+    * per-key shuffle of the distinct values. Not oracle-checked (approx).
+    */
+  def dashboardMetricsApprox(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir).agg(
+      approx_count_distinct(col("o_orderkey"), 0.01).as("n_orders_approx"),
+      approx_count_distinct(col("c_custkey"), 0.01).as("n_users_approx"),
+      count(lit(1)).as("n_items"))
+
+  /** A3 + O1: revenue by dimension, sorted desc — the dashboard's bar
+    * charts (`streamlit/utils.py:92-104`). */
+  def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("segment"))
+
+  /** Deeper dimension rollup: revenue by region+nation of the customer.
+    * nation/region are tiny — both broadcast; only the fact side moves. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    dashboardBase(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** O2: global top-k by measure (k=5, `eda_recommender.py:124-126`).
+    * Ties broken by key so the row set is deterministic across engines. */
+  def topkProducts(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir)
+      .groupBy(col("p_partkey").as("product_id"), col("p_name").as("product_name"))
+      .agg(round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("product_id"))
+      .limit(5)
+
+  /** O2 per-group variant: top-3 products inside each segment via
+    * row_number — the scalable "top-k per key" shape (no global sort;
+    * one shuffle on the group key). */
+  def topkPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = dashboardBase(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"), col("p_partkey").as("product_id"))
+      .agg(round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy(col("segment")).orderBy(desc("revenue"), asc("product_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 3)
+  }
+
+  /** P2/T12: lookback snapshot over the event stream table — "last 5
+    * minutes relative to stream head". The max-ts aggregate is a 1-row
+    * broadcast, so the filter still pushes down to the scan of the big
+    * side rather than collecting anything to the driver.
+    */
+  def recentEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val head = ev.agg(max(col("ts_us")).as("head_us"))
+    ev.crossJoin(broadcast(head))
+      .filter(col("ts_us") >= col("head_us") - lit(300000000L)) // 5 min in µs
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
+  }
+
+  /** A4: KPI delta vs previous refresh (`streamlit/utils.py:33-52`), as
+    * lag() over hourly buckets — the batch shape of "compare this tick's
+    * metric with the last one". */
+  def metricDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+      .agg(round(moneySum(col("value")), 2).as("revenue"), count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("hour_start"))
+    hourly
+      .withColumn("revenue_delta", round(col("revenue") - lag(col("revenue"), 1).over(w), 2))
+      .withColumn("events_delta", col("n_events") - lag(col("n_events"), 1).over(w))
+  }
+
+  /** §2.5: per-session sequence numbers (`models.py:346-376`) =
+    * row_number over (user, event-time). Ordering uses the exact
+    * nanosecond column so ranks are stable across engines. */
+  def eventSequence(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("event_id"), col("user_id"), col("seq"))
+  }
+
+  // --- TPC-H-shaped headline queries (bench anchors; exercise the same
+  // operator classes at full fact-table scale). ---
+
+  /** Pricing summary (TPC-H Q1 shape): wide partial-agg over the fact
+    * table, no join, no shuffle beyond the 6-group final agg. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum4(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        moneySum6((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        round(moneySum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(moneySum6(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Shipping priority (TPC-H Q3 shape): selective join + group + top-10. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(
+        col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("order_id"))
+      .limit(10)
+  }
+
+  /** Local supplier volume (TPC-H Q5 shape): 6-table join where every
+    * dimension side is broadcast and only lineitem⋈orders shuffles. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+}

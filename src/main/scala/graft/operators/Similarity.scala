@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exact baseline; the
+  * scale path buckets vectors with sign-random-projection LSH so each
+  * query only joins its bucket. Scoring is pure `zip_with`/`aggregate`
+  * column expressions — codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double with a
+    * deterministic left fold (order-stable ⇒ oracle-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k (exact baseline): queries × corpus, rank by
+    * rounded cosine with id tie-break so the selected row set is unique.
+    * The corpus side stays partitioned; only the (tiny) query side is
+    * broadcast — at 100 TB this is one pass over the corpus per query
+    * batch. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Sign-random-projection bucket id: `nPlanes` pseudo-random hyperplanes
+    * with weights derived arithmetically from (plane, dim) — fully
+    * deterministic, no RNG state to ship. Vectors whose sign pattern
+    * agrees land in the same bucket. */
+  def srpBucket(emb: Column, nPlanes: Int): Column = {
+    // weight(p, i) = centered affine hash in [-1, 1]
+    val planes = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb,
+          expr(s"transform(sequence(0, size(embedding)-1), i -> " +
+            s"(CAST(pmod(xxhash64($p * 1024 + i), 2000001) AS DOUBLE) - 1000000.0) / 1000000.0)"),
+          (x, wgt) => x.cast("double") * wgt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** ANN via LSH buckets: join query→bucket→candidates, exact cosine
+    * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
+    * is the bucket id so no pair of non-colliding vectors is ever
+    * materialized. */
+  def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
+              nPlanes: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting. All pure
+  * column expressions over the `documents` table — embarrassingly
+  * parallel, no shuffle at all (each is a map-only plan).
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token statistics: whitespace tokens, a regex word tokenizer, a
+    * BPE-ish length/4 estimate, and distinct-token count. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens_ws"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_tokens_re"),
+      expr("(n_chars + 3) div 4").as("n_tokens_bpe_est"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * type-token ratio — the standard cheap filters
+    * (C4/Gopher-style heuristics, expressed as one projection). */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 4)
+          .as("mean_token_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(size(array_distinct(toks)).cast("double") / col("n_tokens"), 4).as("type_token_ratio"),
+        // composite boolean quality gate, C4-style
+        (col("n_tokens") >= 10 && col("n_chars") >= 50 &&
+          (col("n_stop") > 0)).as("passes_quality"))
+  }
+
+  /** Language-ID heuristic: marker-token hit counts per language,
+    * argmax with a deterministic tie order. (The synthetic corpus is
+    * English-ish regardless of its `lang` column — the operator reports
+    * its own classification plus agreement with the label.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def hits(words: Seq[String]): Column = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("score_en", hits(Seq("the", "a", "and", "of", "is")).cast("long"))
+      .withColumn("score_es", hits(Seq("el", "la", "los", "de", "es")))
+      .withColumn("score_de", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("score_fr", hits(Seq("le", "la", "les", "de", "est")))
+      .withColumn("lang_pred",
+        when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") > 0, "en")
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr") &&
+            col("score_es") > 0, "es")
+          .when(col("score_de") >= col("score_fr") && col("score_de") > 0, "de")
+          .when(col("score_fr") > 0, "fr")
+          .otherwise("unknown"))
+      .select(col("doc_id"), col("lang").as("lang_label"), col("lang_pred"),
+        col("score_en"), (col("lang_pred") === col("lang")).as("agrees"))
+  }
+
+  /** Document fingerprinting: 64-bit FNV-1a rolling hash over the raw
+    * text — implemented as a native Catalyst expression with codegen
+    * ([[graft.functions.Fnv1a64]]); plus xxhash64 for comparison. Not
+    * SQL-expressible in the oracle (rows-only check). */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.fnv1a64(col("text")).as("fnv1a64"),
+      xxhash64(col("text")).as("xxh64"))
+}

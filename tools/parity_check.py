@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's correctness gate: run each oracle SQL
+from verify-out/oracle_sql.json in DuckDB over the same parquet tables,
+and compare against the Spark result parquet (columns sorted by name,
+rows sorted by all columns, exact value equality).
+
+Usage: python3 tools/parity_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expect = canon(con.sql(sql).df())
+            got = canon(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
+        if list(expect.columns) != list(got.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(expect.columns)}")
+            failures += 1
+            continue
+        if expect.dtypes.tolist() != got.dtypes.tolist():
+            print(f"WARN {name}: dtypes {got.dtypes.tolist()} vs {expect.dtypes.tolist()}")
+        if len(expect) != len(got):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(expect)}")
+            failures += 1
+            continue
+        if not expect.equals(got):
+            neq = (expect != got) & ~(expect.isna() & got.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(expect)} rows differ; first:")
+            print(pd.concat([expect[bad].head(2), got[bad].head(2)]))
+            failures += 1
+            continue
+        print(f"ok   {name} ({len(expect)} rows)")
+    # rows-only entries (no oracle): report row counts
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+            print(f"rows {name}: {n} (no oracle)")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
