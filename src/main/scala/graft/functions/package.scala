@@ -1,18 +1,35 @@
 package graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftShims, SparkSession}
 
 /** Column-API entry points for the engine's custom Catalyst expressions. */
 package object functions {
+  private def wrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftShims.column(e)
+  private def ex(c: Column) = GraftShims.expression(c)
+
   /** 64-bit FNV-1a fingerprint of a string column (codegen'd). */
-  def fnv1a64(c: Column): Column =
-    org.apache.spark.sql.GraftShims.column(
-      Fnv1a64(org.apache.spark.sql.GraftShims.expression(c)))
+  def fnv1a64(c: Column): Column = wrap(Fnv1a64(ex(c)))
+
+  /** Dot product of two `array<float>` columns in double (codegen'd). */
+  def dotF32(a: Column, b: Column): Column = wrap(DotProductF32(ex(a), ex(b)))
+
+  /** MinHash signature (`array<long>`, k slots) of an `array<string>`. */
+  def minhashSig(c: Column, k: Int): Column = wrap(MinHashSig(ex(c), k))
+
+  /** 64-bit SimHash of an `array<string>`. */
+  def simhash64(c: Column): Column = wrap(SimHash64(ex(c)))
+
+  /** Sign-random-projection LSH bucket of an `array<float>`. */
+  def srpBucket(c: Column, planes: Int): Column = wrap(SrpBucket(ex(c), planes))
 
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32", exprs => DotProductF32(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
   }
 }

@@ -26,9 +26,11 @@ object Dedup {
       .select(col("keep_id"), col("dup_cnt"))
 
   /** 3-gram word shingles, distinct, per document. Shared by the Jaccard
-    * join, MinHash, and SimHash paths. */
+    * join, MinHash, and SimHash paths. Repartitioned up front
+    * ([[Similarity.spread]]) so the signature/join work parallelizes
+    * even when the local input is a single small file. */
   def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    Similarity.spread(Tables.documents(spark, sfDir))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -75,9 +77,7 @@ object Dedup {
     * shuffle until banding. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     shingled(spark, sfDir)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumHashes - 1}), i -> " +
-          "array_min(transform(shingles, s -> xxhash64(s, i))))"))
+      .withColumn("sig", graft.functions.minhashSig(col("shingles"), NumHashes))
       .select(col("doc_id"), col("shingles"), col("sig"))
 
   /** LSH banding → candidate pairs → exact-Jaccard verification. */
@@ -112,14 +112,7 @@ object Dedup {
 
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     shingled(spark, sfDir)
-      .withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
-      .withColumn("bitsums", expr(
-        "aggregate(hs, array_repeat(0L, 64), (acc, h) -> " +
-          "zip_with(acc, sequence(0, 63), (a, b) -> " +
-          "a + CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END))"))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 63), 0L, (s, b) -> " +
-          "s | shiftleft(CASE WHEN element_at(bitsums, CAST(b+1 AS INT)) > 0 THEN 1L ELSE 0L END, CAST(b AS INT)))"))
+      .withColumn("simhash", graft.functions.simhash64(col("shingles")))
       .select(col("doc_id"), col("simhash"))
 
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 6): DataFrame = {
@@ -145,7 +138,7 @@ object Dedup {
     * baseline). The scale path is the LSH-bucketed variant in
     * [[Similarity.lshTopK]] — same scoring expression, bucketed join. */
   def embeddingPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

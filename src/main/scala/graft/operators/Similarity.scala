@@ -15,13 +15,23 @@ import graft.Tables
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double with a
-    * deterministic left fold (order-stable ⇒ oracle-reproducible). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
+    * deterministic left fold (order-stable ⇒ oracle-reproducible).
+    * Backed by the codegen'd [[graft.functions.DotProductF32]]; the
+    * declarative `aggregate(zip_with(...))` equivalent is interpreted
+    * per element and ~100× slower on a pair scan. */
+  def dot(a: Column, b: Column): Column = graft.functions.dotF32(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Local-parallelism guard: the testdata ships as one small parquet
+    * file → one input partition, which would serialize the whole
+    * compute-heavy scan onto a single core. On a real cluster the scan
+    * arrives already split; this keeps the local plan honest about the
+    * parallelism the operator is designed for. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p)
+  }
 
   /** Brute-force cosine top-k (exact baseline): queries × corpus, rank by
     * rounded cosine with id tie-break so the selected row set is unique.
@@ -29,7 +39,7 @@ object Similarity {
     * broadcast — at 100 TB this is one pass over the corpus per query
     * batch. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("nrm").as("qnrm"))
@@ -44,20 +54,11 @@ object Similarity {
   /** Sign-random-projection bucket id: `nPlanes` pseudo-random hyperplanes
     * with weights derived arithmetically from (plane, dim) — fully
     * deterministic, no RNG state to ship. Vectors whose sign pattern
-    * agrees land in the same bucket. */
-  def srpBucket(emb: Column, nPlanes: Int): Column = {
-    // weight(p, i) = centered affine hash in [-1, 1]
-    val planes = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb,
-          expr(s"transform(sequence(0, size(embedding)-1), i -> " +
-            s"(CAST(pmod(xxhash64($p * 1024 + i), 2000001) AS DOUBLE) - 1000000.0) / 1000000.0)"),
-          (x, wgt) => x.cast("double") * wgt),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }
-    planes.reduce(_ + _)
-  }
+    * agrees land in the same bucket. Native expression
+    * ([[graft.functions.SrpBucket]]); one pass over the vector for all
+    * planes. */
+  def srpBucket(emb: Column, nPlanes: Int): Column =
+    graft.functions.srpBucket(emb, nPlanes)
 
   /** ANN via LSH buckets: join query→bucket→candidates, exact cosine
     * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
@@ -65,7 +66,7 @@ object Similarity {
     * materialized. */
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
       .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
     val q = e.filter(col("vec_id") < nQueries)
