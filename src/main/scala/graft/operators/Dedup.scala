@@ -115,12 +115,14 @@ object Dedup {
       .withColumn("simhash", graft.functions.simhash64(col("shingles")))
       .select(col("doc_id"), col("simhash"))
 
-  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(spark, sfDir)
-    // 4 bands of 16 bits: hamming<=6 pairs fail at most 6 bands of 4,
-    // so at least one 16-bit band matches exactly when distance <= 3 per
-    // pigeonhole over 4 bands (guaranteed recall for hamming <= 3;
-    // probabilistic above — documented approximation).
+    // 4 bands of 16 bits, pigeonhole: a pair at hamming <= 3 cannot
+    // differ in all 4 bands, so at least one band matches exactly →
+    // banding is EXACT (full recall) for maxHamming <= 3, probabilistic
+    // above. The default stays within the guarantee; callers asking for
+    // a larger radius accept documented recall loss (or should raise
+    // the band count).
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), j -> " +
           "struct(j AS band, shiftright(simhash, CAST(j*16 AS INT)) & 65535 AS bh))")).as("b"))

@@ -28,14 +28,27 @@ object SupplierStats {
     */
   def tumble(df: DataFrame, eventTime: Column, key: Column, price: Column,
              width: String = "5 seconds"): DataFrame =
+    format(aggCore(df, eventTime, key, price, width))
+
+  /** The shared aggregation core: one declarative transform used by BOTH
+    * the batch query and the Structured Streaming query
+    * ([[graft.streaming.SupplierStatsStream]]) — the literal "same query,
+    * different engine mode" agreement the reference builds by hand across
+    * three engines. */
+  def aggCore(df: DataFrame, eventTime: Column, key: Column, price: Column,
+              width: String): DataFrame =
     df.groupBy(window(eventTime, width).as("w"), key.as("supplier"))
       .agg(
         round(sum(price.cast(DecimalType(18, 2))).cast("double"), 2).as("total_price"),
         count(lit(1)).as("cnt"))
-      .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
-        col("supplier"), col("total_price"), col("cnt"))
+
+  /** Window bounds formatted exactly like the reference's output
+    * (`SupplierStatsFunction.kt:24-25`). */
+  def format(agg: DataFrame): DataFrame =
+    agg.select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+      col("supplier"), col("total_price"), col("cnt"))
 
   /** Batch query over the events table: event_type stands in for the
     * supplier key (FIXTURES.md §6), 5 s tumble mirroring the reference's

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Native expressions must be bit-identical to their declarative
+  * (interpreted higher-order-function) equivalents — that equivalence is
+  * what lets the fast path replace the oracle-checkable slow path. */
+class ExprParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(sf() + "/documents.parquet")
+    .select($"doc_id", array_distinct(split($"text", " ")).as("shingles"))
+    .cache()
+
+  test("minhashSig == transform(sequence, i -> array_min(xxhash64(s, i)))") {
+    val n = 16
+    val both = docs.select(
+      minhashSig($"shingles", n).as("fast"),
+      expr(s"transform(sequence(0, ${n - 1}), i -> " +
+        "array_min(transform(shingles, s -> xxhash64(s, i))))").as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("simhash64 == declarative bitsum form") {
+    val both = docs.select(
+      simhash64($"shingles").as("fast"),
+      expr(
+        "aggregate(sequence(0, 63), 0L, (s, b) -> s | shiftleft(" +
+          "CASE WHEN element_at(aggregate(transform(shingles, x -> xxhash64(x)), " +
+          "array_repeat(0L, 64), (acc, h) -> zip_with(acc, sequence(0, 63), (a, bb) -> " +
+          "a + CASE WHEN (shiftright(h, CAST(bb AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), " +
+          "CAST(b+1 AS INT)) > 0 THEN 1L ELSE 0L END, CAST(b AS INT)))").as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("dotF32 == aggregate(zip_with(...)) fold") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val both = e.as("a").crossJoin(e.as("b")).limit(500).select(
+      dotF32(col("a.embedding"), col("b.embedding")).as("fast"),
+      expr("aggregate(zip_with(a.embedding, b.embedding, " +
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)").as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("srpBucket == declarative plane-sign form") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val planes = 4
+    val slow = (0 until planes).map { p =>
+      val proj = expr(
+        "aggregate(zip_with(embedding, transform(sequence(0, size(embedding)-1), " +
+          s"i -> (CAST(pmod(xxhash64($p * 1024 + i), 2000001) AS DOUBLE) - 1000000.0) / 1000000.0), " +
+          "(x, wgt) -> CAST(x AS DOUBLE) * wgt), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+    val both = e.select(srpBucket($"embedding", planes).as("fast"), slow.as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("fnv1a64 matches known FNV-1a test vectors and codegen == eval") {
+    // Public FNV-1a 64 vectors: fnv1a64("") = offset basis,
+    // fnv1a64("a") = 0xaf63dc4c8601ec8c.
+    val r = Seq("", "a", "hello world").toDF("s")
+      .select(fnv1a64($"s").as("h")).as[Long].collect()
+    assert(r(0) == -3750763034362895579L)
+    assert(r(1) == 0xaf63dc4c8601ec8cL)
+    assert(r(2) == Fnv1a64.hash("hello world".getBytes("UTF-8")))
+  }
+}

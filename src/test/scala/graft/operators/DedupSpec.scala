@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH candidates recover the exact Jaccard pairs (recall)") {
+    val exact = Dedup.jaccardPairs(spark, sf("0.01"), 0.5)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf("0.01"), 0.5)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // LSH verifies candidates with exact Jaccard → subset; at 16 bands × 4
+    // rows and j ≥ 0.5 expected recall ≈ 1-(1-0.5^4)^16 ≈ 0.645 per pair,
+    // but planted dups sit at j ≈ 0.99 where recall ≈ 1. Demand full
+    // recovery on this fixture.
+    assert(lsh == exact, s"missed: ${exact -- lsh}, extra: ${lsh -- exact}")
+  }
+
+  test("simhash banding is exact at hamming <= 3 (brute-force oracle)") {
+    val sig = Dedup.simhashSignatures(spark, sf("0.01")).cache()
+    val brute = sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("h"))
+      .filter($"h" <= 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairs(spark, sf("0.01"))
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"missed: ${brute -- banded}, extra: ${banded -- brute}")
+    assert(banded.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select($"keep_id", $"dup_cnt")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SupplierStats
+
+/** The reference's own correctness trick, turned into a test: the same
+  * supplier-stats query must agree across engine modes (reference runs it
+  * on Kafka Streams vs Flink DataStream vs Flink Table; here batch
+  * DataFrame vs Structured Streaming over identical input —
+  * SURVEY.md §5.3). */
+class SupplierStatsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orderJson(id: String, bidTime: String, price: Double,
+                        supplier: String): String =
+    s"""{"order_id":"$id","bid_time":"$bidTime","price":$price,""" +
+      s""""item":"thing","supplier":"$supplier"}"""
+
+  // Fixture per FIXTURES.md §1: in-order rows, an out-of-order row inside
+  // the watermark, two suppliers sharing a window.
+  private val rows = Seq(
+    orderJson("o1", "2024-01-01 00:00:01", 10.00, "Alice"),
+    orderJson("o2", "2024-01-01 00:00:03", 20.50, "Alice"),
+    orderJson("o3", "2024-01-01 00:00:04", 5.25, "Bob"),
+    orderJson("o4", "2024-01-01 00:00:02", 1.00, "Bob"), // out-of-order, in grace
+    orderJson("o5", "2024-01-01 00:00:07", 2.00, "Alice"),
+    orderJson("o6", "2024-01-01 00:00:30", 9.99, "Bob")) // advances watermark far
+
+  test("streaming append-mode stats equal batch stats on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = SupplierStatsStream.parseOrders(
+      mem.toDF().select(col("value")))
+    val q = SupplierStatsStream.stats(parsed)
+      .writeStream.format("memory").queryName("stats_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // o6 pushes the watermark to 00:00:25 → windows [0,5) and [5,10)
+      // are closed and emitted; o6's own window [30,35) stays open.
+      val streamed = spark.table("stats_out")
+        .orderBy("window_start", "supplier")
+        .collect().map(_.toSeq).toSeq
+
+      val batch = SupplierStats.tumble(
+        SupplierStatsStream.parseOrders(rows.toDF("value")),
+        col("bid_time"), col("supplier"), col("price"))
+        .filter($"window_start" < "2024-01-01 00:00:30")
+        .orderBy("window_start", "supplier")
+        .collect().map(_.toSeq).toSeq
+
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // spot-check the flagship numbers: Alice [0,5) = 10.00+20.50
+      val alice0 = streamed.find(r =>
+        r(2) == "Alice" && r(0) == "2024-01-01 00:00:00").get
+      assert(alice0(3) == 30.5 && alice0(4) == 2L)
+    } finally q.stop()
+  }
+
+  test("unparseable bid_time falls back, missing fields get defaults") {
+    val df = SupplierStatsStream.parseOrders(
+      Seq("""{"order_id":"x","bid_time":"not a time","item":"i"}""")
+        .toDF("value"))
+    val r = df.collect()(0)
+    assert(!r.isNullAt(r.fieldIndex("bid_time"))) // processing-time fallback
+    assert(r.getAs[Double]("price") == 0.0)
+    assert(r.getAs[String]("supplier") == "UNKNOWN")
+  }
+
+  test("forkBatch tags against observed stream time and routes branches") {
+    val tracker = new SupplierStatsStream.StreamTimeTracker
+    var valid = Seq.empty[String]
+    var late = Seq.empty[String]
+    def run(batch: Seq[String], id: Long): Unit =
+      SupplierStatsStream.forkBatch(tracker)(
+        v => valid = v.select("order_id").as[String].collect().toSeq,
+        l => late = l.filter(col("late")).select("order_id").as[String].collect().toSeq)(
+        SupplierStatsStream.parseOrders(batch.toDF("value")), id)
+
+    // Batch 1: advances stream time to 00:01:00.
+    run(Seq(orderJson("a", "2024-01-01 00:01:00", 1, "S")), 0)
+    assert(valid == Seq("a") && late.isEmpty)
+    // Batch 2: a record whose window [0,5) closed at 00:00:10 (incl.
+    // grace) long before stream time 00:01:00 → late; a fresh record is
+    // valid. Mirrors LateRecordProcessor.kt:46-64 math.
+    run(Seq(
+      orderJson("b", "2024-01-01 00:00:01", 1, "S"),
+      orderJson("c", "2024-01-01 00:01:02", 1, "S")), 1)
+    assert(valid == Seq("c") && late == Seq("b"))
+  }
+}
