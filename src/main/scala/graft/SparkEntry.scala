@@ -56,6 +56,11 @@ object SparkEntry {
     "q27_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q28_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q29_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // --- LinUCB bandit (rows-only: matrix inversion is not
+    // SQL-expressible in DuckDB; correctness is ScalaTest vs Breeze
+    // ground truth + streaming-vs-batch agreement) ---
+    "q30_linucb_seed" -> ((s, d) => graft.ml.LinUCB.seedQuery(s, d)),
+    "q31_linucb_topk" -> ((s, d) => graft.ml.LinUCB.topKQuery(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -1,0 +1,197 @@
+package graft.ml
+
+import breeze.linalg.{inv, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Disjoint LinUCB contextual bandit, Spark-native (SURVEY.md §2 A9/A10,
+  * §3.3).
+  *
+  * Reference semantics: per product (arm) keep `A = I + Σ x·xᵀ`,
+  * `b = Σ r·x`; store `A⁻¹` (not `A`) so serving never inverts
+  * (`product-recommender/recsys-engine/src/bandit_manager.py:57-107`,
+  * design note at `bandit_manager.py:63`); score an arm for context x as
+  * `x·θ + α·√(xᵀA⁻¹x)` with `θ = A⁻¹b`
+  * (`eda_recommender.py:78-92`); streaming training applies the same
+  * update per event in keyed state (`recsys-trainer/.../LinUCBUpdater.kt:28-131`).
+  *
+  * Spark mapping: the batch seed is a typed [[Aggregator]] (partial
+  * aggregation + merge — the same shape Spark gives every built-in agg,
+  * so the 100 TB path is one shuffle on product_id with map-side
+  * combine); matrices live as flat `Array[Double]` row-major buffers
+  * (encoder-friendly, no boxing); inversion happens once per group at
+  * `finish`, via Breeze LU — mirroring the reference's
+  * commons-math LU (`LinUCBUpdater.kt:111-118`).
+  */
+object LinUCB {
+
+  /** One observed interaction: arm, d-dim context, binary-ish reward. */
+  case class Feedback(productId: String, x: Array[Double], reward: Double)
+
+  /** Aggregation buffer: `a` is A (d×d row-major), `b` is b (d). */
+  case class Buf(var d: Int, var a: Array[Double], var b: Array[Double], var n: Long)
+
+  /** Published model: A⁻¹ (row-major) + b, as the reference's Redis JSON
+    * (`RedisSinkWriter.kt:55-62`, fields productId/A_inv/b). */
+  case class Model(productId: String, aInv: Array[Double], b: Array[Double],
+                   d: Int, n: Long)
+
+  private[graft] def outerAccum(a: Array[Double], x: Array[Double]): Unit = {
+    val d = x.length
+    var i = 0
+    while (i < d) {
+      val xi = x(i)
+      var j = 0
+      while (j < d) { a(i * d + j) += xi * x(j); j += 1 }
+      i += 1
+    }
+  }
+
+  private[graft] def invertRowMajor(a: Array[Double], d: Int): Array[Double] = {
+    // Breeze DenseMatrix is column-major; A is symmetric here so the
+    // layout transpose is a no-op mathematically, but keep it explicit.
+    val m = new DenseMatrix(d, d, a.clone()).t
+    val ainv = inv(m)
+    val out = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) { out(i * d + j) = ainv(i, j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** A9: the batch-seed Aggregator — `A = I + Σxxᵀ`, `b = Σrx`,
+    * inverted at finish. */
+  class SeedAggregator(dim: Int) extends Aggregator[Feedback, Buf, Model] {
+    override def zero: Buf = {
+      val a = new Array[Double](dim * dim)
+      var i = 0
+      while (i < dim) { a(i * dim + i) = 1.0; i += 1 } // A starts at I
+      Buf(dim, a, new Array[Double](dim), 0L)
+    }
+    override def reduce(buf: Buf, f: Feedback): Buf = {
+      outerAccum(buf.a, f.x)
+      var i = 0
+      while (i < dim) { buf.b(i) += f.reward * f.x(i); i += 1 }
+      buf.n += 1
+      buf
+    }
+    override def merge(l: Buf, r: Buf): Buf = {
+      var i = 0
+      while (i < dim * dim) { l.a(i) += r.a(i); i += 1 }
+      // both zeros contributed an identity — keep exactly one
+      i = 0
+      while (i < dim) { l.a(i * dim + i) -= 1.0; i += 1 }
+      i = 0
+      while (i < dim) { l.b(i) += r.b(i); i += 1 }
+      l.n += r.n
+      l
+    }
+    override def finish(buf: Buf): Model =
+      Model("", invertRowMajor(buf.a, dim), buf.b, dim, buf.n)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Model] = Encoders.product[Model]
+  }
+
+  /** Batch seed job: one shuffle on productId, map-side partial
+    * aggregation, LU inversion once per arm at finalize. */
+  def seed(feedback: Dataset[Feedback], dim: Int): Dataset[Model] = {
+    import feedback.sparkSession.implicits._
+    feedback.groupByKey(_.productId)
+      .agg(new SeedAggregator(dim).toColumn.name("model"))
+      .map { case (pid, m) => m.copy(productId = pid) }
+  }
+
+  /** Serving-side score for one (context, model) pair:
+    * `x·θ + α·√(xᵀA⁻¹x)`, `θ = A⁻¹b` (`eda_recommender.py:78-92`). */
+  def score(x: Array[Double], m: Model, alpha: Double): Double = {
+    val d = m.d
+    // y = A⁻¹x (reused for both terms); θ·x = (A⁻¹b)·x = b·(A⁻¹x) since
+    // A⁻¹ is symmetric.
+    val y = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += m.aInv(i * d + j) * x(j); j += 1 }
+      y(i) = acc
+      i += 1
+    }
+    var mean = 0.0
+    var varTerm = 0.0
+    i = 0
+    while (i < d) { mean += m.b(i) * y(i); varTerm += x(i) * y(i); i += 1 }
+    mean + alpha * math.sqrt(math.max(varTerm, 0.0))
+  }
+
+  /** J5/O2: score every arm for every context and keep top-k — the
+    * serving path as one plan: contexts ⋈ broadcast(models) → score →
+    * per-context top-k via row_number (no global sort). */
+  def topK(contexts: DataFrame, models: Dataset[Model], alpha: Double, k: Int)
+          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val scoreUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
+      score(x.toArray, Model("", aInv.toArray, b.toArray, d, 0L), alpha))
+    val m = models.select($"productId", $"aInv", $"b", $"d")
+    val scored = contexts.join(broadcast(m))
+      .withColumn("score", round(scoreUdf(col("x"), col("aInv"), col("b"), col("d")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ctx_id")).orderBy(desc("score"), asc("productId"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("ctx_id"), col("productId").as("product_id"),
+        col("rank"), col("score"))
+  }
+
+  /** Deterministic Feedback derivation from the driver testdata (stands
+    * in for the reference's feedback-events topic, FIXTURES.md §6):
+    * arm = p_brand, context = scaled lineitem numerics + bias, reward =
+    * "was returned". */
+  def feedbackFromLineitem(spark: SparkSession, sfDir: String): Dataset[Feedback] = {
+    import spark.implicits._
+    graft.Tables.lineitem(spark, sfDir)
+      .join(broadcast(graft.Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("productId"),
+        array(
+          lit(1.0),
+          col("l_quantity") / lit(50.0),
+          col("l_extendedprice") / lit(100000.0),
+          col("l_discount"),
+          col("l_tax")).as("x"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("reward"))
+      .as[Feedback]
+  }
+
+  val Dim = 5
+
+  /** Rows-only query surface: per-arm seeded model, arrays exploded to
+    * doubles so the parquet dump is flat and comparable run-to-run. */
+  def seedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    seed(feedbackFromLineitem(spark, sfDir), Dim)
+      .select($"productId".as("product_id"), $"n",
+        round(element_at($"aInv", 1), 9).as("ainv_00"),
+        round(element_at($"aInv", Dim * Dim), 9).as(f"ainv_${Dim - 1}${Dim - 1}"),
+        round(element_at($"b", 1), 6).as("b_0"),
+        round(element_at($"b", Dim), 6).as(f"b_${Dim - 1}"))
+  }
+
+  /** Rows-only query surface: top-3 arms for 20 synthetic contexts. */
+  def topKQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val models = seed(feedbackFromLineitem(spark, sfDir), Dim)
+    val contexts = spark.range(20).select(
+      col("id").as("ctx_id"),
+      array(lit(1.0),
+        (col("id") % 10).cast("double") / lit(10.0),
+        (col("id") % 7).cast("double") / lit(7.0),
+        (col("id") % 3).cast("double") / lit(30.0),
+        lit(0.05)).as("x"))
+    topK(contexts, models, alpha = 0.5, k = 3)(spark)
+  }
+}
