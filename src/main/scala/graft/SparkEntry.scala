@@ -61,6 +61,19 @@ object SparkEntry {
     // ground truth + streaming-vs-batch agreement) ---
     "q30_linucb_seed" -> ((s, d) => graft.ml.LinUCB.seedQuery(s, d)),
     "q31_linucb_topk" -> ((s, d) => graft.ml.LinUCB.topKQuery(s, d)),
+    // --- feature pipeline ---
+    "q32_customer_features" -> ((s, d) => graft.features.Features.customerFeatures(s, d)),
+    "q33_time_context" -> ((s, d) => graft.features.Features.timeContext(s, d)),
+    "q34_tfidf_topterms" -> ((s, d) => graft.features.Features.tfidfTopTerms(s, d)),
+    "q35_text_embedding" -> ((s, d) => graft.features.Features.textEmbeddingQuery(s, d)),
+    "q36_context_vectors" -> ((s, d) => graft.features.Features.contextVectors(s, d)
+      .selectExpr("event_id", "round(element_at(context_vector, 6), 6) AS acctbal_scaled",
+        "CAST(element_at(context_vector, 1) AS BIGINT) AS seg_auto",
+        "CAST(element_at(context_vector, 7) AS BIGINT) AS is_morning")),
+    // --- multimodal columns ---
+    "q37_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q38_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "q39_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -326,5 +339,57 @@ object SparkEntry {
         |       WHEN score_fr > 0 THEN 'fr'
         |       ELSE 'unknown' END) = lang AS agrees
         |FROM t""".stripMargin,
+    "q32_customer_features" ->
+      """WITH stats AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
+        |SELECT c_custkey AS user_id,
+        |  CAST(c_mktsegment = 'AUTOMOBILE' AS BIGINT) AS seg_automobile,
+        |  CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS seg_building,
+        |  CAST(c_mktsegment = 'FURNITURE' AS BIGINT) AS seg_furniture,
+        |  CAST(c_mktsegment = 'HOUSEHOLD' AS BIGINT) AS seg_household,
+        |  CAST(c_mktsegment = 'MACHINERY' AS BIGINT) AS seg_machinery,
+        |  ROUND((c_acctbal - lo) / (hi - lo), 6) AS acctbal_scaled
+        |FROM customer, stats""".stripMargin,
+    "q33_time_context" ->
+      """SELECT event_id,
+        |  CAST(EXTRACT(hour FROM ts) BETWEEN 6 AND 11 AS BIGINT) AS is_morning,
+        |  CAST(EXTRACT(hour FROM ts) BETWEEN 12 AND 17 AS BIGINT) AS is_afternoon,
+        |  CAST(EXTRACT(hour FROM ts) < 6 OR EXTRACT(hour FROM ts) >= 18 AS BIGINT) AS is_evening,
+        |  CAST(strftime(ts, '%A') IN ('Saturday', 'Sunday') AS BIGINT) AS is_weekend,
+        |  CAST(strftime(ts, '%A') NOT IN ('Saturday', 'Sunday') AS BIGINT) AS is_weekday
+        |FROM events""".stripMargin,
+    "q34_tfidf_topterms" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, tf.term,
+        |    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rnk FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+    "q36_context_vectors" ->
+      """WITH stats AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
+        |SELECT e.event_id,
+        |  ROUND(COALESCE(ROUND((c.c_acctbal - lo) / (hi - lo), 6), 0.0), 6) AS acctbal_scaled,
+        |  COALESCE(CAST(c.c_mktsegment = 'AUTOMOBILE' AS BIGINT), 0) AS seg_auto,
+        |  CAST(EXTRACT(hour FROM e.ts) BETWEEN 6 AND 11 AS BIGINT) AS is_morning
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |CROSS JOIN stats""".stripMargin,
+    "q37_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['jpeg', 'png', 'wav', 'mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
+        |  doc_id % 8 * 160 + 320 AS width,
+        |  doc_id % 8 * 90 + 180 AS height,
+        |  doc_id % 30 + 1 AS n_frames,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents""".stripMargin,
+    "q39_frame_sample" ->
+      """SELECT doc_id AS media_id, unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 8)) AS frame_no
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,214 @@
+package graft.features
+
+import breeze.linalg.{svd, DenseMatrix}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's feature-engineering surface (SURVEY.md §2.8 F12-F15),
+  * as DataFrame transforms: one-hot with a FIXED category list (schema
+  * stability — the reference reindex-aligns for the same reason,
+  * `preprocessor.py:104-109`), min-max scaling with broadcast fitted
+  * stats (`preprocessor.py:58-61`), TF-IDF → truncated-SVD text
+  * embeddings (`preprocessor.py:88-104`), context-vector assembly
+  * (`eda_recommender.py:100-101`).
+  *
+  * Scale notes: fitted stats (min/max, doc-freqs, projection matrix) are
+  * tiny fitted artifacts — computed in one aggregate pass, then
+  * broadcast; the transform side is pure per-row column arithmetic. The
+  * SVD factorization runs on the VOCAB-sized gram matrix (V×V, bounded
+  * by the dictionary, not the corpus), so the driver-side step does not
+  * grow with data size — the corpus-sized passes stay distributed.
+  */
+object Features {
+
+  /** F12: one-hot over a fixed category list. */
+  def oneHot(c: Column, values: Seq[String], prefix: String): Seq[Column] =
+    values.map(v => when(c === v, 1).otherwise(0).cast("long")
+      .as(s"${prefix}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}"))
+
+  /** F13: min-max scale using a broadcast 1-row stats frame (the fitted
+    * artifact; reused at inference exactly like the reference persists
+    * its scaler, `preprocessor.py:155-169`). */
+  def minMaxScale(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))).head,
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))).tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"${c}_scaled",
+        round((col(c) - col(s"${c}_min")) /
+          (col(s"${c}_max") - col(s"${c}_min")), 6))
+    }.drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
+  }
+
+  /** The reference's user-feature frame (`preprocessor.py:23-67`) mapped
+    * onto `customer`: one-hot market segment + min-max-scaled account
+    * balance. Fully SQL-expressible → oracle-checked. */
+  def customerFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val oneHots = oneHot(col("c_mktsegment"), segments, "seg")
+    minMaxScale(Tables.customer(spark, sfDir), Seq("c_acctbal"))
+      .select(col("c_custkey").as("user_id") +: oneHots :+
+        col("c_acctbal_scaled").as("acctbal_scaled"): _*)
+  }
+
+  /** F3: time-context features (`bandit_simulator.py:24-47`). */
+  def timeContext(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hour(col("ts"))
+    val dayName = date_format(col("ts"), "EEEE")
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      when(h.between(6, 11), 1).otherwise(0).cast("long").as("is_morning"),
+      when(h.between(12, 17), 1).otherwise(0).cast("long").as("is_afternoon"),
+      when(h < 6 || h >= 18, 1).otherwise(0).cast("long").as("is_evening"),
+      when(dayName.isin("Saturday", "Sunday"), 1).otherwise(0).cast("long").as("is_weekend"),
+      when(dayName.isin("Saturday", "Sunday"), 0).otherwise(1).cast("long").as("is_weekday"))
+  }
+
+  // --- F14: TF-IDF → truncated SVD text embeddings ---
+
+  /** Per-(doc, term) TF-IDF with sklearn-style smooth idf
+    * (`ln((1+N)/(1+df)) + 1`), which is what the reference's TextWiser
+    * TfIdf embedding wraps. Distributed shape: tokenize → explode →
+    * per-doc term counts → join the (vocab-sized) doc-freq table. */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val df_ = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+    tf.join(broadcast(df_), "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
+  /** Top-scoring term per document (deterministic tie-break) — the
+    * oracle-checkable face of the TF-IDF pipeline. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("term"))
+    tfidf(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Dense TF-IDF vector per doc over the full (sorted) vocabulary.
+    * Works because the synthetic corpus has a small closed vocabulary;
+    * with an open vocabulary this would be the hashed variant. */
+  private def tfidfVectors(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    val scores = tfidf(spark, sfDir).cache()
+    val vocab = scores.select("term").distinct()
+      .orderBy("term").collect().map(_.getString(0))
+    val vIndex = vocab.zipWithIndex.toMap
+    val bIndex = spark.sparkContext.broadcast(vIndex)
+    val v = vocab.length
+    val toVec = udf((terms: Seq[String], vals: Seq[Double]) => {
+      val arr = new Array[Double](v)
+      var i = 0
+      while (i < terms.length) { arr(bIndex.value(terms(i))) = vals(i); i += 1 }
+      arr
+    })
+    val vecs = scores.groupBy("doc_id")
+      .agg(collect_list(col("term")).as("terms"), collect_list(col("tfidf")).as("vals"))
+      .select(col("doc_id"), toVec(col("terms"), col("vals")).as("vec"))
+    (vecs, v)
+  }
+
+  /** F14: truncated-SVD embedding, k dims. The gram matrix GᵀG (V×V,
+    * vocab-bounded) is aggregated distributed, eigen-factored on the
+    * driver with Breeze, and the V×k projection broadcast back — the
+    * corpus never leaves the executors. Right-singular-vector signs are
+    * canonicalized (first nonzero coordinate positive) so the embedding
+    * is deterministic across runs/partitionings. */
+  def textEmbedding(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (vecs, v) = tfidfVectors(spark, sfDir)
+    val gram = vecs.select(col("vec")).as[Array[Double]].rdd
+      .mapPartitions { it =>
+        val acc = new Array[Double](v * v)
+        it.foreach { x =>
+          var i = 0
+          while (i < v) {
+            val xi = x(i)
+            if (xi != 0.0) {
+              var j = 0
+              while (j < v) { acc(i * v + j) += xi * x(j); j += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .treeReduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    val g = new DenseMatrix(v, v, gram) // symmetric → layout-agnostic
+    val s = svd(g)
+    val proj = new Array[Double](v * k) // column j = j-th right singular vector
+    var j = 0
+    while (j < k) {
+      // canonical sign: first nonzero component positive
+      var i = 0
+      var sign = 0.0
+      while (i < v && sign == 0.0) {
+        val x = s.Vt(j, i)
+        if (math.abs(x) > 1e-12) sign = math.signum(x)
+        i += 1
+      }
+      if (sign == 0.0) sign = 1.0
+      i = 0
+      while (i < v) { proj(i * k + j) = s.Vt(j, i) * sign; i += 1 }
+      j += 1
+    }
+    val bProj = spark.sparkContext.broadcast(proj)
+    val embed = udf((x: Seq[Double]) => {
+      val p = bProj.value
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < v) {
+        val xi = x(i)
+        if (xi != 0.0) {
+          var c = 0
+          while (c < k) { out(c) += xi * p(i * k + c); c += 1 }
+        }
+        i += 1
+      }
+      out.map(d => math.rint(d * 1e6) / 1e6)
+    })
+    vecs.select(col("doc_id"), embed(col("vec")).as("embedding"))
+  }
+
+  /** Flat query surface for the embedding (first 4 dims as columns). */
+  def textEmbeddingQuery(spark: SparkSession, sfDir: String): DataFrame =
+    textEmbedding(spark, sfDir).select(
+      col("doc_id"),
+      element_at(col("embedding"), 1).as("e0"),
+      element_at(col("embedding"), 2).as("e1"),
+      element_at(col("embedding"), 3).as("e2"),
+      element_at(col("embedding"), 4).as("e3"))
+
+  /** F15: context assembly — fixed-order feature vector from the joined
+    * feature frames (user one-hots + time context), the exact shape the
+    * reference builds per request (`eda_recommender.py:100-101`). */
+  def contextVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val users = customerFeatures(spark, sfDir)
+    val time = timeContext(spark, sfDir)
+    ev.join(users, ev("user_id") === users("user_id"), "left")
+      .join(time, "event_id")
+      .select(col("event_id"),
+        array(
+          coalesce(col("seg_automobile"), lit(0L)).cast("double"),
+          coalesce(col("seg_building"), lit(0L)).cast("double"),
+          coalesce(col("seg_furniture"), lit(0L)).cast("double"),
+          coalesce(col("seg_household"), lit(0L)).cast("double"),
+          coalesce(col("seg_machinery"), lit(0L)).cast("double"),
+          coalesce(col("acctbal_scaled"), lit(0.0)),
+          col("is_morning").cast("double"),
+          col("is_afternoon").cast("double"),
+          col("is_evening").cast("double"),
+          col("is_weekend").cast("double")).as("context_vector"))
+  }
+}

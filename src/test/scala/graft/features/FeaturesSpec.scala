@@ -1,0 +1,79 @@
+package graft.features
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-max scaled features land in [0,1] and one-hots are exclusive") {
+    val f = Features.customerFeatures(spark, sf()).cache()
+    val bounds = f.agg(min("acctbal_scaled"), max("acctbal_scaled"))
+      .as[(Double, Double)].collect()(0)
+    assert(bounds._1 == 0.0 && bounds._2 == 1.0)
+    val hotSum = f.selectExpr(
+      "seg_automobile + seg_building + seg_furniture + seg_household + seg_machinery AS s")
+      .agg(min("s"), max("s")).as[(Long, Long)].collect()(0)
+    assert(hotSum == ((1L, 1L)), "exactly one segment per row")
+  }
+
+  test("time-context one-hots partition the day") {
+    val bad = Features.timeContext(spark, sf())
+      .filter($"is_morning" + $"is_afternoon" + $"is_evening" =!= 1 ||
+        $"is_weekend" + $"is_weekday" =!= 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("text embedding is deterministic across partitionings and k-dim") {
+    val a = Features.textEmbedding(spark, sf(), k = 4)
+      .orderBy("doc_id").as[(Long, Array[Double])].collect()
+    assert(a.forall(_._2.length == 4))
+    val b = Features.textEmbedding(spark, sf(), k = 4)
+      .orderBy("doc_id").as[(Long, Array[Double])].collect()
+    assert(a.zip(b).forall { case ((i1, v1), (i2, v2)) =>
+      i1 == i2 && v1.sameElements(v2) })
+    // embeddings carry signal: not all-zero
+    assert(a.exists(_._2.exists(_ != 0.0)))
+  }
+
+  test("similar documents embed closer than dissimilar ones") {
+    // The corpus has planted near-dup pairs (Jaccard ≥ 0.9); their
+    // embeddings must be closer than a random pair's on average.
+    val emb = Features.textEmbedding(spark, sf("0.01"), k = 10)
+      .as[(Long, Array[Double])].collect().toMap
+    val dups = graft.operators.Dedup.jaccardPairs(spark, sf("0.01"), 0.9)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect()
+    assert(dups.nonEmpty)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val dupDist = dups.map { case (i, j) => dist(emb(i), emb(j)) }.sum / dups.length
+    val ids = emb.keys.toArray.sorted
+    val randDist = ids.take(50).zip(ids.takeRight(50)).map { case (i, j) =>
+      dist(emb(i), emb(j)) }.sum / 50
+    assert(dupDist < randDist / 2,
+      s"dup pairs mean dist $dupDist vs random $randDist")
+  }
+
+  test("media decode stub preserves row contract and parallelism") {
+    val media = Multimodal.mediaTable(spark, sf()).repartition(4)
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(f => f.byte_len > 0 && f.mean_byte > 0))
+    // checksum matches the registered fingerprint expression semantics
+    val one = Multimodal.mediaTable(spark, sf())
+      .filter($"media_id" === feats.head.media_id).collect()(0)
+    assert(feats.head.checksum == graft.functions.Fnv1a64.hash(one.payload))
+  }
+
+  test("frame sampling fans out ceil(n_frames/stride) rows per media") {
+    val counts = Multimodal.frameSample(spark, sf(), stride = 8)
+      .groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(Multimodal.mediaMeta(spark, sf()), "media_id")
+      .select($"n", ceil($"n_frames" / lit(8.0)).cast("long").as("want"))
+      .as[(Long, Long)].collect()
+    assert(counts.nonEmpty && counts.forall { case (n, want) => n == want })
+  }
+}
