@@ -74,6 +74,9 @@ object SparkEntry {
     "q37_media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q38_media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "q39_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // --- offline policy evaluation (A12) ---
+    "q40_policy_eval" -> ((s, d) => graft.ml.PolicyEval.evalSqlPolicies(s, d)),
+    "q41_policy_eval_linucb" -> ((s, d) => graft.ml.PolicyEval.evalLinUCB(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -391,5 +394,30 @@ object SparkEntry {
     "q39_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 8)) AS frame_no
         |FROM documents""".stripMargin,
+    "q40_policy_eval" ->
+      """WITH fb AS (
+        |  SELECT p_brand AS arm,
+        |    CASE WHEN l_quantity * 0.012 + l_discount * 4.0 > 0.5 THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 10007 AS DOUBLE) AS rnd_score
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pop AS (SELECT arm, ROUND(AVG(y), 6) AS pop_score FROM fb GROUP BY 1),
+        |popranked AS (
+        |  SELECT y, MIN(rnk) OVER (PARTITION BY s) AS mn, MAX(rnk) OVER (PARTITION BY s) AS mx
+        |  FROM (SELECT fb.y, pop_score AS s, ROW_NUMBER() OVER (ORDER BY pop_score) AS rnk
+        |        FROM fb JOIN pop USING (arm))),
+        |rndranked AS (
+        |  SELECT y, MIN(rnk) OVER (PARTITION BY s) AS mn, MAX(rnk) OVER (PARTITION BY s) AS mx
+        |  FROM (SELECT y, rnd_score AS s, ROW_NUMBER() OVER (ORDER BY rnd_score) AS rnk FROM fb))
+        |SELECT 'popularity' AS policy,
+        |  ROUND((SUM(CASE WHEN y = 1.0 THEN mn + mx END) / 2.0 - SUM(y) * (SUM(y) + 1.0) / 2.0)
+        |    / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc,
+        |  ROUND(SUM(y) / COUNT(*), 6) AS ctr, COUNT(*) AS n
+        |FROM popranked
+        |UNION ALL
+        |SELECT 'random' AS policy,
+        |  ROUND((SUM(CASE WHEN y = 1.0 THEN mn + mx END) / 2.0 - SUM(y) * (SUM(y) + 1.0) / 2.0)
+        |    / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc,
+        |  ROUND(SUM(y) / COUNT(*), 6) AS ctr, COUNT(*) AS n
+        |FROM rndranked""".stripMargin,
   )
 }

@@ -96,6 +96,19 @@ object LinUCB {
     override def outputEncoder: Encoder[Model] = Encoders.product[Model]
   }
 
+  /** [[SeedAggregator]] minus the inversion: emits the raw (A, b, n)
+    * buffer, which is what the streaming trainer's initial state wants
+    * (bootstrap-then-live, S18/T13). */
+  class RawAggregator(dim: Int) extends Aggregator[Feedback, Buf, Buf] {
+    private val inner = new SeedAggregator(dim)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, f: Feedback): Buf = inner.reduce(b, f)
+    override def merge(l: Buf, r: Buf): Buf = inner.merge(l, r)
+    override def finish(b: Buf): Buf = b
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
   /** Batch seed job: one shuffle on productId, map-side partial
     * aggregation, LU inversion once per arm at finalize. */
   def seed(feedback: Dataset[Feedback], dim: Int): Dataset[Model] = {
@@ -149,7 +162,10 @@ object LinUCB {
   /** Deterministic Feedback derivation from the driver testdata (stands
     * in for the reference's feedback-events topic, FIXTURES.md §6):
     * arm = p_brand, context = scaled lineitem numerics + bias, reward =
-    * "was returned". */
+    * a deterministic linear rule on the context — the engine-side
+    * analog of the reference's rule-based ground truth
+    * (`bandit_simulator.py:50-87`), which is what makes "a linear
+    * policy must beat random" a meaningful oracle. */
   def feedbackFromLineitem(spark: SparkSession, sfDir: String): Dataset[Feedback] = {
     import spark.implicits._
     graft.Tables.lineitem(spark, sfDir)
@@ -163,7 +179,8 @@ object LinUCB {
           col("l_extendedprice") / lit(100000.0),
           col("l_discount"),
           col("l_tax")).as("x"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("reward"))
+        when(col("l_quantity") * 0.012 + col("l_discount") * 4.0 > 0.5, 1.0)
+          .otherwise(0.0).as("reward"))
       .as[Feedback]
   }
 

@@ -1,0 +1,58 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.LinUCB.Model
+
+/** S19/S20: the model parameter store. The reference publishes per-arm
+  * models to Redis (`SET linucb:{pid}` JSON, idempotent —
+  * `recsys-trainer/.../RedisSinkWriter.kt:50-69`) and serves them back
+  * with one batched MGET (`recsys-engine/src/bandit_manager.py:109-132`).
+  *
+  * Engine mapping: a keyed parquet table written via `foreachBatch`
+  * upsert. Idempotence (Redis SET) carries over: re-writing a batch
+  * after a failure converges to the same table, which is what makes the
+  * at-least-once sink exactly-once-effective (T11 note at
+  * `RedisSink.kt:10-12`). Reads come back as a broadcast-sized
+  * dimension, the J5 stream-static join shape.
+  */
+class ModelStore(path: String) extends Serializable {
+
+  /** Upsert one micro-batch of models: latest version per arm wins.
+    * Versioning by (batchId, arm) keeps replayed batches idempotent. */
+  def upsert(batch: Dataset[Model], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val incoming = batch.toDF().withColumn("batch_id", lit(batchId))
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path)
+        // existing rows from this same batch id are a replay — replaced
+        existing.filter(col("batch_id") =!= batchId).unionByName(incoming)
+      } else incoming
+    val w = Window.partitionBy(col("productId")).orderBy(desc("batch_id"))
+    val latest = merged
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // tiny table (one row per arm): single-file rewrite is the local
+    // shape; a cluster deployment swaps this for a Delta/Iceberg MERGE
+    val tmp = path + ".tmp"
+    latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    new java.io.File(tmp).renameTo(target)
+  }
+
+  /** Serving-side read: the whole store (broadcast-sized, one row per
+    * arm) — the MGET analog. */
+  def read(spark: SparkSession): Dataset[Model] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("productId"), col("aInv"), col("b"), col("d"), col("n"))
+      .as[Model]
+  }
+
+  /** foreachBatch hook for a streaming trainer query. */
+  def sink: (Dataset[Model], Long) => Unit = (ds, id) => upsert(ds, id)
+}

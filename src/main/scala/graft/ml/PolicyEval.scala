@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A12: the offline policy benchmark (`recsys-engine/evaluate.py:62-108`)
+  * — AUC / CTR over competing policies — as Spark plans.
+  *
+  * AUC is the Mann-Whitney statistic with tie correction computed from
+  * INTEGER rank bounds: for each positive, its tied group contributes
+  * `(min_rank + max_rank)` (twice the average rank); every intermediate
+  * sum is integer-valued and exact in double (< 2^53), so the statistic
+  * is bit-identical under any partitioning and across engines —
+  * float-summed average ranks would not be. One global sort of the
+  * score column is required for exact ranks (the engine's only
+  * global-sort operator); the 100 TB variant would swap in an
+  * approximate quantile-bucketed AUC.
+  */
+object PolicyEval {
+
+  /** Tie-corrected AUC of `score` against binary `label`, plus CTR. */
+  def aucOf(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val ranked = df.select(score.as("s"), label.as("y"))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("s"))))
+      .withColumn("mn", min(col("rnk")).over(Window.partitionBy(col("s"))))
+      .withColumn("mx", max(col("rnk")).over(Window.partitionBy(col("s"))))
+    ranked.agg(
+      round(
+        (sum(when(col("y") === 1.0, col("mn") + col("mx"))) / 2.0 -
+          (sum(col("y")) * (sum(col("y")) + 1.0)) / 2.0) /
+          (sum(col("y")) * (count(lit(1)) - sum(col("y")))), 6).as("auc"),
+      round(sum(col("y")) / count(lit(1)), 6).as("ctr"),
+      count(lit(1)).as("n"))
+  }
+
+  /** The interaction log with engine-portable keys: arm = p_brand,
+    * label = "was returned", plus a deterministic pseudo-random score
+    * every engine can recompute (no hash builtin needed). */
+  private def interactions(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.lineitem(spark, sfDir)
+      .join(broadcast(graft.Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("p_brand").as("arm"),
+        when(col("l_quantity") * 0.012 + col("l_discount") * 4.0 > 0.5, 1.0)
+          .otherwise(0.0).as("y"),
+        pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(10007))
+          .cast("double").as("rnd_score"))
+
+  /** SQL-expressible policies: popularity (arm mean reward) and the
+    * pseudo-random baseline. Oracle-checked. */
+  def evalSqlPolicies(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = interactions(spark, sfDir)
+    val popularity = fb.join(
+      broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
+    val pop = aucOf(popularity, col("pop_score"), col("y"))
+      .select(lit("popularity").as("policy"), col("auc"), col("ctr"), col("n"))
+    val rnd = aucOf(fb, col("rnd_score"), col("y"))
+      .select(lit("random").as("policy"), col("auc"), col("ctr"), col("n"))
+    pop.unionByName(rnd)
+  }
+
+  /** LinUCB policy eval (rows-only: scoring needs A⁻¹): score each
+    * interaction's own (arm, context) with the seeded models, AUC over
+    * the pooled scores. The oracle is relative, exactly like the
+    * reference's (`evaluate.py` ranks policies; LinUCB must beat
+    * random) — asserted in spec. */
+  def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
+    val models = LinUCB.seed(fb, LinUCB.Dim)
+    val scoreUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
+      LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), 0.1))
+    val scored = fb.toDF()
+      .join(broadcast(models.select($"productId", $"aInv", $"b", $"d")), "productId")
+      .withColumn("s", round(scoreUdf(col("x"), col("aInv"), col("b"), col("d")), 9))
+    aucOf(scored, col("s"), col("reward"))
+      .select(lit("linucb").as("policy"), col("auc"), col("ctr"), col("n"))
+  }
+}

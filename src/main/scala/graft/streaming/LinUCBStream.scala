@@ -90,4 +90,30 @@ object LinUCBStream {
       .flatMapGroupsWithState[ArmState, Model](
         OutputMode.Update(), timeout)(updateArm(dim, emitEveryMs))
   }
+
+  /** S18/T13: bootstrap-then-live. Flink's HybridSource (bounded file →
+    * unbounded Kafka, `recsys-trainer/.../ParameterUpdateJob.kt:43-61`)
+    * has no Structured Streaming equivalent — SS cannot switch sources
+    * mid-query. The semantic redesign (SURVEY §7.3): run the batch seed
+    * over history, hand each arm's accumulated (A, b, n) to the stateful
+    * operator as INITIAL STATE, then stream live events into it. The
+    * update algebra is identical on both sides, so
+    * seed(history) ⊕ stream(live) ≡ seed(history ++ live) — asserted by
+    * spec. */
+  def trainWithBootstrap(history: Dataset[Feedback], live: Dataset[Feedback],
+                         dim: Int, emitEveryMs: Long = 5000L): Dataset[Model] = {
+    import live.sparkSession.implicits._
+    val timeout =
+      if (emitEveryMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val initial = history.groupByKey(_.productId)
+      .agg(new graft.ml.LinUCB.RawAggregator(dim).toColumn.name("buf"))
+      .map { case (pid, buf) =>
+        (pid, ArmState.fromModelBuf(dim, buf.a, buf.b, buf.n))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    live.groupByKey(_.productId)
+      .flatMapGroupsWithState[ArmState, Model](
+        OutputMode.Update(), timeout, initial)(updateArm(dim, emitEveryMs))
+  }
 }
