@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** File sources (SURVEY §2.1 S1/S17).
+  *
+  * The reference reads CSVs two ways: a plain DictReader scan
+  * (`cdc-local/src/utils.py:113-119`) and a hand-rolled Flink
+  * FileSource format that skips the header and silently drops
+  * malformed lines (`recsys-trainer/.../FileSourceFactory.kt:30-107`).
+  * Spark's csv reader covers both: explicit schema (never inferred),
+  * `header=true`, `mode=DROPMALFORMED`. The same reader binds to
+  * `readStream` for the streaming analog (bounded directory → file
+  * stream).
+  */
+object Sources {
+
+  /** Wire schema of the order stream in CSV form (the reference's
+    * training-log pattern: typed columns, header row, bad lines
+    * dropped). */
+  val orderCsvSchema: StructType = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("bid_time", StringType),
+    StructField("price", DoubleType),
+    StructField("item", StringType),
+    StructField("supplier", StringType)))
+
+  def csvOrders(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(orderCsvSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** Streaming variant over a directory (file-arrival micro-batches). */
+  def csvOrdersStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(orderCsvSchema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .csv(dir)
+}
