@@ -23,6 +23,10 @@ package object functions {
   /** Sign-random-projection LSH bucket of an `array<float>`. */
   def srpBucket(c: Column, planes: Int): Column = wrap(SrpBucket(ex(c), planes))
 
+  /** Distinct word n-gram shingles of a string column (null if < n
+    * tokens). */
+  def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
+
   /** Register SQL-callable names for the custom expressions. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -25,17 +25,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("keep_id"), col("dup_cnt"))
 
-  /** 3-gram word shingles, distinct, per document. Shared by the Jaccard
-    * join, MinHash, and SimHash paths. Repartitioned up front
-    * ([[Similarity.spread]]) so the signature/join work parallelizes
-    * even when the local input is a single small file. */
+  /** 3-gram word shingles, distinct, per document — the native
+    * [[graft.functions.WordShingles]] expression (one tokenize pass per
+    * row; bit-identical to the declarative
+    * `array_distinct(transform(...slice...))` form, spec-checked).
+    * Repartitioned up front ([[Similarity.spread]]) so the
+    * signature/join work parallelizes even when the local input is a
+    * single small file. */
   def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.spread(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))"))
-        .as("shingles"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("text"), 3).as("shingles"))
+      .filter(col("shingles").isNotNull)
 
   /** Exact n-gram Jaccard similarity join via inverted index: explode
     * shingles → self-join on shingle → per-pair intersection count →

@@ -90,6 +90,9 @@ object SupplierStatsStream {
       .option("kafka.batch.size", "65536")
       .option("kafka.linger.ms", "100")
       .option("checkpointLocation", checkpoint)
+      // the reference's 5 s cadence (REFRESH_SECONDS, api.py:12-16; the
+      // T12 polling micro-batch analog)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
       .outputMode(OutputMode.Append)
 
   // --- Late-data side-output emulation (T6) ---

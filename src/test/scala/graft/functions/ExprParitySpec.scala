@@ -60,6 +60,18 @@ class ExprParitySpec extends SparkSpec {
     assert(both.filter($"fast" =!= $"slow").count() == 0)
   }
 
+  test("wordShingles == array_distinct(transform(slice(concat_ws)))") {
+    val both = spark.read.parquet(sf() + "/documents.parquet")
+      .select(wordShingles(col("text"), 3).as("fast"),
+        expr("array_distinct(transform(sequence(0, size(split(text, ' '))-3), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i+1, 3))))").as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+    // sub-n-token input → null, not empty array
+    val tiny = Seq("a b").toDF("text")
+      .select(wordShingles($"text", 3).as("s")).collect()(0)
+    assert(tiny.isNullAt(0))
+  }
+
   test("fnv1a64 matches known FNV-1a test vectors and codegen == eval") {
     // Public FNV-1a 64 vectors: fnv1a64("") = offset basis,
     // fnv1a64("a") = 0xaf63dc4c8601ec8c.

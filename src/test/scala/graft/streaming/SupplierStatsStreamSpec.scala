@@ -62,6 +62,32 @@ class SupplierStatsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update mode re-emits a window when in-grace data arrives late (T5)") {
+    // Flink's allowed-lateness "update the already-emitted window"
+    // behavior maps to OutputMode.Update: the window's row appears
+    // again with refreshed totals when a late-but-in-watermark record
+    // lands (SURVEY §2.9 T5 divergence note: firing timing differs,
+    // final totals agree).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = SupplierStatsStream.stats(
+      SupplierStatsStream.parseOrders(mem.toDF().select(col("value"))))
+      .writeStream.format("memory").queryName("stats_upd")
+      .outputMode("update").start()
+    try {
+      mem.addData(orderJson("u1", "2024-01-01 00:00:01", 10.00, "Alice"))
+      q.processAllAvailable()
+      // within watermark (delay 5 s): same window updates
+      mem.addData(orderJson("u2", "2024-01-01 00:00:02", 5.00, "Alice"))
+      q.processAllAvailable()
+      val emits = spark.table("stats_upd")
+        .filter($"window_start" === "2024-01-01 00:00:00" && $"supplier" === "Alice")
+        .select($"total_price", $"cnt").as[(Double, Long)].collect().toSeq
+      assert(emits.contains((10.0, 1L)) && emits.contains((15.0, 2L)),
+        s"got $emits")
+    } finally q.stop()
+  }
+
   test("unparseable bid_time falls back, missing fields get defaults") {
     val df = SupplierStatsStream.parseOrders(
       Seq("""{"order_id":"x","bid_time":"not a time","item":"i"}""")
