@@ -77,6 +77,9 @@ object SparkEntry {
     // --- offline policy evaluation (A12) ---
     "q40_policy_eval" -> ((s, d) => graft.ml.PolicyEval.evalSqlPolicies(s, d)),
     "q41_policy_eval_linucb" -> ((s, d) => graft.ml.PolicyEval.evalLinUCB(s, d)),
+    // --- sliding window (T12 snapshot semantics) + media resize ---
+    "q42_sliding_window" -> ((s, d) => SupplierStats.slidingEvents(s, d)),
+    "q43_resize_meta" -> ((s, d) => Multimodal.resizeMeta(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -419,5 +422,31 @@ object SparkEntry {
         |    / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc,
         |  ROUND(SUM(y) / COUNT(*), 6) AS ctr, COUNT(*) AS n
         |FROM rndranked""".stripMargin,
+    "q42_sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT event_type, value,
+        |    unnest([epoch_us(ts) // 1000000 // 300 * 300,
+        |            epoch_us(ts) // 1000000 // 300 * 300 - 300]) AS win_start
+        |  FROM events)
+        |SELECT strftime(make_timestamp(win_start * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type AS supplier,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+        |  COUNT(*) AS cnt
+        |FROM assigned GROUP BY 1, 2""".stripMargin,
+    "q43_resize_meta" ->
+      """SELECT doc_id AS media_id,
+        |  doc_id % 8 * 160 + 320 AS src_w,
+        |  doc_id % 8 * 90 + 180 AS src_h,
+        |  CASE WHEN doc_id % 8 * 160 + 320 <= 640 AND doc_id % 8 * 90 + 180 <= 360
+        |         THEN doc_id % 8 * 160 + 320
+        |       WHEN (doc_id % 8 * 160 + 320) * 360 <= (doc_id % 8 * 90 + 180) * 640
+        |         THEN (doc_id % 8 * 160 + 320) * 360 // (doc_id % 8 * 90 + 180)
+        |       ELSE 640 END AS out_w,
+        |  CASE WHEN doc_id % 8 * 160 + 320 <= 640 AND doc_id % 8 * 90 + 180 <= 360
+        |         THEN doc_id % 8 * 90 + 180
+        |       WHEN (doc_id % 8 * 160 + 320) * 360 <= (doc_id % 8 * 90 + 180) * 640
+        |         THEN 360
+        |       ELSE (doc_id % 8 * 90 + 180) * 640 // (doc_id % 8 * 160 + 320) END AS out_h
+        |FROM documents""".stripMargin,
   )
 }

@@ -90,6 +90,29 @@ object Multimodal {
   def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     decodeStub(mediaTable(spark, sfDir)).toDF()
 
+  /** Resize stage: recompute target dimensions (fit inside maxW×maxH,
+    * aspect preserved, integer arithmetic) and pass the payload through
+    * untouched — where a real pipeline would transcode, the ??? marker
+    * in [[decodeStub]] applies equally. The metadata math is real and
+    * oracle-checkable. */
+  def resizeMeta(spark: SparkSession, sfDir: String,
+                 maxW: Int = 640, maxH: Int = 360): DataFrame = {
+    val m = mediaTable(spark, sfDir).toDF()
+    // scale = min(maxW/w, maxH/h, 1) as exact rational arithmetic:
+    // out_w = floor(w * min-scale) via integer compare of cross products
+    val fitW = col("width") * maxH <= col("height") * maxW // height binds?
+    m.select(
+      col("media_id"),
+      col("width").cast("long").as("src_w"),
+      col("height").cast("long").as("src_h"),
+      when(col("width") <= maxW && col("height") <= maxH, col("width").cast("long"))
+        .when(fitW, expr(s"CAST(width AS BIGINT) * $maxH div height"))
+        .otherwise(maxW.toLong).as("out_w"),
+      when(col("width") <= maxW && col("height") <= maxH, col("height").cast("long"))
+        .when(fitW, lit(maxH.toLong))
+        .otherwise(expr(s"CAST(height AS BIGINT) * $maxW div width")).as("out_h"))
+  }
+
   /** Frame sampling: fan one video row out to ceil(n_frames/stride)
     * frame rows — generator fan-out (`explode(sequence(...))`), the
     * UDTF analog (SURVEY §2.10), oracle-checkable. */

@@ -56,6 +56,24 @@ object SupplierStats {
   def tumbleEvents(spark: SparkSession, sfDir: String, width: String = "5 seconds"): DataFrame =
     tumble(Tables.events(spark, sfDir), col("ts"), col("event_type"), col("value"), width)
 
+  /** T12 as a first-class window shape: the reference's dashboard
+    * re-queries a 5-minute lookback every refresh — an overlapping
+    * sliding snapshot. Spark expresses it directly:
+    * `window(ts, width, slide)` assigns each event to width/slide
+    * overlapping windows (here 10 min / 5 min → 2). Same agg core as
+    * the tumbling flagship. */
+  def slidingEvents(spark: SparkSession, sfDir: String,
+                    width: String = "10 minutes", slide: String = "5 minutes"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(window(col("ts"), width, slide).as("w"), col("event_type").as("supplier"))
+      .agg(
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("total_price"),
+        count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("supplier"), col("total_price"), col("cnt"))
+  }
+
   // --- Late-record semantics (T6) ---
   // The reference computes, per record: windowEnd = ((ts/size)+1)*size and
   // flags the record late iff streamTime > windowEnd + grace, where
