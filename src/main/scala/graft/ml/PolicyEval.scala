@@ -19,19 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object PolicyEval {
 
-  /** Tie-corrected AUC of `score` against binary `label`, plus CTR. */
+  /** Tie-corrected AUC of `score` against binary `label`, plus CTR.
+    *
+    * Ranks are derived from a distributed group-by on the score (one
+    * shuffle), then a cumulative count over DISTINCT scores — so the
+    * only ordered pass touches |distinct scores| rows, not |rows|. A
+    * tie group spanning ranks [c-cnt+1, c] contributes
+    * `pos · (mn + mx)` with `mn+mx = 2c - cnt + 1` — integers
+    * throughout, so the statistic is exact and partitioning-independent.
+    */
   def aucOf(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val ranked = df.select(score.as("s"), label.as("y"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("s"))))
-      .withColumn("mn", min(col("rnk")).over(Window.partitionBy(col("s"))))
-      .withColumn("mx", max(col("rnk")).over(Window.partitionBy(col("s"))))
-    ranked.agg(
+    val grouped = df.select(score.as("s"), label.as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = grouped.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.agg(
       round(
-        (sum(when(col("y") === 1.0, col("mn") + col("mx"))) / 2.0 -
-          (sum(col("y")) * (sum(col("y")) + 1.0)) / 2.0) /
-          (sum(col("y")) * (count(lit(1)) - sum(col("y")))), 6).as("auc"),
-      round(sum(col("y")) / count(lit(1)), 6).as("ctr"),
-      count(lit(1)).as("n"))
+        (sum(col("pos") * (lit(2) * col("c") - col("cnt") + 1)) / 2.0 -
+          (sum(col("pos")) * (sum(col("pos")) + 1.0)) / 2.0) /
+          (sum(col("pos")) * (sum(col("cnt")) - sum(col("pos")))), 6).as("auc"),
+      round(sum(col("pos")) / sum(col("cnt")), 6).as("ctr"),
+      sum(col("cnt")).as("n"))
   }
 
   /** The interaction log with engine-portable keys: arm = p_brand,
