@@ -80,6 +80,8 @@ object SparkEntry {
     // --- sliding window (T12 snapshot semantics) + media resize ---
     "q42_sliding_window" -> ((s, d) => SupplierStats.slidingEvents(s, d)),
     "q43_resize_meta" -> ((s, d) => Multimodal.resizeMeta(s, d)),
+    // rows-only: k-means cell means are float-order sensitive
+    "q44_ann_ivf" -> ((s, d) => Ivf.topK(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to [[Similarity.lshTopK]]: a coarse k-means quantizer
+  * partitions the corpus into cells; a query probes only its `nProbe`
+  * nearest cells, so the scored candidate set is |corpus|·nProbe/k
+  * instead of |corpus|.
+  *
+  * Everything is DataFrame ops: assignment is a broadcast of the k×d
+  * centroid matrix (tiny) + argmin distance per row; centroid updates
+  * are `posexplode` → per-(cluster, dim) mean → collect k×d back
+  * (bounded by k·d, not corpus). Deterministic init (first k vectors
+  * by id) keeps runs comparable; float-mean drift across partitionings
+  * is possible in principle (documented) which is why correctness is
+  * asserted via the probe-all ≡ brute-force invariant and recall
+  * bounds, not bitwise equality.
+  */
+object Ivf {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+
+  private def assignExpr(centroids: Array[Array[Double]]) = {
+    // nearest centroid by squared L2; ties → lowest cluster id
+    udf((emb: Seq[Float]) => {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length && i < emb.length) {
+          val diff = emb(i) - ctr(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+  }
+
+  private def nearestClusters(centroids: Array[Array[Double]], nProbe: Int) =
+    udf((emb: Seq[Float]) => {
+      centroids.indices.map { c =>
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length && i < emb.length) {
+          val diff = emb(i) - ctr(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }.sorted.take(nProbe).map(_._2)
+    })
+
+  /** Lloyd iterations; returns the centroid matrix. */
+  def fitCentroids(spark: SparkSession, sfDir: String, k: Int,
+                   iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding")).cache()
+    // deterministic init: the k lowest vec_ids
+    var centroids = e.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val assigned = e.withColumn("cluster", assignExpr(centroids)(col("embedding")))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cluster").agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
+        .as[(Int, Seq[(Int, Double)])].collect()
+      val next = centroids.clone()
+      means.foreach { case (c, dm) =>
+        val arr = new Array[Double](dm.length)
+        dm.foreach { case (d, m) => arr(d) = m }
+        next(c) = arr
+      }
+      centroids = next
+      it += 1
+    }
+    e.unpersist()
+    centroids
+  }
+
+  /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
+    * to exact brute force (spec-asserted invariant). */
+  def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,
+           kClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = fitCentroids(spark, sfDir, kClusters, iters)
+    val e = withNorm(Similarity.spread(Tables.embeddings(spark, sfDir)))
+      .withColumn("cluster", assignExpr(centroids)(col("embedding")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"))
+      .withColumn("probe", explode(nearestClusters(centroids, nProbe)(col("qemb"))))
+    val scored = e.join(broadcast(q),
+        col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(
+        Similarity.dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("cos_sim"))
+  }
+}
