@@ -50,6 +50,48 @@ class PolicyAndStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timer-coalesced emission: events buffer, timeout fires, clean state stays silent") {
+    // Deterministic unit drive of the state function via TestGroupState —
+    // wall-clock timers in a live query would make this flaky.
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.LinUCBStream.{updateArm, ArmState}
+    import org.apache.spark.api.java.Optional
+
+    // 1. events arrive → state accumulates, NOTHING emitted (coalesced)
+    val s1 = TestGroupState.create[ArmState](
+      optionalState = Optional.empty[ArmState](), timeoutConf = org.apache.spark.sql.streaming
+        .GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val out1 = updateArm(2, 5000L)("t1",
+      Iterator(Feedback("t1", Array(1.0, 0.3), 1.0)), s1).toSeq
+    assert(out1.isEmpty, "events alone must not emit")
+    assert(s1.get.dirty && s1.get.n == 1L)
+
+    // 2. timer fires on a dirty arm → exactly one model, state cleaned
+    val s2 = TestGroupState.create[ArmState](
+      optionalState = Optional.of(s1.get), timeoutConf = org.apache.spark.sql
+        .streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 7000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out2 = updateArm(2, 5000L)("t1", Iterator.empty, s2).toSeq
+    assert(out2.size == 1 && out2.head.productId == "t1" && out2.head.n == 1L)
+    assert(!s2.get.dirty)
+    // emitted A⁻¹ equals the batch-seed inverse for the same single event
+    val seeded = LinUCB.seed(Seq(Feedback("t1", Array(1.0, 0.3), 1.0)).toDS(), 2)
+      .collect()(0)
+    assert(out2.head.aInv.zip(seeded.aInv).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    // 3. timer fires again with no new data → silent (dirty=false)
+    val s3 = TestGroupState.create[ArmState](
+      optionalState = Optional.of(s2.get), timeoutConf = org.apache.spark.sql
+        .streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 13000L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = true)
+    val out3 = updateArm(2, 5000L)("t1", Iterator.empty, s3).toSeq
+    assert(out3.isEmpty, "clean arm must not re-emit")
+  }
+
   test("model store upsert is idempotent and keeps latest per arm") {
     val dir = java.nio.file.Files.createTempDirectory("modelstore").toFile
     val path = new java.io.File(dir, "models.parquet").getAbsolutePath
