@@ -82,6 +82,7 @@ object SparkEntry {
     "q43_resize_meta" -> ((s, d) => Multimodal.resizeMeta(s, d)),
     // rows-only: k-means cell means are float-order sensitive
     "q44_ann_ivf" -> ((s, d) => Ivf.topK(s, d)),
+    "q45_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -450,5 +451,16 @@ object SparkEntry {
         |         THEN 360
         |       ELSE (doc_id % 8 * 90 + 180) * 640 // (doc_id % 8 * 160 + 320) END AS out_h
         |FROM documents""".stripMargin,
+    "q45_revenue_rollup" ->
+      s"""SELECT r_name AS region, n_name AS nation, ${revSum("revenue")},
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
   )
 }

@@ -163,6 +163,23 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("seq"))
   }
 
+  /** Hierarchical rollup: revenue at (region, nation), (region), and
+    * grand-total levels in one pass — `ROLLUP` is one shuffle with
+    * partial aggregation per grouping set, vs three separate scans.
+    * Beyond the reference's surface (it has no grouping sets —
+    * SURVEY §2.4) but free capability via Catalyst. */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    dashboardBase(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        round(moneySum4(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // --- TPC-H-shaped headline queries (bench anchors; exercise the same
   // operator classes at full fact-table scale). ---
 
