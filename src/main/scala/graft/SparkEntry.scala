@@ -83,6 +83,9 @@ object SparkEntry {
     // rows-only: k-means cell means are float-order sensitive
     "q44_ann_ivf" -> ((s, d) => Ivf.topK(s, d)),
     "q45_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
+    "q46_cdc_changelog" -> ((s, d) => Cdc.lineitemChangelogSummary(s, d)),
+    "q47_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q48_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -462,5 +465,41 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q46_cdc_changelog" ->
+      """WITH env AS (
+        |  SELECT CASE WHEN (l_orderkey + l_linenumber) % 20 < 16 THEN 'c'
+        |              WHEN (l_orderkey + l_linenumber) % 20 < 19 THEN 'u'
+        |              ELSE 'd' END AS op,
+        |    CASE WHEN (l_orderkey + l_linenumber) % 20 >= 19 THEN NULL
+        |         ELSE l_partkey END AS part_id,
+        |    l_orderkey * 10 + l_linenumber AS lsn
+        |  FROM lineitem)
+        |SELECT op, COUNT(*) AS n, COUNT(part_id) AS n_with_payload,
+        |  MAX(lsn) AS max_lsn
+        |FROM env GROUP BY op""".stripMargin,
+    "q47_sessionize" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM t),
+        |s AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM b)
+        |SELECT event_id, user_id, session_no,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, session_no ORDER BY ts_us, event_id) AS seq_in_session
+        |FROM s""".stripMargin,
+    "q48_value_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+        |  ROUND(MAX(value), 6) AS p100
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

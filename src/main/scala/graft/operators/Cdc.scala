@@ -55,4 +55,55 @@ object Cdc {
         col("payload.order_id"), col("payload.order_status"),
         col("payload.total_price"), col("payload.order_date"),
         col("payload.op"), col("payload.table").as("src_table"))
+
+  // --- order_items (lineitem) stream with op codes + delete rewrite ---
+  // The reference captures TWO tables (`ecommerce.orders`,
+  // `ecommerce.order_items`) and configures delete rewrite: a delete
+  // arrives as a row with the payload nulled except the key, plus
+  // `__deleted = "true"` (`application.properties:22-26`). Op codes are
+  // synthesized deterministically from the key so the envelope stream is
+  // reproducible: create / update / delete ≈ 80/15/5.
+
+  val lineitemEnvelopeSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("line_no", IntegerType),
+    StructField("part_id", LongType),
+    StructField("quantity", DoubleType),
+    StructField("price", DoubleType),
+    StructField("op", StringType),
+    StructField("__deleted", StringType),
+    StructField("table", StringType),
+    StructField("lsn", LongType)))
+
+  def lineitemEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = when(pmod(col("l_orderkey") + col("l_linenumber"), lit(20)) < 16, "c")
+      .when(pmod(col("l_orderkey") + col("l_linenumber"), lit(20)) < 19, "u")
+      .otherwise("d")
+    Tables.lineitem(spark, sfDir).select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("key"),
+      to_json(struct(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        // delete rewrite: payload nulled except the key columns
+        when(op === "d", lit(null).cast("long")).otherwise(col("l_partkey")).as("part_id"),
+        when(op === "d", lit(null).cast("double")).otherwise(col("l_quantity")).as("quantity"),
+        when(op === "d", lit(null).cast("double")).otherwise(col("l_extendedprice")).as("price"),
+        op.as("op"),
+        when(op === "d", "true").otherwise("false").as("__deleted"),
+        lit("order_items").as("table"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lsn"))).as("value"))
+  }
+
+  /** Unwrap + downstream consumption pattern: drop deletes, keep the
+    * latest image per key by lsn (the materialize-a-table-from-a-
+    * changelog shape), count ops for observability. */
+  def lineitemChangelogSummary(spark: SparkSession, sfDir: String): DataFrame =
+    lineitemEnvelope(spark, sfDir)
+      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("op"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("part_id")).as("n_with_payload"),
+        max(col("lsn")).as("max_lsn"))
 }

@@ -163,6 +163,39 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("seq"))
   }
 
+  /** Clickstream sessionization: a session break is a >30 min gap per
+    * user; session ids are the running count of breaks. The reference
+    * generates per-session `sequence_number`s imperatively
+    * (`models.py:346-376`); this is the engine-side inverse — recover
+    * sessions from the flat event stream. Partitioned window: one
+    * shuffle on user_id, no global sort. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000 // 30 min
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("is_break")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_no"),
+        row_number().over(
+          Window.partitionBy(col("user_id"), col("session_no"))
+            .orderBy(col("ts_us"), col("event_id"))).cast("long").as("seq_in_session"))
+  }
+
+  /** Exact percentiles of the event value per type — the quantile face
+    * of the KPI row. */
+  def valuePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(max(col("value")), 6).as("p100"))
+
   /** Hierarchical rollup: revenue at (region, nation), (region), and
     * grand-total levels in one pass — `ROLLUP` is one shuffle with
     * partial aggregation per grouping set, vs three separate scans.
