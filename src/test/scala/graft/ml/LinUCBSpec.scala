@@ -93,6 +93,20 @@ class LinUCBSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("columnar seed path equals the typed Aggregator path") {
+    val agg = seed(feedbackFromLineitem(spark, sf()), Dim)
+      .collect().map(m => m.productId -> m).toMap
+    val col = seedColumnar(spark, sf())
+      .collect().map(m => m.productId -> m).toMap
+    assert(agg.keySet == col.keySet)
+    agg.foreach { case (pid, am) =>
+      val cm = col(pid)
+      assert(cm.n == am.n)
+      assert(cm.aInv.zip(am.aInv).forall { case (x, y) => math.abs(x - y) < 1e-9 }, pid)
+      assert(cm.b.zip(am.b).forall { case (x, y) => math.abs(x - y) < 1e-9 }, pid)
+    }
+  }
+
   test("seed + topK run on the driver testdata and rank deterministically") {
     val out = LinUCB.topKQuery(spark, sf())
     val rows = out.collect()
