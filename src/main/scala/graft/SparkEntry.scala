@@ -86,6 +86,7 @@ object SparkEntry {
     "q46_cdc_changelog" -> ((s, d) => Cdc.lineitemChangelogSummary(s, d)),
     "q47_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q48_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
+    "q49_weighted_pick" -> ((s, d) => ScalarFuncs.weightedPickAgg(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -501,5 +502,16 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
         |  ROUND(MAX(value), 6) AS p100
         |FROM events GROUP BY event_type""".stripMargin,
+    "q49_weighted_pick" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |    CAST((event_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |  FROM events)
+        |SELECT CASE WHEN u < 0.5 THEN 'Organic'
+        |            WHEN u < 0.8 THEN 'Search'
+        |            WHEN u < 0.95 THEN 'Email'
+        |            ELSE 'Display' END AS src,
+        |  COUNT(*) AS n
+        |FROM u GROUP BY 1""".stripMargin,
   )
 }

@@ -55,6 +55,35 @@ object ScalarFuncs {
       // the hash compare
       round(sigmoid(col("value") / lit(100.0)), 6).as("sigmoid_score"))
 
+  /** A11: weighted categorical sampling as a deterministic column
+    * computation — the reference draws with `random.choices(pop,
+    * weights)` (`models.py:45-53`); the engine derives a uniform in
+    * [0,1) from a hash of the row key and walks the cumulative-weight
+    * ladder. Deterministic ⇒ oracle-checkable, and at scale it is a
+    * pure map (no RNG state, no driver coordination). */
+  def weightedPick(key: Column, choices: Seq[(String, Double)]): Column = {
+    val total = choices.map(_._2).sum
+    // uniform from a Knuth multiplicative hash of the numeric key —
+    // engine-portable (exact BIGINT arithmetic), unlike xxhash64
+    val u = pmod(key.cast("long") * lit(2654435761L), lit(1048576L))
+      .cast("double") / lit(1048576.0)
+    val cum = choices.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    choices.zip(cum).init.foldRight(lit(choices.last._1)) {
+      case (((name, _), bound), elseCol) => when(u < bound, name).otherwise(elseCol)
+    }
+  }
+
+  /** A11 over events: deterministic traffic-source assignment with the
+    * reference's weights (`models.py:100-137` style), aggregated so the
+    * draw distribution itself is the checked result. */
+  def weightedPickAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        weightedPick(col("event_id"),
+          Seq("Organic" -> 0.5, "Search" -> 0.3, "Email" -> 0.15, "Display" -> 0.05))
+          .as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+
   /** F10: JSON field extraction from the `props` payload column —
     * the engine-side shape of consuming loosely-typed event payloads
     * (`ps_sub.py:10-12`). */
