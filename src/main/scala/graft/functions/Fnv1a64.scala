@@ -28,16 +28,22 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     Fnv1a64.hash(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: two fnv1a64 calls can land in one codegen method —
+      // fixed local names would collide and break whole-stage codegen
+      val bytes = ctx.freshName("fnvBytes")
+      val h = ctx.freshName("fnvH")
+      val i = ctx.freshName("fnvI")
       s"""
-         |byte[] graftFnvBytes = $c.getBytes();
-         |long graftFnvH = ${Fnv1a64.OffsetBasis}L;
-         |for (int graftFnvI = 0; graftFnvI < graftFnvBytes.length; graftFnvI++) {
-         |  graftFnvH ^= (long)(graftFnvBytes[graftFnvI] & 0xff);
-         |  graftFnvH *= ${Fnv1a64.Prime}L;
+         |byte[] $bytes = $c.getBytes();
+         |long $h = ${Fnv1a64.OffsetBasis}L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= (long)($bytes[$i] & 0xff);
+         |  $h *= ${Fnv1a64.Prime}L;
          |}
-         |${ev.value} = graftFnvH;
-       """.stripMargin)
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
     copy(child = newChild)

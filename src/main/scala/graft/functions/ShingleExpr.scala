@@ -26,6 +26,11 @@ case class WordShingles(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // produces null for sub-n-token inputs regardless of child
+  // nullability — without this override Catalyst would fold away the
+  // IsNotNull guards callers rely on
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(

@@ -27,13 +27,29 @@ package object functions {
     * tokens). */
   def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
 
-  /** Register SQL-callable names for the custom expressions. */
+  /** Register SQL-callable names for ALL custom expressions. The
+    * int-parameterized ones take a foldable literal second argument
+    * (e.g. `minhash_sig(shingles, 64)`). */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"expected an integer literal argument, got $other")
+      }
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head, intArg(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "srp_bucket", exprs => SrpBucket(exprs.head, intArg(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head, intArg(exprs(1))), "scala_udf")
   }
 }

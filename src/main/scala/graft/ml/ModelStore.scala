@@ -35,13 +35,24 @@ class ModelStore(path: String) extends Serializable {
     val w = Window.partitionBy(col("productId")).orderBy(desc("batch_id"))
     val latest = merged
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    // tiny table (one row per arm): single-file rewrite is the local
-    // shape; a cluster deployment swaps this for a Delta/Iceberg MERGE
-    val tmp = path + ".tmp"
-    latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Tiny table (one row per arm): single-file rewrite is the local
+    // shape; a cluster deployment swaps this for a Delta/Iceberg MERGE.
+    // Swap order keeps a recoverable copy at every step (single-writer
+    // assumed — the streaming query's foreachBatch serializes calls):
+    // write .tmp → move current to .bak → move .tmp in → drop .bak.
+    // A crash can strand a .bak but never lose the only copy.
+    val tmp = new java.io.File(path + ".tmp")
+    val bak = new java.io.File(path + ".bak")
     val target = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteQuietly(target)
-    new java.io.File(tmp).renameTo(target)
+    latest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
+    if (target.exists() && !target.renameTo(bak))
+      throw new java.io.IOException(s"model store swap: cannot move $target aside")
+    if (!tmp.renameTo(target)) {
+      bak.renameTo(target) // restore; same filesystem, best effort
+      throw new java.io.IOException(s"model store swap: cannot publish $tmp")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(bak)
   }
 
   /** Serving-side read: the whole store (broadcast-sized, one row per

@@ -113,11 +113,13 @@ object SupplierStats {
   /** P5 + T7: the branch/split — two outputs from one tagged frame, late
     * branch enriched with `late=true` exactly like the reference's skipped
     * topic (`DataStreamApp.kt:112-129`). Here summarized per branch so the
-    * fork is oracle-checkable as a single result set. */
-  def branchCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val tagged = tagLate(spark, sfDir)
-    val valid = tagged.filter(!col("late")).agg(count(lit(1)).as("n")).select(lit("valid").as("branch"), col("n"))
-    val late = tagged.filter(col("late")).agg(count(lit(1)).as("n")).select(lit("late").as("branch"), col("n"))
-    valid.unionByName(late)
-  }
+    * fork is oracle-checkable as a single result set. One conditional
+    * aggregation pass, then unpivoted — two filtered branches would
+    * recompute the running-max window (a global sort) once each. */
+  def branchCounts(spark: SparkSession, sfDir: String): DataFrame =
+    tagLate(spark, sfDir)
+      .agg(
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .selectExpr("stack(2, 'valid', n_valid, 'late', n_late) AS (branch, n)")
 }

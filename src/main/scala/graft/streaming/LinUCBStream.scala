@@ -21,20 +21,22 @@ import graft.ml.LinUCB.{invertRowMajor, outerAccum, Feedback, Model}
   */
 object LinUCBStream {
 
-  /** Keyed training state: A (d×d row-major, starts at I), b, count. */
+  /** Keyed training state: A (d×d row-major, starts at I), b, count,
+    * plus the arm's absolute next-emission deadline (processing-time
+    * ms; 0 = not yet scheduled). */
   case class ArmState(d: Int, a: Array[Double], b: Array[Double], n: Long,
-                      dirty: Boolean)
+                      dirty: Boolean, nextEmitMs: Long)
 
   object ArmState {
     def zero(d: Int): ArmState = {
       val a = new Array[Double](d * d)
       var i = 0
       while (i < d) { a(i * d + i) = 1.0; i += 1 }
-      ArmState(d, a, new Array[Double](d), 0L, dirty = false)
+      ArmState(d, a, new Array[Double](d), 0L, dirty = false, nextEmitMs = 0L)
     }
 
     def fromModelBuf(d: Int, a: Array[Double], b: Array[Double], n: Long): ArmState =
-      ArmState(d, a.clone(), b.clone(), n, dirty = false)
+      ArmState(d, a.clone(), b.clone(), n, dirty = false, nextEmitMs = 0L)
   }
 
   /** The per-group state function. Emission policy mirrors the
@@ -42,18 +44,29 @@ object LinUCBStream {
     * once per `emitEveryMs` per arm (`LinUCBUpdater.kt:40,94-99`), and
     * only if the arm saw new data (`dirty`). With `emitEveryMs <= 0` it
     * emits on every invocation — the deterministic mode batch-vs-stream
-    * tests use (timers depend on wall clock). */
+    * tests use (timers depend on wall clock).
+    *
+    * Deadline discipline: Spark clears a group's registered timeout on
+    * every invocation that carries data, so naively re-arming with
+    * `setTimeoutDuration(emitEveryMs)` would SLIDE the deadline forever
+    * for an arm receiving events in every micro-batch — it would never
+    * emit. The state therefore carries the absolute `nextEmitMs`
+    * deadline: data invocations re-arm the timeout to whatever remains
+    * of the ORIGINAL deadline (and emit inline if it already passed,
+    * covering the timers-lag-under-load case too). */
   def updateArm(dim: Int, emitEveryMs: Long)(
       productId: String, events: Iterator[Feedback],
       state: GroupState[ArmState]): Iterator[Model] = {
 
+    def emit(s: ArmState): Model =
+      Model(productId, invertRowMajor(s.a, s.d), s.b.clone(), s.d, s.n)
+
     if (state.hasTimedOut) {
       val s = state.get
+      val now = state.getCurrentProcessingTimeMs()
       state.setTimeoutDuration(emitEveryMs)
-      if (s.dirty) {
-        state.update(s.copy(dirty = false))
-        Iterator.single(Model(productId, invertRowMajor(s.a, s.d), s.b.clone(), s.d, s.n))
-      } else Iterator.empty
+      state.update(s.copy(dirty = false, nextEmitMs = now + emitEveryMs))
+      if (s.dirty) Iterator.single(emit(s)) else Iterator.empty
     } else {
       val s = state.getOption.getOrElse(ArmState.zero(dim))
       var n = s.n
@@ -67,13 +80,25 @@ object LinUCBStream {
       }
       val dirty = s.dirty || saw
       if (emitEveryMs > 0) {
-        state.update(ArmState(dim, s.a, s.b, n, dirty))
-        if (!state.getOption.isDefined || !state.hasTimedOut)
+        val now = state.getCurrentProcessingTimeMs()
+        if (s.nextEmitMs > 0 && now >= s.nextEmitMs && dirty) {
+          // deadline already passed (timer was pre-empted by this data
+          // batch): emit inline, start the next interval
+          val upd = ArmState(dim, s.a, s.b, n, dirty = false, now + emitEveryMs)
+          state.update(upd)
           state.setTimeoutDuration(emitEveryMs)
-        Iterator.empty
+          Iterator.single(emit(upd))
+        } else {
+          val deadline = if (s.nextEmitMs > 0) s.nextEmitMs else now + emitEveryMs
+          state.update(ArmState(dim, s.a, s.b, n, dirty, deadline))
+          // re-arm to the REMAINDER of the original deadline, not a
+          // fresh full interval
+          state.setTimeoutDuration(math.max(1L, deadline - now))
+          Iterator.empty
+        }
       } else {
-        state.update(ArmState(dim, s.a, s.b, n, dirty = false))
-        Iterator.single(Model(productId, invertRowMajor(s.a, s.d), s.b.clone(), s.d, n))
+        state.update(ArmState(dim, s.a, s.b, n, dirty = false, 0L))
+        Iterator.single(emit(ArmState(dim, s.a, s.b, n, dirty = false, 0L)))
       }
     }
   }
@@ -99,7 +124,14 @@ object LinUCBStream {
     * operator as INITIAL STATE, then stream live events into it. The
     * update algebra is identical on both sides, so
     * seed(history) ⊕ stream(live) ≡ seed(history ++ live) — asserted by
-    * spec. */
+    * spec.
+    *
+    * Publication contract: an arm present ONLY in history is never
+    * invoked by the stateful operator (no data, no armed timer), so its
+    * model is not re-emitted by the stream. Publish the batch seed's
+    * models to the store up front (`store.upsert(LinUCB.seed(history,
+    * d), -1L)`) and let the stream overwrite arms as live data arrives
+    * — the store's latest-per-arm merge makes the two paths compose. */
   def trainWithBootstrap(history: Dataset[Feedback], live: Dataset[Feedback],
                          dim: Int, emitEveryMs: Long = 5000L): Dataset[Model] = {
     import live.sparkSession.implicits._

@@ -80,5 +80,28 @@ class ExprParitySpec extends SparkSpec {
     assert(r(0) == -3750763034362895579L)
     assert(r(1) == 0xaf63dc4c8601ec8cL)
     assert(r(2) == Fnv1a64.hash("hello world".getBytes("UTF-8")))
+    // two calls in ONE codegen stage: regression for fixed-name locals
+    // colliding in the generated method
+    val two = Seq(("a", "b")).toDF("x", "y")
+      .select(fnv1a64($"x").as("hx"), fnv1a64($"y").as("hy"))
+      .as[(Long, Long)].collect()(0)
+    assert(two._1 == Fnv1a64.hash("a".getBytes) && two._2 == Fnv1a64.hash("b".getBytes))
+  }
+
+  test("registerAll exposes every custom expression to SQL") {
+    registerAll(spark)
+    spark.read.parquet(sf() + "/documents.parquet").limit(5)
+      .createOrReplaceTempView("docs_sql")
+    spark.read.parquet(sf() + "/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("emb_sql")
+    val r1 = spark.sql(
+      """SELECT fnv1a64(text) AS h, simhash64(word_shingles(text, 3)) AS sh,
+        |  minhash_sig(word_shingles(text, 3), 8) AS sig
+        |FROM docs_sql""".stripMargin).collect()
+    assert(r1.length == 5 && r1.forall(r => r.getAs[Seq[Long]]("sig").length == 8))
+    val r2 = spark.sql(
+      """SELECT dot_f32(embedding, embedding) AS d2, srp_bucket(embedding, 4) AS b
+        |FROM emb_sql""".stripMargin).collect()
+    assert(r2.length == 5 && r2.forall(_.getAs[Double]("d2") > 0.0))
   }
 }

@@ -92,6 +92,37 @@ class PolicyAndStoreSpec extends SparkSpec {
     assert(out3.isEmpty, "clean arm must not re-emit")
   }
 
+  test("deadline does not slide under continuous data; lapsed deadline emits inline") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.LinUCBStream.{updateArm, ArmState}
+    import org.apache.spark.api.java.Optional
+
+    // arm scheduled to emit at t=5000; data keeps arriving before that
+    def dataCall(st: ArmState, nowMs: Long) = {
+      val s = TestGroupState.create[ArmState](
+        optionalState = Optional.of(st),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout
+          .ProcessingTimeTimeout(),
+        batchProcessingTimeMs = nowMs,
+        eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+      (updateArm(2, 5000L)("t1",
+        Iterator(Feedback("t1", Array(1.0, 0.5), 1.0)), s).toSeq, s)
+    }
+    val s0 = ArmState.zero(2).copy(nextEmitMs = 5000L, dirty = true)
+    val (e1, st1) = dataCall(s0, 2000L)
+    assert(e1.isEmpty && st1.get.nextEmitMs == 5000L,
+      s"deadline must hold at 5000, got ${st1.get.nextEmitMs}")
+    assert(st1.getTimeoutTimestampMs.get() <= 5000L,
+      "re-armed timeout must target the original deadline, not now+interval")
+    val (e2, st2) = dataCall(st1.get, 4000L)
+    assert(e2.isEmpty && st2.get.nextEmitMs == 5000L)
+    // deadline passes while data keeps flowing → inline emission
+    val (e3, st3) = dataCall(st2.get, 6000L)
+    assert(e3.size == 1 && e3.head.n == 3L,
+      s"lapsed deadline must emit inline, got $e3")
+    assert(st3.get.nextEmitMs == 11000L && !st3.get.dirty)
+  }
+
   test("model store upsert is idempotent and keeps latest per arm") {
     val dir = java.nio.file.Files.createTempDirectory("modelstore").toFile
     val path = new java.io.File(dir, "models.parquet").getAbsolutePath
