@@ -136,6 +136,34 @@ class SupplierStatsStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("forkBatch drives two live sinks from one streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val tracker = new SupplierStatsStream.StreamTimeTracker
+    val validSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lateSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[String]
+    val fork: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      SupplierStatsStream.forkBatch(tracker)(
+        v => validSeen.synchronized {
+          validSeen ++= v.select("order_id").as[String].collect() },
+        l => lateSeen.synchronized {
+          lateSeen ++= l.filter(col("late")).select("order_id").as[String].collect() })
+    val q = SupplierStatsStream.parseOrders(mem.toDF().select(col("value")))
+      .writeStream.outputMode("append")
+      .foreachBatch(fork)
+      .start()
+    try {
+      mem.addData(orderJson("f1", "2024-01-01 00:01:00", 1, "S"))
+      q.processAllAvailable()
+      mem.addData(
+        orderJson("f2", "2024-01-01 00:00:01", 1, "S"), // window closed long ago
+        orderJson("f3", "2024-01-01 00:01:02", 1, "S"))
+      q.processAllAvailable()
+      assert(validSeen.sorted == Seq("f1", "f3"), s"valid=$validSeen")
+      assert(lateSeen.toSeq == Seq("f2"), s"late=$lateSeen")
+    } finally q.stop()
+  }
+
   test("forkBatch tags against observed stream time and routes branches") {
     val tracker = new SupplierStatsStream.StreamTimeTracker
     var valid = Seq.empty[String]
