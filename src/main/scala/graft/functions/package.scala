@@ -31,13 +31,16 @@ package object functions {
     * int-parameterized ones take a foldable literal second argument
     * (e.g. `minhash_sig(shingles, 64)`). */
   def registerAll(spark: SparkSession): Unit = {
-    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"expected an integer literal argument, got non-literal ${e.sql}")
       e.eval(null) match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
         case other => throw new IllegalArgumentException(
-          s"expected an integer literal argument, got $other")
+          s"expected a positive integer literal argument, got $other")
       }
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")

@@ -20,11 +20,24 @@ import graft.ml.LinUCB.Model
   */
 class ModelStore(path: String) extends Serializable {
 
+  /** A crash between the two publish renames leaves `path` missing and
+    * the previous store stranded at `.bak` — restore it before any read
+    * or merge so no upsert ever mistakes a mid-swap store for an empty
+    * one. (If `path` exists, a `.bak` is just stale garbage from after
+    * a successful publish and is left for the next swap to clear.) */
+  private def recoverIfNeeded(): Unit = {
+    val target = new java.io.File(path)
+    val bak = new java.io.File(path + ".bak")
+    if (!target.exists() && bak.exists() && !bak.renameTo(target))
+      throw new java.io.IOException(s"model store: cannot restore $bak")
+  }
+
   /** Upsert one micro-batch of models: latest version per arm wins.
     * Versioning by (batchId, arm) keeps replayed batches idempotent. */
   def upsert(batch: Dataset[Model], batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    recoverIfNeeded()
     val incoming = batch.toDF().withColumn("batch_id", lit(batchId))
     val merged =
       if (new java.io.File(path).exists()) {
@@ -59,6 +72,7 @@ class ModelStore(path: String) extends Serializable {
     * arm) — the MGET analog. */
   def read(spark: SparkSession): Dataset[Model] = {
     import spark.implicits._
+    recoverIfNeeded()
     spark.read.parquet(path)
       .select(col("productId"), col("aInv"), col("b"), col("d"), col("n"))
       .as[Model]

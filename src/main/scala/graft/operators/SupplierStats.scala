@@ -119,7 +119,9 @@ object SupplierStats {
   def branchCounts(spark: SparkSession, sfDir: String): DataFrame =
     tagLate(spark, sfDir)
       .agg(
-        sum(when(!col("late"), 1L).otherwise(0L)).as("n_valid"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        // coalesce: sum over zero rows is NULL, but the branch counts
+        // must read 0 on an empty input (as the oracle's COUNT(*) does)
+        coalesce(sum(when(!col("late"), 1L).otherwise(0L)), lit(0L)).as("n_valid"),
+        coalesce(sum(when(col("late"), 1L).otherwise(0L)), lit(0L)).as("n_late"))
       .selectExpr("stack(2, 'valid', n_valid, 'late', n_late) AS (branch, n)")
 }

@@ -64,9 +64,18 @@ object LinUCBStream {
     if (state.hasTimedOut) {
       val s = state.get
       val now = state.getCurrentProcessingTimeMs()
-      state.setTimeoutDuration(emitEveryMs)
-      state.update(s.copy(dirty = false, nextEmitMs = now + emitEveryMs))
-      if (s.dirty) Iterator.single(emit(s)) else Iterator.empty
+      if (s.dirty) {
+        state.setTimeoutDuration(emitEveryMs)
+        state.update(s.copy(dirty = false, nextEmitMs = now + emitEveryMs))
+        Iterator.single(emit(s))
+      } else {
+        // clean arm: go quiet — no re-arm, or a corpus of mostly-idle
+        // arms would wake the state operator every interval forever.
+        // The next data arrival re-schedules (and, with the deadline
+        // already lapsed, emits inline).
+        state.update(s.copy(nextEmitMs = 0L))
+        Iterator.empty
+      }
     } else {
       val s = state.getOption.getOrElse(ArmState.zero(dim))
       var n = s.n
@@ -126,12 +135,15 @@ object LinUCBStream {
     * seed(history) ⊕ stream(live) ≡ seed(history ++ live) — asserted by
     * spec.
     *
-    * Publication contract: an arm present ONLY in history is never
-    * invoked by the stateful operator (no data, no armed timer), so its
-    * model is not re-emitted by the stream. Publish the batch seed's
-    * models to the store up front (`store.upsert(LinUCB.seed(history,
-    * d), -1L)`) and let the stream overwrite arms as live data arrives
-    * — the store's latest-per-arm merge makes the two paths compose. */
+    * History-only arms: Spark invokes the state function once for every
+    * initial-state key in the first batch (empty iterator). With
+    * `emitEveryMs <= 0` that first invocation re-emits the seeded model
+    * (cold arms reach the sink through the stream itself). With
+    * `emitEveryMs > 0` a cold arm is not dirty, so it fires at most one
+    * silent timer and goes quiet — publish the batch seed's models up
+    * front (`store.upsert(LinUCB.seed(history, d), -1L)`) and let the
+    * stream overwrite arms as live data arrives; the store's
+    * latest-per-arm merge makes the two paths compose. */
   def trainWithBootstrap(history: Dataset[Feedback], live: Dataset[Feedback],
                          dim: Int, emitEveryMs: Long = 5000L): Dataset[Model] = {
     import live.sparkSession.implicits._

@@ -90,6 +90,10 @@ class PolicyAndStoreSpec extends SparkSpec {
       hasTimedOut = true)
     val out3 = updateArm(2, 5000L)("t1", Iterator.empty, s3).toSeq
     assert(out3.isEmpty, "clean arm must not re-emit")
+    // ...and must go quiet: no re-armed timer, deadline cleared
+    assert(!s3.getTimeoutTimestampMs.isPresent,
+      "clean arm must not re-arm its timer")
+    assert(s3.get.nextEmitMs == 0L)
   }
 
   test("deadline does not slide under continuous data; lapsed deadline emits inline") {
