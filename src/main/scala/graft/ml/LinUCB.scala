@@ -168,7 +168,7 @@ object LinUCB {
     * policy must beat random" a meaningful oracle. */
   def feedbackFromLineitem(spark: SparkSession, sfDir: String): Dataset[Feedback] = {
     import spark.implicits._
-    graft.Tables.lineitem(spark, sfDir)
+    graft.operators.Similarity.spread(graft.Tables.lineitem(spark, sfDir))
       .join(broadcast(graft.Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
       .select(

@@ -33,7 +33,7 @@ object Cdc {
     * insert envelope, keyed like the reference's topic records
     * (`<prefix>.<schema>.<table>`, key = PK). */
   def ordersEnvelope(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir).select(
+    Similarity.spread(Tables.orders(spark, sfDir)).select(
       col("o_orderkey").cast("string").as("key"),
       to_json(struct(
         col("o_orderkey").as("order_id"),
@@ -79,7 +79,7 @@ object Cdc {
     val op = when(pmod(col("l_orderkey") + col("l_linenumber"), lit(20)) < 16, "c")
       .when(pmod(col("l_orderkey") + col("l_linenumber"), lit(20)) < 19, "u")
       .otherwise("d")
-    Tables.lineitem(spark, sfDir).select(
+    Similarity.spread(Tables.lineitem(spark, sfDir)).select(
       concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("key"),
       to_json(struct(
         col("l_orderkey").as("order_id"),

@@ -28,7 +28,7 @@ object Similarity {
     * compute-heavy scan onto a single core. On a real cluster the scan
     * arrives already split; this keeps the local plan honest about the
     * parallelism the operator is designed for. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     df.repartition(p)
   }
