@@ -1,6 +1,5 @@
 package graft.features
 
-import breeze.linalg.{svd, DenseMatrix}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,9 +36,13 @@ object Features {
       cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))).tail: _*)
     val joined = df.crossJoin(broadcast(stats))
     cols.foldLeft(joined) { (acc, c) =>
+      // Degenerate fit (constant column): scale to 0.0 instead of the
+      // null that x/0 would yield — sklearn's MinMaxScaler makes the
+      // same choice for zero-range features.
       acc.withColumn(s"${c}_scaled",
-        round((col(c) - col(s"${c}_min")) /
-          (col(s"${c}_max") - col(s"${c}_min")), 6))
+        when(col(s"${c}_max") === col(s"${c}_min"), lit(0.0))
+          .otherwise(round((col(c) - col(s"${c}_min")) /
+            (col(s"${c}_max") - col(s"${c}_min")), 6)))
     }.drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
   }
 
@@ -120,7 +123,9 @@ object Features {
 
   /** F14: truncated-SVD embedding, k dims. The gram matrix GᵀG (V×V,
     * vocab-bounded) is aggregated distributed, eigen-factored on the
-    * driver with Breeze, and the V×k projection broadcast back — the
+    * driver with a cyclic Jacobi solver ([[graft.ml.LinAlg.symEigDesc]]
+    * — for a symmetric PSD gram matrix the eigenvectors ARE the right
+    * singular vectors), and the V×k projection broadcast back — the
     * corpus never leaves the executors. Right-singular-vector signs are
     * canonicalized (first nonzero coordinate positive) so the embedding
     * is deterministic across runs/partitionings. */
@@ -144,8 +149,7 @@ object Features {
         Iterator.single(acc)
       }
       .treeReduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
-    val g = new DenseMatrix(v, v, gram) // symmetric → layout-agnostic
-    val s = svd(g)
+    val eigVecs = graft.ml.LinAlg.symEigDesc(gram, v)._2
     val proj = new Array[Double](v * k) // column j = j-th right singular vector
     var j = 0
     while (j < k) {
@@ -153,13 +157,13 @@ object Features {
       var i = 0
       var sign = 0.0
       while (i < v && sign == 0.0) {
-        val x = s.Vt(j, i)
+        val x = eigVecs(i * v + j)
         if (math.abs(x) > 1e-12) sign = math.signum(x)
         i += 1
       }
       if (sign == 0.0) sign = 1.0
       i = 0
-      while (i < v) { proj(i * k + j) = s.Vt(j, i) * sign; i += 1 }
+      while (i < v) { proj(i * k + j) = eigVecs(i * v + j) * sign; i += 1 }
       j += 1
     }
     val bProj = spark.sparkContext.broadcast(proj)

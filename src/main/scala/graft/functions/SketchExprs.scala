@@ -42,6 +42,7 @@ object SketchHash {
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, s"minhash_sig needs numHashes >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // empty input arrays produce null irrespective of child nullability
   override def nullable: Boolean = true
@@ -54,16 +55,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
+    val total = arr.numElements()
     // Hash every shingle once; the per-slot hash is a cheap int-mix of
     // the precomputed 64-bit string hash (exactly xxhash64(s, i)).
-    val base = new Array[Long](n)
+    // Null elements contribute nothing (same as xxhash64 skipping a
+    // null argument would drop it from the chain).
+    val base = new Array[Long](total)
+    var n = 0
     var j = 0
-    while (j < n) {
-      base(j) = SketchHash.hashString(arr.getUTF8String(j))
+    while (j < total) {
+      val s = arr.getUTF8String(j)
+      if (s != null) { base(n) = SketchHash.hashString(s); n += 1 }
       j += 1
     }
+    if (n == 0) return null
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -105,11 +110,14 @@ case class SimHash64(child: Expression)
     val bitsums = new Array[Int](64)
     var j = 0
     while (j < n) {
-      val h = SketchHash.hashString(arr.getUTF8String(j))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) bitsums(b) += 1 else bitsums(b) -= 1
-        b += 1
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val h = SketchHash.hashString(s)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) bitsums(b) += 1 else bitsums(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -136,6 +144,10 @@ case class SimHash64(child: Expression)
   */
 case class SrpBucket(child: Expression, numPlanes: Int)
     extends UnaryExpression with CodegenFallback {
+  // One bit per plane packed into a single long: >64 planes would wrap
+  // the `1L << p` shift mod 64 and silently alias bucket ids.
+  require(numPlanes >= 1 && numPlanes <= 64,
+    s"srp_bucket needs 1 <= numPlanes <= 64, got $numPlanes")
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

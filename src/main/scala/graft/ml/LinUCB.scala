@@ -1,6 +1,5 @@
 package graft.ml
 
-import breeze.linalg.{inv, DenseMatrix, DenseVector}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -21,8 +20,8 @@ import org.apache.spark.sql.functions._
   * so the 100 TB path is one shuffle on product_id with map-side
   * combine); matrices live as flat `Array[Double]` row-major buffers
   * (encoder-friendly, no boxing); inversion happens once per group at
-  * `finish`, via Breeze LU — mirroring the reference's
-  * commons-math LU (`LinUCBUpdater.kt:111-118`).
+  * `finish`, via Gauss-Jordan ([[LinAlg]]) — numerically equivalent to
+  * the reference's commons-math LU (`LinUCBUpdater.kt:111-118`).
   */
 object LinUCB {
 
@@ -48,20 +47,12 @@ object LinUCB {
     }
   }
 
-  private[graft] def invertRowMajor(a: Array[Double], d: Int): Array[Double] = {
-    // Breeze DenseMatrix is column-major; A is symmetric here so the
-    // layout transpose is a no-op mathematically, but keep it explicit.
-    val m = new DenseMatrix(d, d, a.clone()).t
-    val ainv = inv(m)
-    val out = new Array[Double](d * d)
-    var i = 0
-    while (i < d) {
-      var j = 0
-      while (j < d) { out(i * d + j) = ainv(i, j); j += 1 }
-      i += 1
-    }
-    out
-  }
+  /** Gauss-Jordan inverse ([[LinAlg.invertRowMajor]]) — agrees with the
+    * reference's LU paths to round-off; keeping Breeze off the hot path
+    * avoids its cold-JVM native-loader cost (see [[LinAlg]] scaladoc).
+    * ScalaTest cross-checks this against Breeze `inv` directly. */
+  private[graft] def invertRowMajor(a: Array[Double], d: Int): Array[Double] =
+    LinAlg.invertRowMajor(a, d)
 
   /** A9: the batch-seed Aggregator — `A = I + Σxxᵀ`, `b = Σrx`,
     * inverted at finish. */

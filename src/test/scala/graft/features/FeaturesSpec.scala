@@ -19,6 +19,13 @@ class FeaturesSpec extends SparkSpec {
     assert(hotSum == ((1L, 1L)), "exactly one segment per row")
   }
 
+  test("min-max scale of a constant column yields 0.0, not null") {
+    val df = Seq((1L, 7.5), (2L, 7.5), (3L, 7.5)).toDF("id", "v")
+    val out = Features.minMaxScale(df, Seq("v"))
+      .select("v_scaled").as[Double].collect()
+    assert(out.length == 3 && out.forall(_ == 0.0))
+  }
+
   test("time-context one-hots partition the day") {
     val bad = Features.timeContext(spark, sf())
       .filter($"is_morning" + $"is_afternoon" + $"is_evening" =!= 1 ||

@@ -88,6 +88,35 @@ class ExprParitySpec extends SparkSpec {
     assert(two._1 == Fnv1a64.hash("a".getBytes) && two._2 == Fnv1a64.hash("b".getBytes))
   }
 
+  test("minhashSig/simhash64 skip null elements instead of NPEing") {
+    // ArrayType(StringType, containsNull=true) with actual nulls: the
+    // sketch must equal the same input with nulls removed.
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String]("a", "b")),
+      (3L, Seq[String](null, null)), // all-null → null signature
+    ).toDF("id", "arr")
+    val r = df.select($"id", minhashSig($"arr", 4).as("sig"),
+        simhash64($"arr").as("sh"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).sortBy(_._1)
+    assert(r(0)._2 == r(1)._2, "null element must not change minhash")
+    assert(r(0)._3 == r(1)._3, "null element must not change simhash")
+    assert(r(2)._2 == null, "all-null array → null minhash signature")
+  }
+
+  test("srpBucket rejects numPlanes outside 1..64 (bit-packing bound)") {
+    intercept[IllegalArgumentException] { SrpBucket(null, 65) }
+    intercept[IllegalArgumentException] { SrpBucket(null, 0) }
+    intercept[IllegalArgumentException] { MinHashSig(null, 0) }
+    // SQL path goes through the same constructor
+    registerAll(spark)
+    Seq(Seq(1.0f, 2.0f)).toDF("v").createOrReplaceTempView("srp_guard")
+    val e = intercept[Exception] {
+      spark.sql("SELECT srp_bucket(v, 128) FROM srp_guard").collect()
+    }
+    assert(e.getMessage.contains("numPlanes") || e.getMessage.contains("64"))
+  }
+
   test("registerAll exposes every custom expression to SQL") {
     registerAll(spark)
     spark.read.parquet(sf() + "/documents.parquet").limit(5)

@@ -55,13 +55,34 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         print(f"ok   {name} ({len(expect)} rows)")
-    # rows-only entries (no oracle): report row counts
+    # rows-only entries (no oracle): report row counts, and FAIL any
+    # query declared in the manifest whose output directory is missing
+    # (a crashed rows-only query must not look green by absence).
     import os
-    for name in sorted(os.listdir(out_dir)):
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    expected = set(oracle)
+    if os.path.exists(manifest_path):
+        expected = set(json.load(open(manifest_path))["queries"])
+    for name in sorted(expected - set(oracle)):
         p = os.path.join(out_dir, name)
-        if os.path.isdir(p) and name not in oracle:
-            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        if not os.path.isdir(p):
+            print(f"FAIL {name}: declared in manifest but no output written")
+            failures += 1
+            continue
+        n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        if n == 0:
+            print(f"FAIL {name}: 0 rows (no oracle)")
+            failures += 1
+        else:
             print(f"rows {name}: {n} (no oracle)")
+    for name in sorted(set(oracle) - expected):
+        print(f"FAIL {name}: oracle SQL declared but query missing from manifest")
+        failures += 1
+    missing_oracle_outputs = [n for n in sorted(oracle)
+                              if not os.path.isdir(os.path.join(out_dir, n))]
+    for name in missing_oracle_outputs:
+        # already surfaced above as a read error, but make it explicit
+        print(f"FAIL {name}: no Spark output directory")
     return failures
 
 
