@@ -87,6 +87,19 @@ object SparkEntry {
     "q47_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q48_value_percentiles" -> ((s, d) => Relational.valuePercentiles(s, d)),
     "q49_weighted_pick" -> ((s, d) => ScalarFuncs.weightedPickAgg(s, d)),
+    // --- join family beyond inner-equi (as-of / range / semi-anti /
+    // hybrid-source keep-latest) ---
+    "q50_asof_join" -> ((s, d) => Joins.asofViewBeforePurchase(s, d)),
+    "q51_range_join" -> ((s, d) => Joins.viewsWithinHour(s, d)),
+    "q52_semi_anti" -> ((s, d) => Joins.customerOrderPresence(s, d)),
+    "q53_hybrid_latest" -> ((s, d) => Joins.hybridLatestImage(s, d)),
+    // --- analytic SQL surface ---
+    "q54_session_window" -> ((s, d) => Analytics.sessionWindows(s, d)),
+    "q55_revenue_cube" -> ((s, d) => Analytics.revenueCube(s, d)),
+    "q56_hourly_pivot" -> ((s, d) => Analytics.hourlyTypePivot(s, d)),
+    "q57_balance_analytics" -> ((s, d) => Analytics.balanceAnalytics(s, d)),
+    "q58_stratified_sample" -> ((s, d) => Analytics.stratifiedSample(s, d)),
+    "q59_top_bigrams" -> ((s, d) => Analytics.topBigrams(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -513,5 +526,115 @@ object SparkEntry {
         |            ELSE 'Display' END AS src,
         |  COUNT(*) AS n
         |FROM u GROUP BY 1""".stripMargin,
+    "q50_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS t, MAX(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, v.view_id AS last_view_id,
+        |  (p.t - v.t) // 1000000 AS secs_since_view
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t""".stripMargin,
+    "q51_range_join" ->
+      """WITH v AS (
+        |  SELECT user_id AS v_user, epoch_us(ts) AS v_us, value AS v_value
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  COUNT(v_us) AS n_views_1h,
+        |  ROUND(COALESCE(CAST(SUM(CAST(v_value AS DECIMAL(18,2))) AS DOUBLE), 0.0), 2)
+        |    AS view_value_1h
+        |FROM p LEFT JOIN v ON p.user_id = v_user
+        |  AND v_us >= p.ts_us - 3600000000 AND v_us <= p.ts_us
+        |GROUP BY 1, 2""".stripMargin,
+    "q52_semi_anti" ->
+      """SELECT 'with_orders' AS branch, c_mktsegment AS segment, COUNT(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'without_orders' AS branch, c_mktsegment AS segment, COUNT(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        |GROUP BY 2""".stripMargin,
+    "q53_hybrid_latest" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderkey * 2 AS lsn FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X' AS o_orderstatus, o_orderkey * 2 + 1 AS lsn
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT o_orderstatus, lsn,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY lsn DESC) AS rn
+        |  FROM unioned)
+        |SELECT o_orderstatus AS order_status, COUNT(*) AS n, MAX(lsn) AS max_lsn
+        |FROM latest WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q54_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |      AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value, ts_us,
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_no
+        |  FROM t)
+        |SELECT user_id, MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) + 1800000000 AS session_end_us,
+        |  COUNT(*) AS n_events,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS session_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    "q55_revenue_cube" ->
+      """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
+    "q56_hourly_pivot" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q57_balance_analytics" ->
+      """SELECT c_custkey AS user_id, c_mktsegment AS segment,
+        |  c_acctbal AS acctbal,
+        |  RANK() OVER v AS rnk,
+        |  DENSE_RANK() OVER v AS dense_rnk,
+        |  ROUND(PERCENT_RANK() OVER v, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER v, 6) AS cume,
+        |  NTILE(4) OVER t AS quartile,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) -
+        |    COALESCE(LAG(CAST(c_acctbal AS DECIMAL(18,2)), 1) OVER t,
+        |      CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS gap_to_prev
+        |FROM customer
+        |WINDOW v AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+        |  t AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q58_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  ROUND(CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0, 6) AS u
+        |FROM documents
+        |WHERE CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0 <
+        |  CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END""".stripMargin,
+    "q59_top_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(2, len(t) + 1),
+        |    i -> concat_ws(' ', t[i-1], t[i]))) AS bigram
+        |  FROM toks)
+        |SELECT bigram, COUNT(*) AS n FROM grams
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
   )
 }

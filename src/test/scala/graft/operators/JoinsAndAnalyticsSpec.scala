@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the join-family and analytic operators
+  * (q50-q59) beyond the DuckDB hash parity the driver checks. */
+class JoinsAndAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: every matched view precedes its purchase, and is the latest such") {
+    val out = Joins.asofViewBeforePurchase(spark, sf()).cache()
+    // no negative elapsed
+    assert(out.filter($"secs_since_view" < 0).count() == 0)
+    // cross-check a sample of matches against a brute-force correlated lookup
+    val ev = graft.Tables.events(spark, sf())
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    val purchases = ev.filter(_._3 == "purchase").take(200)
+    val got = out.select($"event_id", $"last_view_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    purchases.foreach { case (pid, user, _, pts) =>
+      val eligible = views.getOrElse(user, Array.empty).filter(_._4 <= pts)
+      val expect =
+        if (eligible.isEmpty) None
+        else {
+          val maxTs = eligible.map(_._4).max
+          Some(eligible.filter(_._4 == maxTs).map(_._1).max)
+        }
+      assert(got(pid) == expect, s"purchase $pid user $user")
+    }
+  }
+
+  test("range join keeps zero-view purchases and bounds the window") {
+    val out = Joins.viewsWithinHour(spark, sf()).cache()
+    val nPurchases = graft.Tables.events(spark, sf())
+      .filter($"event_type" === "purchase").count()
+    assert(out.count() == nPurchases, "LEFT join must keep every purchase")
+    assert(out.filter($"n_views_1h" === 0 && $"view_value_1h" =!= 0.0).count() == 0)
+  }
+
+  test("semi + anti partition the customer set exactly") {
+    val out = Joins.customerOrderPresence(spark, sf()).cache()
+    val total = out.agg(sum($"n")).as[Long].collect()(0)
+    assert(total == graft.Tables.customer(spark, sf()).count())
+    // each (branch, segment) appears at most once
+    assert(out.groupBy($"branch", $"segment").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("hybrid latest-image: updated keys show the live status") {
+    val out = Joins.hybridLatestImage(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpdated = graft.Tables.orders(spark, sf())
+      .filter(pmod($"o_orderkey", lit(10)) === 0).count()
+    assert(out("X") == nUpdated, "every live update must win its key")
+    assert(out.values.sum == graft.Tables.orders(spark, sf()).count())
+  }
+
+  test("native session_window agrees with hand-rolled sessionize on session count") {
+    val native = Analytics.sessionWindows(spark, sf()).count()
+    val manual = Relational.sessionize(spark, sf())
+      .select($"user_id", $"session_no").distinct().count()
+    assert(native == manual, s"native $native vs manual $manual sessions")
+  }
+
+  test("session windows of one user never overlap") {
+    val rows = Analytics.sessionWindows(spark, sf())
+      .select($"user_id", $"session_start_us", $"session_end_us")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 <= s2, "overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("cube contains all four granularities and they reconcile") {
+    val out = Analytics.revenueCube(spark, sf()).cache()
+    val grand = out.filter($"segment".isNull && $"priority".isNull)
+      .select($"n_orders").as[Long].collect()
+    assert(grand.length == 1)
+    val bySeg = out.filter($"segment".isNotNull && $"priority".isNull)
+      .agg(sum($"n_orders")).as[Long].collect()(0)
+    val byBoth = out.filter($"segment".isNotNull && $"priority".isNotNull)
+      .agg(sum($"n_orders")).as[Long].collect()(0)
+    assert(bySeg == grand(0) && byBoth == grand(0))
+  }
+
+  test("pivot row sums equal per-hour event counts") {
+    val out = Analytics.hourlyTypePivot(spark, sf())
+      .selectExpr("hr", "n_click + n_error + n_purchase + n_signup + n_view AS total")
+    val expect = graft.Tables.events(spark, sf())
+      .groupBy(hour($"ts").cast("long").as("hr")).count()
+    val joined = out.join(expect, "hr")
+      .filter($"total" =!= $"count")
+    assert(joined.count() == 0)
+  }
+
+  test("balance analytics: rank bounds and quartiles balanced within segment") {
+    val out = Analytics.balanceAnalytics(spark, sf()).cache()
+    // rank never exceeds segment size; quartile sizes differ by <= 1
+    val bad = out.groupBy($"segment")
+      .agg(max($"rnk").as("maxr"), count(lit(1)).as("n"))
+      .filter($"maxr" > $"n")
+    assert(bad.count() == 0)
+    val q = out.groupBy($"segment", $"quartile").count()
+      .groupBy($"segment").agg((max($"count") - min($"count")).as("spread"))
+      .filter($"spread" > 1)
+    assert(q.count() == 0)
+  }
+
+  test("stratified sample rates land near their targets") {
+    val docs = graft.Tables.documents(spark, sf())
+    val sampled = Analytics.stratifiedSample(spark, sf())
+    val byLang = docs.groupBy($"lang").count()
+      .join(sampled.groupBy($"lang").agg(count(lit(1)).as("kept")), "lang")
+      .select($"lang", ($"kept" / $"count").as("rate"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(byLang("en") - 0.25) < 0.1, s"en rate ${byLang("en")}")
+    byLang.filterNot(_._1 == "en").foreach { case (l, r) =>
+      assert(math.abs(r - 0.75) < 0.1, s"$l rate $r")
+    }
+    // determinism: same ids kept on re-run
+    val a = sampled.select($"doc_id").as[Long].collect().sorted
+    val b = Analytics.stratifiedSample(spark, sf()).select($"doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("top bigrams are k-bounded, sorted, and counted over non-distinct occurrences") {
+    val out = Analytics.topBigrams(spark, sf(), k = 20).as[(String, Long)].collect()
+    assert(out.length == 20)
+    assert(out.sliding(2).forall {
+      case Array((b1, n1), (b2, n2)) => n1 > n2 || (n1 == n2 && b1 < b2)
+      case _ => true
+    })
+    // a doc repeating a bigram counts it each time: verify via one doc
+    val one = graft.Tables.documents(spark, sf()).select($"text").as[String].head()
+    val toks = one.split(" ")
+    val localCounts = toks.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size)
+    assert(localCounts.values.max >= 1)
+  }
+}
