@@ -102,11 +102,13 @@ object Analytics {
     * count) — map-side combine keeps it narrow at corpus scale. */
   def topBigrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val grams = Tables.documents(spark, sfDir)
+      // tokenize ONCE per row (the lambda would otherwise re-split per
+      // reference — Catalyst does not CSE inside higher-order functions)
+      .select(split(col("text"), " ").as("t"))
       // guard: sequence(1, 0) would run DESCENDING in Spark, not empty
-      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(size(col("t")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"))
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
         .as("bigram"))
     grams.groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
