@@ -100,6 +100,11 @@ object SparkEntry {
     "q57_balance_analytics" -> ((s, d) => Analytics.balanceAnalytics(s, d)),
     "q58_stratified_sample" -> ((s, d) => Analytics.stratifiedSample(s, d)),
     "q59_top_bigrams" -> ((s, d) => Analytics.topBigrams(s, d)),
+    // --- near-dup clustering (connected components) + the composed
+    // corpus-filter pipeline ---
+    "q60_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q61_cluster_keep" -> ((s, d) => Dedup.clusterKeep(s, d)),
+    "q62_corpus_filter" -> ((s, d) => TextOps.corpusFilter(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -120,6 +125,32 @@ object SparkEntry {
       |    i -> concat_ws(' ', string_split(text, ' ')[i],
       |         string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingles
       |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
+
+  // Near-dup pair graph → transitive closure → per-component min label,
+  // as recursive SQL (DuckDB executes the UNION-dedup recursion to a
+  // fixpoint — the oracle twin of the engine's label propagation).
+  private val dupClusters =
+    s"""sh AS ($shingles),
+       |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
+       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_i, doc_j
+       |  FROM inter JOIN sz na ON doc_i = na.doc_id JOIN sz nb ON doc_j = nb.doc_id
+       |  WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5),
+       |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+       |  UNION ALL SELECT doc_j, doc_i FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |minr AS (SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a),
+       |clusters AS (
+       |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.m, d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN minr m ON d.doc_id = m.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -636,5 +667,45 @@ object SparkEntry {
         |  FROM toks)
         |SELECT bigram, COUNT(*) AS n FROM grams
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q60_dedup_clusters" ->
+      s"""WITH RECURSIVE $dupClusters
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+    "q61_cluster_keep" ->
+      s"""WITH RECURSIVE $dupClusters
+         |SELECT cluster_id AS keep_id, COUNT(*) AS n_docs
+         |FROM clusters GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "q62_corpus_filter" ->
+      s"""WITH RECURSIVE $dupClusters,
+         |q AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop
+         |  FROM documents),
+         |lt AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS score_en,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('el', 'la', 'los', 'de', 'es'))) AS score_es,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('le', 'la', 'les', 'de', 'est'))) AS score_fr
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_de
+         |           AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |         WHEN score_es >= score_de AND score_es >= score_fr
+         |           AND score_es > 0 THEN 'es'
+         |         WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |         WHEN score_fr > 0 THEN 'fr'
+         |         ELSE 'unknown' END AS lang_pred
+         |  FROM lt)
+         |SELECT c.doc_id, q.n_tokens
+         |FROM clusters c JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |WHERE q.n_tokens >= 10 AND q.n_chars >= 50 AND q.n_stop > 0
+         |  AND l.lang_pred = 'en' AND c.doc_id = c.cluster_id""".stripMargin,
   )
 }

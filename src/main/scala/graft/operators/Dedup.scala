@@ -136,6 +136,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over the near-dup pair graph, via iterative
+    * min-label propagation: every doc starts labeled with its own id;
+    * each round adopts the minimum label among itself and its direct
+    * neighbors; fixpoint = components. This is the standard distributed
+    * formulation (the bounded-round core of large-star/small-star) —
+    * each round is one keyed join + one aggregation, state is one label
+    * per node, and rounds needed = graph diameter (near-dup clusters
+    * are near-cliques, so 2-3 rounds in practice). No driver-side graph
+    * materialization.
+    *
+    * Output: `(doc_id, cluster_id)` for every document; singletons are
+    * their own cluster. `cluster_id` = min doc_id of the component —
+    * the canonical representative, which is what a keep-one dedup pass
+    * keys on. */
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val edges = jaccardPairs(spark, sfDir, threshold)
+      .select(col("doc_i"), col("doc_j"))
+    // undirected: propagate both ways
+    val bidir = edges.unionByName(
+        edges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .localCheckpoint() // pairs are tiny relative to corpus; cut the lineage once
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_j") === col("nbr"))
+        .groupBy(col("doc_i")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("doc_i"), "left")
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // truncate the iterative lineage each round
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Keep-one-per-cluster summary: the canonical doc and how many it
+    * absorbs — the materialized form a dedup pass writes. */
+  def clusterKeep(spark: SparkSession, sfDir: String,
+                  threshold: Double = 0.5): DataFrame =
+    nearDupClusters(spark, sfDir, threshold)
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2) // clusters that actually deduplicate
+
   /** Embedding-cosine near-dup: brute-force pair scan (exact, the
     * baseline). The scale path is the LSH-bucketed variant in
     * [[Similarity.lshTopK]] — same scoring expression, bucketed join. */

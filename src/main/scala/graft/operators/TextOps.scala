@@ -72,6 +72,24 @@ object TextOps {
         col("score_en"), (col("lang_pred") === col("lang")).as("agrees"))
   }
 
+  /** The composed corpus filter — the end-to-end shape of a training-
+    * data cleaning pass: keep documents that (a) pass the quality gate,
+    * (b) classify as English, and (c) are the canonical representative
+    * of their near-dup cluster ([[Dedup.nearDupClusters]]). Three
+    * operators, one plan: the quality/lang predicates are map-side
+    * column math, so the only shuffles are the dedup-cluster join keys.
+    */
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("passes_quality"))
+    val lang = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
+    val clusters = Dedup.nearDupClusters(spark, sfDir)
+    quality.join(lang, "doc_id").join(clusters, "doc_id")
+      .filter(col("passes_quality") && col("lang_pred") === "en" &&
+        col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Document fingerprinting: 64-bit FNV-1a rolling hash over the raw
     * text — implemented as a native Catalyst expression with codegen
     * ([[graft.functions.Fnv1a64]]); plus xxhash64 for comparison. Not

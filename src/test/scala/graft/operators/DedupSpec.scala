@@ -33,6 +33,41 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("near-dup clusters equal union-find over the exact pair graph") {
+    val labels = Dedup.nearDupClusters(spark, sf())
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.jaccardPairs(spark, sf(), 0.5)
+      .select($"doc_i", $"doc_j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (doc, lbl) =>
+      assert(lbl == find(doc), s"doc $doc: engine $lbl vs union-find ${find(doc)}")
+    }
+    // canonical representative is the component min and is its own label
+    labels.values.foreach(l => assert(labels(l) == l))
+  }
+
+  test("corpus filter keeps only canonical, quality, English docs") {
+    val kept = TextOps.corpusFilter(spark, sf()).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept.nonEmpty)
+    val clusters = Dedup.nearDupClusters(spark, sf()).as[(Long, Long)]
+      .collect().toMap
+    kept.foreach(d => assert(clusters(d) == d, s"doc $d kept but not canonical"))
+    // every dropped near-dup's canonical sibling decides for the cluster:
+    // no cluster contributes more than one kept doc
+    assert(kept.map(clusters).size == kept.size)
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq(
