@@ -158,8 +158,11 @@ object Dedup {
     val bidir = edges.unionByName(
         edges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .localCheckpoint() // pairs are tiny relative to corpus; cut the lineage once
-    var labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+    // Only edge endpoints can ever change label — iterate over THAT set
+    // (near-dup density × 2, not corpus size); every other doc is a
+    // singleton attached by one left join at the end.
+    var labels = bidir.select(col("doc_i").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -177,7 +180,9 @@ object Dedup {
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   /** Keep-one-per-cluster summary: the canonical doc and how many it
