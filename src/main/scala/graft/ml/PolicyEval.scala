@@ -71,21 +71,30 @@ object PolicyEval {
     pop.unionByName(rnd)
   }
 
-  /** LinUCB policy eval (rows-only: scoring needs A⁻¹): score each
+  /** Model-based policy eval (rows-only: scoring needs A⁻¹): score each
     * interaction's own (arm, context) with the seeded models, AUC over
-    * the pooled scores. The oracle is relative, exactly like the
-    * reference's (`evaluate.py` ranks policies; LinUCB must beat
-    * random) — asserted in spec. */
+    * the pooled scores — for LinUCB (exploration bonus α=0.1) and
+    * LinGreedy (α=0, pure posterior mean — the deterministic core the
+    * reference's LinGreedy and LinTS-mean share, `evaluate.py:65-70`).
+    * The oracle is relative, exactly like the reference's (`evaluate.py`
+    * ranks policies; the linear policies must beat random) — asserted
+    * in spec. */
   def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
     val models = LinUCB.seed(fb, LinUCB.Dim)
-    val scoreUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
-      LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), 0.1))
+    def scoreUdf(alpha: Double) =
+      udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
+        LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), alpha))
     val scored = fb.toDF()
       .join(broadcast(models.select($"productId", $"aInv", $"b", $"d")), "productId")
-      .withColumn("s", round(scoreUdf(col("x"), col("aInv"), col("b"), col("d")), 9))
-    aucOf(scored, col("s"), col("reward"))
+      .withColumn("s_ucb",
+        round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
+      .withColumn("s_greedy",
+        round(scoreUdf(0.0)(col("x"), col("aInv"), col("b"), col("d")), 9))
+    aucOf(scored, col("s_ucb"), col("reward"))
       .select(lit("linucb").as("policy"), col("auc"), col("ctr"), col("n"))
+      .unionByName(aucOf(scored, col("s_greedy"), col("reward"))
+        .select(lit("lin_greedy").as("policy"), col("auc"), col("ctr"), col("n")))
   }
 }

@@ -34,4 +34,15 @@ object StreamingDedup {
                       keyCols: String*): DataFrame =
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicates(keyCols :+ eventTimeCol)
+
+  /** The dedicated API (Spark 3.5+): same first-arrival semantics, but
+    * the engine evicts a key's state as soon as the watermark passes
+    * `its event time + delay` even though the event-time column is NOT
+    * part of the key — the recommended form because [[firstArrival]]
+    * keeps non-keyed state alive on every watermark update pattern the
+    * planner can't bound. */
+  def withinWatermark(df: DataFrame, eventTimeCol: String, delay: String,
+                      keyCols: String*): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

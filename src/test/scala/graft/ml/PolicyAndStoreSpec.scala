@@ -8,14 +8,18 @@ import graft.ml.LinUCB.{Feedback, Model}
 class PolicyAndStoreSpec extends SparkSpec {
   import spark.implicits._
 
-  test("policy benchmark ranks LinUCB above the random baseline") {
+  test("policy benchmark ranks the linear policies above the random baseline") {
     // The reference's relative oracle (evaluate.py): a learned policy
     // must beat random; random must sit near AUC 0.5.
     val sql = PolicyEval.evalSqlPolicies(spark, sf("0.01")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val linucb = PolicyEval.evalLinUCB(spark, sf("0.01")).collect()(0).getDouble(1)
+    val lin = PolicyEval.evalLinUCB(spark, sf("0.01")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(sql("random") - 0.5) < 0.02, s"random AUC ${sql("random")}")
-    assert(linucb > sql("random") + 0.05, s"linucb $linucb vs random ${sql("random")}")
+    assert(lin("linucb") > sql("random") + 0.05,
+      s"linucb ${lin("linucb")} vs random ${sql("random")}")
+    assert(lin("lin_greedy") > sql("random") + 0.05,
+      s"lin_greedy ${lin("lin_greedy")} vs random ${sql("random")}")
   }
 
   test("bootstrap-then-live: seed(history) + stream(live) == seed(history ++ live)") {

@@ -49,4 +49,31 @@ class IvfAndStreamDedupSpec extends SparkSpec {
       assert(ids == Seq("o1", "o2"), s"got $ids")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedupes inside the horizon, readmits after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("order_id", "ts", "price")
+    val q = StreamingDedup.withinWatermark(df, "ts", "10 seconds", "order_id")
+      .writeStream.format("memory").queryName("dedup_ww_out")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(("o1", t("2024-01-01 00:00:01"), 5.0))
+      q.processAllAvailable()
+      // re-delivery inside the horizon: dropped
+      mem.addData(("o1", t("2024-01-01 00:00:02"), 5.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_ww_out").count() == 1)
+      // push the watermark far past o1's state, then the SAME key again:
+      // state was evicted, so the key is readmitted (the documented
+      // difference from plain dropDuplicates)
+      mem.addData(("zz", t("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(("o1", t("2024-01-01 01:00:01"), 5.0))
+      q.processAllAvailable()
+      val o1s = spark.table("dedup_ww_out").filter($"order_id" === "o1").count()
+      assert(o1s == 2, s"expected o1 readmitted after eviction, got $o1s rows")
+    } finally q.stop()
+  }
 }
