@@ -151,7 +151,17 @@ object Dedup {
     * the canonical representative, which is what a keep-one dedup pass
     * keys on. */
   def nearDupClusters(spark: SparkSession, sfDir: String,
-                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(edgeLabels(spark, sfDir, threshold, maxRounds), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+
+  /** Component labels for the edge-endpoint set only (every doc that
+    * appears in some near-dup pair); singletons are absent — the caller
+    * decides whether to attach them ([[nearDupClusters]]) or skip them
+    * ([[clusterKeep]], where they can never reach n >= 2). */
+  private def edgeLabels(spark: SparkSession, sfDir: String,
+                         threshold: Double, maxRounds: Int): DataFrame = {
     val edges = jaccardPairs(spark, sfDir, threshold)
       .select(col("doc_i"), col("doc_j"))
     // undirected: propagate both ways
@@ -180,17 +190,17 @@ object Dedup {
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    labels
   }
 
   /** Keep-one-per-cluster summary: the canonical doc and how many it
-    * absorbs — the materialized form a dedup pass writes. */
+    * absorbs — the materialized form a dedup pass writes. Works on the
+    * edge-node label set alone: a cluster with n >= 2 members consists
+    * entirely of pair endpoints, so singletons never need counting. */
   def clusterKeep(spark: SparkSession, sfDir: String,
                   threshold: Double = 0.5): DataFrame =
-    nearDupClusters(spark, sfDir, threshold)
-      .groupBy(col("cluster_id").as("keep_id"))
+    edgeLabels(spark, sfDir, threshold, maxRounds = 20)
+      .groupBy(col("lbl").as("keep_id"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2) // clusters that actually deduplicate
 
