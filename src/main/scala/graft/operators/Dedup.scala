@@ -161,9 +161,19 @@ object Dedup {
     * decides whether to attach them ([[nearDupClusters]]) or skip them
     * ([[clusterKeep]], where they can never reach n >= 2). */
   private def edgeLabels(spark: SparkSession, sfDir: String,
-                         threshold: Double, maxRounds: Int): DataFrame = {
-    val edges = jaccardPairs(spark, sfDir, threshold)
-      .select(col("doc_i"), col("doc_j"))
+                         threshold: Double, maxRounds: Int): DataFrame =
+    propagateLabels(
+      jaccardPairs(spark, sfDir, threshold).select(col("doc_i"), col("doc_j")),
+      maxRounds)
+
+  /** Connected-component labels for an arbitrary undirected edge list
+    * `(doc_i, doc_j)`: per round, each node takes the min label among
+    * itself and its neighbors, then POINTER-JUMPS (adopts its label's
+    * label) — the path-halving trick that turns diameter-bound
+    * convergence into O(log diameter), so a pathological duplicate
+    * CHAIN converges just as fast as a clique. One keyed join per step,
+    * label state only for edge endpoints. */
+  private[graft] def propagateLabels(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     // undirected: propagate both ways
     val bidir = edges.unionByName(
         edges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
@@ -179,9 +189,16 @@ object Dedup {
       val neighborMin = bidir
         .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_j") === col("nbr"))
         .groupBy(col("doc_i")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("doc_i"), "left")
+      val stepped = labels.join(neighborMin, labels("doc_id") === neighborMin("doc_i"), "left")
         .select(labels("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump: lbl ← lbl(lbl). Labels only ever shrink toward the
+      // component min, so composing two hops per round is safe and
+      // halves the remaining path each time.
+      val parents = stepped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+      val next = stepped.join(parents, stepped("lbl") === col("p_id"), "left")
+        .select(stepped("doc_id"),
+          least(stepped("lbl"), coalesce(col("p_lbl"), stepped("lbl"))).as("lbl"))
         .localCheckpoint() // truncate the iterative lineage each round
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .filter(col("lbl") =!= col("old")).limit(1).count()

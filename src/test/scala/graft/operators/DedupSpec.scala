@@ -56,6 +56,16 @@ class DedupSpec extends SparkSpec {
     labels.values.foreach(l => assert(labels(l) == l))
   }
 
+  test("label propagation converges on a 200-node chain within 20 rounds (pointer jumping)") {
+    // A pure chain 0-1-2-...-199 has diameter 199: plain neighbor-min
+    // propagation would need ~199 rounds; path halving needs O(log n).
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val labels = Dedup.propagateLabels(chain, maxRounds = 20)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min")
+  }
+
   test("corpus filter keeps only canonical, quality, English docs") {
     val kept = TextOps.corpusFilter(spark, sf()).select($"doc_id")
       .as[Long].collect().toSet
