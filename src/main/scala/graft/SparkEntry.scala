@@ -105,6 +105,12 @@ object SparkEntry {
     "q60_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q61_cluster_keep" -> ((s, d) => Dedup.clusterKeep(s, d)),
     "q62_corpus_filter" -> ((s, d) => TextOps.corpusFilter(s, d)),
+    // --- portable fingerprint + vector normalization ---
+    "q63_rolling_fingerprint" -> ((s, d) =>
+      graft.Tables.documents(s, d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.polyHash64(org.apache.spark.sql.functions.col("text")).as("fp"))),
+    "q64_normalized_embedding" -> ((s, d) => Similarity.normalized(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -707,5 +713,22 @@ object SparkEntry {
          |FROM clusters c JOIN q USING (doc_id) JOIN l USING (doc_id)
          |WHERE q.n_tokens >= 10 AND q.n_chars >= 50 AND q.n_stop > 0
          |  AND l.lang_pred = 'en' AND c.doc_id = c.cluster_id""".stripMargin,
+    "q63_rolling_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "q64_normalized_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS n0,
+        |  ROUND(CAST(embedding[2] AS DOUBLE) / nrm, 6) AS n1,
+        |  ROUND(CAST(embedding[3] AS DOUBLE) / nrm, 6) AS n2,
+        |  ROUND(CAST(embedding[4] AS DOUBLE) / nrm, 6) AS n3
+        |FROM e""".stripMargin,
   )
 }

@@ -1,5 +1,45 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine-portable rolling fingerprint: `h ← (h·31 + codepoint) mod
+  * 1e9+7` over Unicode codepoints. Unlike FNV-1a/xxhash64 this is
+  * reproducible in plain SQL on any engine (the DuckDB oracle computes
+  * it with `list_reduce` over `ascii(ch)`), which makes fingerprints an
+  * oracle-CHECKED dedup key rather than a rows-only one. Codepoint
+  * iteration (not UTF-16 units) keeps multi-byte text (`zh` docs)
+  * consistent with engines that index by codepoint. */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"poly_hash64 requires string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "poly_hash64"
+}
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}

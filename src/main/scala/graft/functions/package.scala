@@ -11,6 +11,10 @@ package object functions {
   /** 64-bit FNV-1a fingerprint of a string column (codegen'd). */
   def fnv1a64(c: Column): Column = wrap(Fnv1a64(ex(c)))
 
+  /** Engine-portable polynomial rolling fingerprint (mod 1e9+7 over
+    * codepoints) — SQL-reproducible on any engine. */
+  def polyHash64(c: Column): Column = wrap(PolyHash64(ex(c)))
+
   /** Dot product of two `array<float>` columns in double (codegen'd). */
   def dotF32(a: Column, b: Column): Column = wrap(DotProductF32(ex(a), ex(b)))
 
@@ -44,6 +48,8 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "poly_hash64", exprs => PolyHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "dot_f32", exprs => DotProductF32(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(

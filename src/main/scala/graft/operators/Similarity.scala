@@ -60,6 +60,18 @@ object Similarity {
   def srpBucket(emb: Column, nPlanes: Int): Column =
     graft.functions.srpBucket(emb, nPlanes)
 
+  /** L2 normalization — the standard pre-ANN transform (unit vectors
+    * turn cosine into dot product). Map-only; the query surface emits
+    * the leading components rounded so the oracle compares exactly. */
+  def normalized(spark: SparkSession, sfDir: String, dims: Int = 4): DataFrame = {
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val comps = (1 to dims).map(i =>
+      round(col("embedding").getItem(i - 1).cast("double") / col("nrm"), 6)
+        .as(s"n${i - 1}"))
+    e.select(col("vec_id") +: comps: _*)
+  }
+
   /** ANN via LSH buckets: join query→bucket→candidates, exact cosine
     * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
     * is the bucket id so no pair of non-colliding vectors is ever

@@ -125,9 +125,11 @@ class ExprParitySpec extends SparkSpec {
       .createOrReplaceTempView("emb_sql")
     val r1 = spark.sql(
       """SELECT fnv1a64(text) AS h, simhash64(word_shingles(text, 3)) AS sh,
-        |  minhash_sig(word_shingles(text, 3), 8) AS sig
+        |  minhash_sig(word_shingles(text, 3), 8) AS sig,
+        |  poly_hash64(text) AS pf
         |FROM docs_sql""".stripMargin).collect()
     assert(r1.length == 5 && r1.forall(r => r.getAs[Seq[Long]]("sig").length == 8))
+    assert(r1.forall(r => r.getAs[Long]("pf") >= 0L && r.getAs[Long]("pf") < 1000000007L))
     val r2 = spark.sql(
       """SELECT dot_f32(embedding, embedding) AS d2, srp_bucket(embedding, 4) AS b
         |FROM emb_sql""".stripMargin).collect()
