@@ -21,6 +21,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed ::= name
+        // Remove any output (stale from a previous run, or a partial
+        // write) so a crashed query can never look green on disk.
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -97,6 +97,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // content-free input (empty / all-null array) yields null, matching
+  // MinHashSig — otherwise every empty doc would share signature 0 and
+  // collide at hamming 0
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -108,10 +112,12 @@ case class SimHash64(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val bitsums = new Array[Int](64)
+    var contributed = 0
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
       if (s != null) {
+        contributed += 1
         val h = SketchHash.hashString(s)
         var b = 0
         while (b < 64) {
@@ -121,6 +127,7 @@ case class SimHash64(child: Expression)
       }
       j += 1
     }
+    if (contributed == 0) return null
     var sig = 0L
     var b = 0
     while (b < 64) {

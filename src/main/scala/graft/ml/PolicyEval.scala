@@ -44,6 +44,27 @@ object PolicyEval {
       sum(col("cnt")).as("n"))
   }
 
+  /** [[aucOf]] generalized to several policies in ONE pass: the same
+    * integer-rank construction, windowed and grouped by a policy
+    * column — evaluating k policies costs one scan of the melted
+    * (policy, score, label) frame instead of k scans of the source. */
+  def aucPerPolicy(df: DataFrame, policy: Column, score: Column,
+                   label: Column): DataFrame = {
+    val grouped = df.select(policy.as("policy"), score.as("s"), label.as("y"))
+      .groupBy(col("policy"), col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = grouped.withColumn("c",
+      sum(col("cnt")).over(Window.partitionBy(col("policy")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.groupBy(col("policy")).agg(
+      round(
+        (sum(col("pos") * (lit(2) * col("c") - col("cnt") + 1)) / 2.0 -
+          (sum(col("pos")) * (sum(col("pos")) + 1.0)) / 2.0) /
+          (sum(col("pos")) * (sum(col("cnt")) - sum(col("pos")))), 6).as("auc"),
+      round(sum(col("pos")) / sum(col("cnt")), 6).as("ctr"),
+      sum(col("cnt")).as("n"))
+  }
+
   /** The interaction log with engine-portable keys: arm = p_brand,
     * label = "was returned", plus a deterministic pseudo-random score
     * every engine can recompute (no hash builtin needed). */
@@ -92,9 +113,12 @@ object PolicyEval {
         round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
       .withColumn("s_greedy",
         round(scoreUdf(0.0)(col("x"), col("aInv"), col("b"), col("d")), 9))
-    aucOf(scored, col("s_ucb"), col("reward"))
-      .select(lit("linucb").as("policy"), col("auc"), col("ctr"), col("n"))
-      .unionByName(aucOf(scored, col("s_greedy"), col("reward"))
-        .select(lit("lin_greedy").as("policy"), col("auc"), col("ctr"), col("n")))
+    // melt to (policy, score) so BOTH policies evaluate from one pass
+    // over the scoring subtree (a per-policy union would re-run the
+    // seed aggregation + scoring UDFs once per branch)
+    val melted = scored.selectExpr(
+      "stack(2, 'linucb', s_ucb, 'lin_greedy', s_greedy) AS (policy, s)",
+      "reward AS y")
+    aucPerPolicy(melted, col("policy"), col("s"), col("y"))
   }
 }

@@ -102,6 +102,7 @@ class ExprParitySpec extends SparkSpec {
     assert(r(0)._2 == r(1)._2, "null element must not change minhash")
     assert(r(0)._3 == r(1)._3, "null element must not change simhash")
     assert(r(2)._2 == null, "all-null array → null minhash signature")
+    assert(r(2)._3 == null, "all-null array → null simhash (not 0L: empty docs must not collide at hamming 0)")
   }
 
   test("srpBucket rejects numPlanes outside 1..64 (bit-packing bound)") {

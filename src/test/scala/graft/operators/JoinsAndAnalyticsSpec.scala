@@ -131,18 +131,25 @@ class JoinsAndAnalyticsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
-  test("top bigrams are k-bounded, sorted, and counted over non-distinct occurrences") {
+  test("top bigrams equal a driver-side exact count (non-distinct occurrences)") {
     val out = Analytics.topBigrams(spark, sf(), k = 20).as[(String, Long)].collect()
     assert(out.length == 20)
     assert(out.sliding(2).forall {
       case Array((b1, n1), (b2, n2)) => n1 > n2 || (n1 == n2 && b1 < b2)
       case _ => true
     })
-    // a doc repeating a bigram counts it each time: verify via one doc
-    val one = graft.Tables.documents(spark, sf()).select($"text").as[String].head()
-    val toks = one.split(" ")
-    val localCounts = toks.sliding(2).map(_.mkString(" ")).toSeq
-      .groupBy(identity).view.mapValues(_.size)
-    assert(localCounts.values.max >= 1)
+    // full ground truth: every occurrence counts, including repeats
+    // within one document (a per-doc distinct would be caught here)
+    val texts = graft.Tables.documents(spark, sf()).select($"text").as[String].collect()
+    val exact = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val toks = t.split(" ")
+      if (toks.length >= 2) toks.sliding(2).foreach { w =>
+        val bg = w.mkString(" ")
+        exact(bg) = exact.getOrElse(bg, 0L) + 1L
+      }
+    }
+    val expectTop = exact.toSeq.sortBy { case (b, n) => (-n, b) }.take(20)
+    assert(out.toSeq == expectTop, s"engine ${out.take(3).toSeq} vs exact ${expectTop.take(3)}")
   }
 }

@@ -57,19 +57,37 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"ok   {name} ({len(expect)} rows)")
     # rows-only entries (no oracle): report row counts, and FAIL any
     # query declared in the manifest whose output directory is missing
-    # (a crashed rows-only query must not look green by absence).
+    # (a crashed rows-only query must not look green by absence). A
+    # query in the manifest's 'failed' list fails the gate even if a
+    # STALE output directory from a previous run still exists.
     import os
     manifest_path = os.path.join(out_dir, "manifest.json")
-    expected = set(oracle)
+    crashed = set()
     if os.path.exists(manifest_path):
-        expected = set(json.load(open(manifest_path))["queries"])
-    for name in sorted(expected - set(oracle)):
+        manifest = json.load(open(manifest_path))
+        expected = set(manifest["queries"])
+        crashed = set(manifest.get("failed", []))
+    else:
+        # no manifest (old Verify binary / partial run): fall back to
+        # listing whatever output directories exist so rows-only outputs
+        # still get surfaced
+        expected = set(oracle) | {n for n in os.listdir(out_dir)
+                                  if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(crashed):
+        print(f"FAIL {name}: Verify recorded a crash for this query")
+        failures += 1
+    for name in sorted(expected - set(oracle) - crashed):
         p = os.path.join(out_dir, name)
         if not os.path.isdir(p):
             print(f"FAIL {name}: declared in manifest but no output written")
             failures += 1
             continue
-        n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: unreadable output ({e})")
+            failures += 1
+            continue
         if n == 0:
             print(f"FAIL {name}: 0 rows (no oracle)")
             failures += 1
@@ -78,11 +96,6 @@ def main(sf_dir: str, out_dir: str) -> int:
     for name in sorted(set(oracle) - expected):
         print(f"FAIL {name}: oracle SQL declared but query missing from manifest")
         failures += 1
-    missing_oracle_outputs = [n for n in sorted(oracle)
-                              if not os.path.isdir(os.path.join(out_dir, n))]
-    for name in missing_oracle_outputs:
-        # already surfaced above as a read error, but make it explicit
-        print(f"FAIL {name}: no Spark output directory")
     return failures
 
 
