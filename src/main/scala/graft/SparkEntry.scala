@@ -111,6 +111,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("doc_id"),
         graft.functions.polyHash64(org.apache.spark.sql.functions.col("text")).as("fp"))),
     "q64_normalized_embedding" -> ((s, d) => Similarity.normalized(s, d)),
+    // --- sequence preparation: chunking + packing ---
+    "q65_chunked_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "q66_sequence_packing" -> ((s, d) => TextOps.packSequences(s, d)),
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -730,5 +733,32 @@ object SparkEntry {
         |  ROUND(CAST(embedding[3] AS DOUBLE) / nrm, 6) AS n2,
         |  ROUND(CAST(embedding[4] AS DOUBLE) / nrm, 6) AS n3
         |FROM e""".stripMargin,
+    "q65_chunked_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(len(t) / 64.0) AS BIGINT)),
+        |    i -> {'no': i, 'txt': array_to_string(t[(i*64+1):(i*64+64)], ' ')})) AS u
+        |  FROM t)
+        |SELECT doc_id, u.no AS chunk_no,
+        |  CAST(len(string_split(u.txt, ' ')) AS BIGINT) AS n_chunk_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(u.txt, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS chunk_fp
+        |FROM c""".stripMargin,
+    "q66_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin_no
+        |FROM c""".stripMargin,
   )
 }

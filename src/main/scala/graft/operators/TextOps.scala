@@ -90,6 +90,41 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * chunks (the pre-tokenization pass of sequence preparation). Pure
+    * map-side fan-out — tokenize once, slice per chunk, `posexplode`;
+    * each chunk carries a portable rolling fingerprint so the oracle
+    * verifies CONTENT, not just shape. */
+  def chunkDocs(spark: SparkSession, sfDir: String, chunkTokens: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1) // sequence(0,-1) would run DESCENDING
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(t) / $chunkTokens.0) AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(t, i * $chunkTokens + 1, $chunkTokens)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
+        graft.functions.polyHash64(col("col")).as("chunk_fp"))
+
+  /** Greedy in-order sequence packing: assign documents to fixed-token-
+    * capacity bins per language shard — `bin = floor(cumulative tokens
+    * before this doc / capacity)`, one window pass per shard. The keyed
+    * partitioning is the point: packing state never crosses shards, so
+    * the operator scales by adding shards, not by sorting the corpus
+    * globally. */
+  def packSequences(spark: SparkSession, sfDir: String, capacity: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $capacity").as("bin_no"))
+  }
+
   /** Document fingerprinting: 64-bit FNV-1a rolling hash over the raw
     * text — implemented as a native Catalyst expression with codegen
     * ([[graft.functions.Fnv1a64]]); plus xxhash64 for comparison. Not

@@ -131,6 +131,37 @@ class JoinsAndAnalyticsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("chunking reassembles every document: token counts sum, last chunk partial") {
+    val chunks = TextOps.chunkDocs(spark, sf(), chunkTokens = 64)
+    val perDoc = chunks.groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("tok"), count(lit(1)).as("n"),
+        max($"n_chunk_tokens").as("maxc"))
+    val docs = graft.Tables.documents(spark, sf())
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val joined = perDoc.join(docs, "doc_id").cache()
+    assert(joined.filter($"tok" =!= $"n_tokens").count() == 0,
+      "chunk tokens must sum back to the document")
+    assert(joined.filter($"maxc" > 64).count() == 0, "no chunk exceeds the window")
+    // chunk count = ceil(n_tokens / 64)
+    assert(joined.filter($"n" =!= ceil($"n_tokens" / 64.0).cast("long")).count() == 0)
+  }
+
+  test("sequence packing: bins respect capacity given per-doc token bound, shards independent") {
+    val packed = TextOps.packSequences(spark, sf(), capacity = 512).cache()
+    assert(packed.count() == graft.Tables.documents(spark, sf()).count())
+    // bin numbering starts at 0 per shard and is dense
+    val perShard = packed.groupBy($"lang")
+      .agg(min($"bin_no").as("lo"), max($"bin_no").as("hi"),
+        countDistinct($"bin_no").as("nbins"))
+    assert(perShard.filter($"lo" =!= 0 || $"nbins" =!= $"hi" + 1).count() == 0)
+    // a bin's content exceeds capacity only via its LAST doc straddling
+    // the boundary (greedy in-order packing invariant)
+    val over = packed.groupBy($"lang", $"bin_no")
+      .agg(sum($"n_tokens").as("tot"), max($"n_tokens").as("biggest"))
+      .filter($"tot" - $"biggest" >= 512)
+    assert(over.count() == 0)
+  }
+
   test("top bigrams equal a driver-side exact count (non-distinct occurrences)") {
     val out = Analytics.topBigrams(spark, sf(), k = 20).as[(String, Long)].collect()
     assert(out.length == 20)
