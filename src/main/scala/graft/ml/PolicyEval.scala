@@ -28,21 +28,8 @@ object PolicyEval {
     * `pos · (mn + mx)` with `mn+mx = 2c - cnt + 1` — integers
     * throughout, so the statistic is exact and partitioning-independent.
     */
-  def aucOf(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val grouped = df.select(score.as("s"), label.as("y"))
-      .groupBy(col("s"))
-      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
-    val cum = grouped.withColumn("c",
-      sum(col("cnt")).over(Window.orderBy(col("s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    cum.agg(
-      round(
-        (sum(col("pos") * (lit(2) * col("c") - col("cnt") + 1)) / 2.0 -
-          (sum(col("pos")) * (sum(col("pos")) + 1.0)) / 2.0) /
-          (sum(col("pos")) * (sum(col("cnt")) - sum(col("pos")))), 6).as("auc"),
-      round(sum(col("pos")) / sum(col("cnt")), 6).as("ctr"),
-      sum(col("cnt")).as("n"))
-  }
+  def aucOf(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucPerPolicy(df, lit("_"), score, label).drop("policy")
 
   /** [[aucOf]] generalized to several policies in ONE pass: the same
     * integer-rank construction, windowed and grouped by a policy
@@ -80,16 +67,16 @@ object PolicyEval {
           .cast("double").as("rnd_score"))
 
   /** SQL-expressible policies: popularity (arm mean reward) and the
-    * pseudo-random baseline. Oracle-checked. */
+    * pseudo-random baseline, melted into ONE pass over the joined frame
+    * (both scores live on the same rows). Oracle-checked. */
   def evalSqlPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = interactions(spark, sfDir)
-    val popularity = fb.join(
+    val scored = fb.join(
       broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
-    val pop = aucOf(popularity, col("pop_score"), col("y"))
-      .select(lit("popularity").as("policy"), col("auc"), col("ctr"), col("n"))
-    val rnd = aucOf(fb, col("rnd_score"), col("y"))
-      .select(lit("random").as("policy"), col("auc"), col("ctr"), col("n"))
-    pop.unionByName(rnd)
+    val melted = scored.selectExpr(
+      "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)",
+      "y")
+    aucPerPolicy(melted, col("policy"), col("s"), col("y"))
   }
 
   /** Model-based policy eval (rows-only: scoring needs A⁻¹): score each

@@ -95,7 +95,8 @@ object TextOps {
     * map-side fan-out — tokenize once, slice per chunk, `posexplode`;
     * each chunk carries a portable rolling fingerprint so the oracle
     * verifies CONTENT, not just shape. */
-  def chunkDocs(spark: SparkSession, sfDir: String, chunkTokens: Int = 64): DataFrame =
+  def chunkDocs(spark: SparkSession, sfDir: String, chunkTokens: Int = 64): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 1) // sequence(0,-1) would run DESCENDING
@@ -105,6 +106,7 @@ object TextOps {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
         size(split(col("col"), " ")).cast("long").as("n_chunk_tokens"),
         graft.functions.polyHash64(col("col")).as("chunk_fp"))
+  }
 
   /** Greedy in-order sequence packing: assign documents to fixed-token-
     * capacity bins per language shard — `bin = floor(cumulative tokens
@@ -113,13 +115,15 @@ object TextOps {
     * the operator scales by adding shards, not by sorting the corpus
     * globally. */
   def packSequences(spark: SparkSession, sfDir: String, capacity: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // null text would diverge from the oracle (Spark size(split(null))
+      // is -1, SQL engines yield NULL) — exclude it identically there
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $capacity").as("bin_no"))

@@ -23,12 +23,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # manifest first: a query Verify recorded as crashed fails ONCE, up
+    # front, and is skipped by the oracle loop (no double count, and a
+    # stale output dir can't mask the crash)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    crashed = set()
+    if os.path.exists(manifest_path):
+        manifest = json.load(open(manifest_path))
+        expected = set(manifest["queries"])
+        crashed = set(manifest.get("failed", []))
+    else:
+        # no manifest (old Verify binary / partial run): fall back to
+        # listing whatever output directories exist
+        expected = set(oracle) | {n for n in os.listdir(out_dir)
+                                  if os.path.isdir(os.path.join(out_dir, n))}
     failures = 0
+    for name in sorted(crashed):
+        print(f"FAIL {name}: Verify recorded a crash for this query")
+        failures += 1
     for name, sql in sorted(oracle.items()):
+        if name in crashed:
+            continue
         try:
             expect = canon(con.sql(sql).df())
             got = canon(con.sql(
@@ -57,25 +77,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"ok   {name} ({len(expect)} rows)")
     # rows-only entries (no oracle): report row counts, and FAIL any
     # query declared in the manifest whose output directory is missing
-    # (a crashed rows-only query must not look green by absence). A
-    # query in the manifest's 'failed' list fails the gate even if a
-    # STALE output directory from a previous run still exists.
-    import os
-    manifest_path = os.path.join(out_dir, "manifest.json")
-    crashed = set()
-    if os.path.exists(manifest_path):
-        manifest = json.load(open(manifest_path))
-        expected = set(manifest["queries"])
-        crashed = set(manifest.get("failed", []))
-    else:
-        # no manifest (old Verify binary / partial run): fall back to
-        # listing whatever output directories exist so rows-only outputs
-        # still get surfaced
-        expected = set(oracle) | {n for n in os.listdir(out_dir)
-                                  if os.path.isdir(os.path.join(out_dir, n))}
-    for name in sorted(crashed):
-        print(f"FAIL {name}: Verify recorded a crash for this query")
-        failures += 1
+    # (a crashed rows-only query must not look green by absence).
     for name in sorted(expected - set(oracle) - crashed):
         p = os.path.join(out_dir, name)
         if not os.path.isdir(p):
