@@ -56,6 +56,14 @@ class DedupSpec extends SparkSpec {
     labels.values.foreach(l => assert(labels(l) == l))
   }
 
+  test("cluster operators degrade gracefully when no pairs exist") {
+    // threshold above 1.0 → empty pair graph → every doc its own cluster
+    val labels = Dedup.nearDupClusters(spark, sf(), threshold = 1.1)
+      .as[(Long, Long)].collect()
+    assert(labels.nonEmpty && labels.forall { case (d, c) => d == c })
+    assert(Dedup.clusterKeep(spark, sf(), threshold = 1.1).count() == 0)
+  }
+
   test("label propagation converges on a 200-node chain within 20 rounds (pointer jumping)") {
     // A pure chain 0-1-2-...-199 has diameter 199: plain neighbor-min
     // propagation would need ~199 rounds; path halving needs O(log n).
