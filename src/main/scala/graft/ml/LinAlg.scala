@@ -70,6 +70,34 @@ object LinAlg {
     out
   }
 
+  /** Cholesky factorization of an SPD row-major matrix: returns lower-
+    * triangular L (row-major) with L·Lᵀ = A. Used by the LinTS policy to
+    * sample θ̃ ~ N(θ, ν²A⁻¹) as θ + ν·L·z with L = chol(A⁻¹). Throws on
+    * a non-positive-definite input. */
+  def choleskyLower(src: Array[Double], d: Int): Array[Double] = {
+    require(src.length == d * d, s"expected ${d * d} elements, got ${src.length}")
+    val l = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        var s = src(i * d + j)
+        var k = 0
+        while (k < j) { s -= l(i * d + k) * l(j * d + k); k += 1 }
+        if (i == j) {
+          if (s <= 0.0) throw new ArithmeticException(
+            s"matrix not positive definite at pivot $i (s=$s)")
+          l(i * d + i) = math.sqrt(s)
+        } else {
+          l(i * d + j) = s / l(j * d + j)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    l
+  }
+
   /** Eigendecomposition of a symmetric n×n row-major matrix via cyclic
     * Jacobi rotations. Returns `(eigenvalues, vectors)` sorted by
     * eigenvalue DESCENDING, with `vectors(i * n + j)` = component i of

@@ -131,6 +131,58 @@ object LinUCB {
     mean + alpha * math.sqrt(math.max(varTerm, 0.0))
   }
 
+  /** LinTS (Thompson sampling) score with DETERMINISTIC noise: sample
+    * θ̃ = θ + ν·L·z with L = chol(A⁻¹) and z standard normals derived
+    * from a caller-provided seed via Box-Muller over splitmix64 — the
+    * reference's LinTS (`evaluate.py`, mabwiser) made reproducible, the
+    * same fixed-seed discipline the reference applies everywhere
+    * (seed 1237, `prepare_data.py:25`). Returns x·θ̃. */
+  def scoreTS(x: Array[Double], m: Model, nu: Double, seed: Long): Double = {
+    val d = m.d
+    // θ = A⁻¹ b
+    val theta = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += m.aInv(i * d + j) * m.b(j); j += 1 }
+      theta(i) = acc
+      i += 1
+    }
+    val l = LinAlg.choleskyLower(m.aInv, d)
+    // deterministic standard normals: splitmix64 stream → Box-Muller
+    var s = seed
+    def nextU(): Double = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // (0,1]: avoid log(0)
+      ((z >>> 11).toDouble + 1.0) / 9007199254740993.0
+    }
+    val z = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      val u1 = nextU(); val u2 = nextU()
+      z(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      i += 1
+    }
+    // score = x·θ + ν · x·(L z)
+    var mean = 0.0
+    var noise = 0.0
+    i = 0
+    while (i < d) {
+      mean += x(i) * theta(i)
+      var lz = 0.0
+      var j = 0
+      while (j <= i) { lz += l(i * d + j) * z(j); j += 1 }
+      noise += x(i) * lz
+      i += 1
+    }
+    mean + nu * noise
+  }
+
   /** J5/O2: score every arm for every context and keep top-k — the
     * serving path as one plan: contexts ⋈ broadcast(models) → score →
     * per-context top-k via row_number (no global sort). */

@@ -81,12 +81,12 @@ object PolicyEval {
 
   /** Model-based policy eval (rows-only: scoring needs A⁻¹): score each
     * interaction's own (arm, context) with the seeded models, AUC over
-    * the pooled scores — for LinUCB (exploration bonus α=0.1) and
-    * LinGreedy (α=0, pure posterior mean — the deterministic core the
-    * reference's LinGreedy and LinTS-mean share, `evaluate.py:65-70`).
-    * The oracle is relative, exactly like the reference's (`evaluate.py`
-    * ranks policies; the linear policies must beat random) — asserted
-    * in spec. */
+    * the pooled scores — LinUCB (exploration bonus α=0.1), LinGreedy
+    * (α=0, pure posterior mean) and LinTS (Thompson sampling with
+    * deterministic seeded noise, ν=0.05) — the reference's linear
+    * policy family (`evaluate.py:65-70`). The oracle is relative,
+    * exactly like the reference's (`evaluate.py` ranks policies; the
+    * linear policies must beat random) — asserted in spec. */
   def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
@@ -94,17 +94,25 @@ object PolicyEval {
     def scoreUdf(alpha: Double) =
       udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
         LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), alpha))
+    val tsUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int, seed: Long) =>
+      LinUCB.scoreTS(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L),
+        nu = 0.05, seed = seed))
     val scored = fb.toDF()
       .join(broadcast(models.select($"productId", $"aInv", $"b", $"d")), "productId")
       .withColumn("s_ucb",
         round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
       .withColumn("s_greedy",
         round(scoreUdf(0.0)(col("x"), col("aInv"), col("b"), col("d")), 9))
-    // melt to (policy, score) so BOTH policies evaluate from one pass
+      // seed = content hash of (arm, context): deterministic across
+      // runs and partitionings, unique per distinct interaction shape
+      .withColumn("s_ts",
+        round(tsUdf(col("x"), col("aInv"), col("b"), col("d"),
+          xxhash64(col("productId"), col("x"))), 9))
+    // melt to (policy, score) so ALL policies evaluate from one pass
     // over the scoring subtree (a per-policy union would re-run the
     // seed aggregation + scoring UDFs once per branch)
     val melted = scored.selectExpr(
-      "stack(2, 'linucb', s_ucb, 'lin_greedy', s_greedy) AS (policy, s)",
+      "stack(3, 'linucb', s_ucb, 'lin_greedy', s_greedy, 'lin_ts', s_ts) AS (policy, s)",
       "reward AS y")
     aucPerPolicy(melted, col("policy"), col("s"), col("y"))
   }

@@ -46,6 +46,29 @@ class LinAlgSpec extends AnyFunSuite {
     }
   }
 
+  test("choleskyLower matches Breeze cholesky and reconstructs A") {
+    for (d <- Seq(2, 5, 12); seed <- 1L to 3L) {
+      val a = randomSpd(d, seed * 31 + d)
+      val l = LinAlg.choleskyLower(a, d)
+      val expect = breeze.linalg.cholesky(new DenseMatrix(d, d, a.clone()))
+      for (i <- 0 until d; j <- 0 until d) {
+        val want = if (j <= i) expect(i, j) else 0.0
+        assert(math.abs(l(i * d + j) - want) < 1e-9, s"d=$d ($i,$j)")
+      }
+      // L·Lᵀ = A
+      for (i <- 0 until d; j <- 0 until d) {
+        val recon = (0 until d).map(k => l(i * d + k) * l(j * d + k)).sum
+        assert(math.abs(recon - a(i * d + j)) < 1e-9)
+      }
+    }
+  }
+
+  test("choleskyLower rejects non-positive-definite input") {
+    intercept[ArithmeticException] {
+      LinAlg.choleskyLower(Array(1.0, 2.0, 2.0, 1.0), 2) // indefinite
+    }
+  }
+
   test("symEigDesc matches Breeze svd on symmetric PSD matrices") {
     for (n <- Seq(3, 8, 20); seed <- 1L to 2L) {
       val a = randomSpd(n, seed * 1000 + n)

@@ -20,6 +20,27 @@ class PolicyAndStoreSpec extends SparkSpec {
       s"linucb ${lin("linucb")} vs random ${sql("random")}")
     assert(lin("lin_greedy") > sql("random") + 0.05,
       s"lin_greedy ${lin("lin_greedy")} vs random ${sql("random")}")
+    assert(lin("lin_ts") > sql("random") + 0.05,
+      s"lin_ts ${lin("lin_ts")} vs random ${sql("random")}")
+    // moderate exploration noise costs a little AUC vs the pure mean
+    assert(lin("lin_ts") <= lin("lin_greedy") + 0.02,
+      s"lin_ts ${lin("lin_ts")} should not beat greedy by more than noise")
+  }
+
+  test("LinTS scores are deterministic for a fixed seed and vary across seeds") {
+    val m = {
+      val a = Array(2.0, 0.3, 0.3, 1.5)
+      LinUCB.Model("p", graft.ml.LinAlg.invertRowMajor(a, 2), Array(1.0, 0.5), 2, 10L)
+    }
+    val x = Array(1.0, 0.4)
+    val s1 = LinUCB.scoreTS(x, m, nu = 0.1, seed = 42L)
+    val s2 = LinUCB.scoreTS(x, m, nu = 0.1, seed = 42L)
+    val s3 = LinUCB.scoreTS(x, m, nu = 0.1, seed = 43L)
+    assert(s1 == s2, "same seed must reproduce the draw")
+    assert(s1 != s3, "different seed must vary the draw")
+    // ν=0 collapses to the posterior mean = greedy score
+    assert(math.abs(LinUCB.scoreTS(x, m, nu = 0.0, seed = 7L) -
+      LinUCB.score(x, m, alpha = 0.0)) < 1e-12)
   }
 
   test("bootstrap-then-live: seed(history) + stream(live) == seed(history ++ live)") {
