@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen spin-up and parquet footer reads are
-    // session costs, not query costs — running one representative query
-    // first keeps them out of the per-query numbers.
-    try SparkEntry.queries.head._2(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Untimed warmup: JVM/codegen spin-up, parquet footer reads, and the
+    // OS page cache for the input files are session costs, not query
+    // costs — prime them all so the first timed queries aren't charged
+    // for cold I/O the later ones don't pay.
+    try {
+      Tables.names.foreach { n =>
+        // events needs the nanosAsLong reader path (Tables.events sets it)
+        try {
+          val df = if (n == "events") Tables.events(spark, sfDir)
+                   else Tables.read(spark, sfDir, n)
+          df.foreach(_ => ()) // full scan, untimed
+        } catch { case _: Throwable => () }
+      }
+      SparkEntry.queries.head._2(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
