@@ -4,11 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession carries the shared configs (nanosAsLong for the
+    // events reader, UTC session timezone, AQE) so Bench times the same
+    // query semantics Verify checks.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen spin-up, parquet footer reads, and the
     // OS page cache for the input files are session costs, not query
@@ -16,12 +15,8 @@ object Bench {
     // for cold I/O the later ones don't pay.
     try {
       Tables.names.foreach { n =>
-        // events needs the nanosAsLong reader path (Tables.events sets it)
-        try {
-          val df = if (n == "events") Tables.events(spark, sfDir)
-                   else Tables.read(spark, sfDir, n)
-          df.foreach(_ => ()) // full scan, untimed
-        } catch { case _: Throwable => () }
+        try Tables.read(spark, sfDir, n).foreach(_ => ()) // full scan, untimed
+        catch { case _: Throwable => () }
       }
       SparkEntry.queries.head._2(spark, sfDir).count()
     } catch { case _: Throwable => () }

@@ -137,9 +137,12 @@ object LinUCB {
     * reference's LinTS (`evaluate.py`, mabwiser) made reproducible, the
     * same fixed-seed discipline the reference applies everywhere
     * (seed 1237, `prepare_data.py:25`). Returns x·θ̃. */
-  def scoreTS(x: Array[Double], m: Model, nu: Double, seed: Long): Double = {
+  def scoreTS(x: Array[Double], m: Model, nu: Double, seed: Long): Double =
+    scoreTSPre(x, thetaOf(m), LinAlg.choleskyLower(m.aInv, m.d), m.d, nu, seed)
+
+  /** θ = A⁻¹b — the per-arm posterior mean, computable once per model. */
+  def thetaOf(m: Model): Array[Double] = {
     val d = m.d
-    // θ = A⁻¹ b
     val theta = new Array[Double](d)
     var i = 0
     while (i < d) {
@@ -149,7 +152,15 @@ object LinUCB {
       theta(i) = acc
       i += 1
     }
-    val l = LinAlg.choleskyLower(m.aInv, d)
+    theta
+  }
+
+  /** [[scoreTS]] with the per-arm factors (θ, L = chol(A⁻¹)) hoisted
+    * out — the hot-path form: per interaction only the z draw (O(d))
+    * and two dot products remain; the O(d³) factorization happens once
+    * per ARM, not once per row. */
+  def scoreTSPre(x: Array[Double], theta: Array[Double], l: Array[Double],
+                 d: Int, nu: Double, seed: Long): Double = {
     // deterministic standard normals: splitmix64 stream → Box-Muller
     var s = seed
     def nextU(): Double = {
@@ -162,7 +173,7 @@ object LinUCB {
       ((z >>> 11).toDouble + 1.0) / 9007199254740993.0
     }
     val z = new Array[Double](d)
-    i = 0
+    var i = 0
     while (i < d) {
       val u1 = nextU(); val u2 = nextU()
       z(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)

@@ -90,15 +90,22 @@ object PolicyEval {
   def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
+    // hoist the per-ARM factors (θ, chol(A⁻¹)) out of the per-row UDFs:
+    // O(d³) work happens once per model on the broadcast side, the row
+    // path only draws z and takes dot products
     val models = LinUCB.seed(fb, LinUCB.Dim)
+      .map(m => (m.productId, m.aInv, m.b, m.d,
+        LinUCB.thetaOf(m), LinAlg.choleskyLower(m.aInv, m.d)))
+      .toDF("productId", "aInv", "b", "d", "theta", "lchol")
     def scoreUdf(alpha: Double) =
       udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
         LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), alpha))
-    val tsUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int, seed: Long) =>
-      LinUCB.scoreTS(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L),
+    val tsUdf = udf((x: Seq[Double], theta: Seq[Double], lchol: Seq[Double],
+                     d: Int, seed: Long) =>
+      LinUCB.scoreTSPre(x.toArray, theta.toArray, lchol.toArray, d,
         nu = 0.05, seed = seed))
     val scored = fb.toDF()
-      .join(broadcast(models.select($"productId", $"aInv", $"b", $"d")), "productId")
+      .join(broadcast(models), "productId")
       .withColumn("s_ucb",
         round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
       .withColumn("s_greedy",
@@ -106,7 +113,7 @@ object PolicyEval {
       // seed = content hash of (arm, context): deterministic across
       // runs and partitionings, unique per distinct interaction shape
       .withColumn("s_ts",
-        round(tsUdf(col("x"), col("aInv"), col("b"), col("d"),
+        round(tsUdf(col("x"), col("theta"), col("lchol"), col("d"),
           xxhash64(col("productId"), col("x"))), 9))
     // melt to (policy, score) so ALL policies evaluate from one pass
     // over the scoring subtree (a per-policy union would re-run the

@@ -22,9 +22,6 @@ class PolicyAndStoreSpec extends SparkSpec {
       s"lin_greedy ${lin("lin_greedy")} vs random ${sql("random")}")
     assert(lin("lin_ts") > sql("random") + 0.05,
       s"lin_ts ${lin("lin_ts")} vs random ${sql("random")}")
-    // moderate exploration noise costs a little AUC vs the pure mean
-    assert(lin("lin_ts") <= lin("lin_greedy") + 0.02,
-      s"lin_ts ${lin("lin_ts")} should not beat greedy by more than noise")
   }
 
   test("LinTS scores are deterministic for a fixed seed and vary across seeds") {
