@@ -31,34 +31,40 @@ package object functions {
     * tokens). */
   def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
 
-  /** Register SQL-callable names for ALL custom expressions. The
-    * int-parameterized ones take a foldable literal second argument
-    * (e.g. `minhash_sig(shingles, 64)`). */
-  def registerAll(spark: SparkSession): Unit = {
-    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
-      if (!e.foldable) throw new IllegalArgumentException(
-        s"expected an integer literal argument, got non-literal ${e.sql}")
-      e.eval(null) match {
-        case i: Int => i
-        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"expected a positive integer literal argument, got $other")
-      }
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected an integer literal argument, got non-literal ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected a positive integer literal argument, got $other")
     }
+  }
+
+  /** One source of truth for the SQL surface: name → expression builder.
+    * The int-parameterized functions take a foldable literal second
+    * argument (e.g. `minhash_sig(shingles, 64)`). Consumed by both
+    * [[registerAll]] (imperative, per-session) and
+    * [[graft.GraftExtensions]] (`spark.sql.extensions` config). */
+  private[graft] val sqlBuilders: Seq[
+      (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "fnv1a64" -> (exprs => Fnv1a64(exprs.head)),
+    "poly_hash64" -> (exprs => PolyHash64(exprs.head)),
+    "dot_f32" -> (exprs => DotProductF32(exprs.head, exprs(1))),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs(1)))),
+    "srp_bucket" -> (exprs => SrpBucket(exprs.head, intArg(exprs(1)))),
+    "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs(1)))),
+  )
+
+  /** Register SQL-callable names for ALL custom expressions on an
+    * already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "fnv1a64", exprs => Fnv1a64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "poly_hash64", exprs => PolyHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "dot_f32", exprs => DotProductF32(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, intArg(exprs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "srp_bucket", exprs => SrpBucket(exprs.head, intArg(exprs(1))), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head, intArg(exprs(1))), "scala_udf")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -34,6 +34,38 @@ class GraftFacadeSpec extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("spark.sql.extensions=graft.GraftExtensions registers the SQL functions at build time") {
+    // extensions apply only at SESSION construction; clear the JVM's
+    // default/active session so getOrCreate builds a genuinely new one
+    // (sharing the context) with the extension installed — the functions
+    // must then resolve WITHOUT any registerAll call
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // the string form (`.config("spark.sql.extensions", ...)`) only
+      // takes effect when the SparkCONTEXT is created with it, which the
+      // shared test context wasn't — withExtensions exercises the same
+      // injectFunction path through the public builder API
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT poly_hash64('abc') AS p, fnv1a64('abc') AS f, simhash64(array('a','b')) AS s")
+        .collect()(0)
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("query() dispatches by inventory name and rejects unknowns") {
     assert(Graft.query(spark, sf(), "q01_pricing_summary").count() > 0)
     intercept[NoSuchElementException] {
