@@ -118,6 +118,30 @@ class ExprParitySpec extends SparkSpec {
     assert(e.getMessage.contains("numPlanes") || e.getMessage.contains("64"))
   }
 
+  test("poly_hash64 matches a pure-Scala codepoint fold, including non-BMP text") {
+    def ref(s: String): Long = {
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    // ASCII, accents, CJK, and a surrogate-pair emoji (non-BMP: the
+    // codepoint loop must advance by TWO UTF-16 units there)
+    val samples = Seq("", "abc", "héllo wörld", "中文 文本 也 许", "mixed 中 text",
+      "emoji 😀 inside")
+    val got = samples.toDF("s").select(polyHash64($"s").as("h"))
+      .as[Long].collect()
+    samples.zip(got).foreach { case (s, h) =>
+      assert(h == ref(s), s"'$s': engine $h vs reference ${ref(s)}")
+    }
+    // hash lands in [0, 1e9+7) for arbitrary input
+    assert(got.forall(h => h >= 0 && h < 1000000007L))
+  }
+
   test("registerAll exposes every custom expression to SQL") {
     registerAll(spark)
     spark.read.parquet(sf() + "/documents.parquet").limit(5)
