@@ -40,4 +40,25 @@ object Sources {
       .option("header", "true")
       .option("mode", "DROPMALFORMED")
       .csv(dir)
+
+  // --- Additional columnar/text formats ---
+  // The engine is format-agnostic past the DataFrameReader boundary:
+  // the same plans run over parquet (default), ORC (the other columnar
+  // format with predicate pushdown + column pruning), and JSON-lines
+  // (schema'd, PERMISSIVE/DROPMALFORMED like the CSV path). These two
+  // helpers pin that contract so a lake migration is a reader swap.
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
 }
