@@ -32,15 +32,16 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" + (if (ok) "" else "  (FAILED)"))
-      // A query that threw must not masquerade as a fast success: record
-      // a negative elapsed so the failure is visible in the JSON numbers
-      // as well as the errors list.
-      name -> (if (ok) dt else -dt)
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Failed queries appear ONLY in the errors list: their time-to-failure
+    // is not a query duration, and including it (positive or negative)
+    // would make totals incomparable across runs with different failure
+    // sets and confuse consumers of the queries map.
+    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2.abs).sum
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -116,6 +116,15 @@ object SparkEntry {
     "q66_sequence_packing" -> ((s, d) => TextOps.packSequences(s, d)),
   )
 
+  /** Expected minimum output rows for rows-only queries (those with no
+    * `oracleSql` entry). The gate (tools/parity_check.py) fails a
+    * rows-only output smaller than its declared minimum; a query listed
+    * here with 0 is allowed to be legitimately empty (e.g. a filter that
+    * matches nothing at a small scale factor). Queries absent from this
+    * map default to minimum 1 — emptiness is treated as breakage unless
+    * declared otherwise. */
+  def minRows: Map[String, Long] = Map.empty
+
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
   // lock-step on the money arithmetic: per-row DECIMAL(18,4) revenue,
   // decimal-exact sums — see graft.functions.ExactNum).
@@ -662,9 +671,11 @@ object SparkEntry {
         |  t AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q58_stratified_sample" ->
       """SELECT doc_id, lang,
-        |  ROUND(CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0, 6) AS u
+        |  ROUND(CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+        |      % 1048576 AS DOUBLE) / 1048576.0, 6) AS u
         |FROM documents
-        |WHERE CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) / 1048576.0 <
+        |WHERE CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+        |    % 1048576 AS DOUBLE) / 1048576.0 <
         |  CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END""".stripMargin,
     "q59_top_bigrams" ->
       """WITH toks AS (

@@ -54,8 +54,13 @@ object Verify {
     // silently skipping a broken rows-only query.
     val manifest = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
     val failedJson = failed.sorted.map(q).mkString("[", ",", "]")
+    // min_rows: declared minimum output sizes for rows-only queries, so
+    // the gate checks emptiness against intent (a declared-may-be-empty
+    // query is not a failure) rather than assuming rows>0 everywhere.
+    val minRowsJson = SparkEntry.minRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      s"""{"queries":$manifest,"failed":$failedJson}""")
+      s"""{"queries":$manifest,"failed":$failedJson,"min_rows":$minRowsJson}""")
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
     }

@@ -173,6 +173,13 @@ object LinAlg {
       }
       sweep += 1
     }
+    // Cyclic Jacobi converges quadratically: 64 sweeps is far beyond any
+    // non-pathological symmetric input. If the off-diagonal mass still
+    // hasn't met tolerance, the factorization is inaccurate — fail loudly
+    // rather than return a quietly wrong embedding (mirrors the
+    // convergence requirement in Dedup.propagateLabels).
+    require(offDiagSq() <= tol,
+      s"symEigDesc: Jacobi failed to converge in 64 sweeps (n=$n, offDiagSq=${offDiagSq()}, tol=$tol)")
 
     // sort eigenpairs by eigenvalue descending (stable: ties keep sweep order)
     val order = (0 until n).sortBy(j => -a(j * n + j))

@@ -90,7 +90,12 @@ object Analytics {
     * fixed seeds, `prepare_data.py:25`). The sampled subset is
     * engine-independent, so it oracle-checks exactly. */
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val u = (col("doc_id") * lit(2654435761L)) % lit(1048576L) / lit(1048576.0)
+    // pmod-reduce the id BEFORE multiplying: (id mod 2^20) < 2^20 times
+    // 2654435761 < 2^32 stays under 2^52 — exact in a long on Spark AND
+    // in DuckDB's BIGINT (no wrap on one engine vs promote on the other),
+    // and pmod keeps the expression correct for negative ids too.
+    val h = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val u = h / lit(1048576.0)
     val rate = when(col("lang") === "en", 0.25).otherwise(0.75)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), round(u, 6).as("u"))

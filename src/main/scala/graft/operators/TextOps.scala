@@ -120,8 +120,12 @@ object TextOps {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
-      // null text would diverge from the oracle (Spark size(split(null))
-      // is -1, SQL engines yield NULL) — exclude it identically there
+      // null text would diverge from the oracle: Spark size(split(null))
+      // is null under current defaults (spark.sql.legacy.sizeOfNull=false,
+      // the default since 3.0; -1 only under the legacy flag) while SQL
+      // engines also yield NULL — but null-vs-null comparison semantics
+      // differ across engines, so the portable guard is to exclude nulls
+      // identically on both sides
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))

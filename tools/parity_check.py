@@ -33,10 +33,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     # stale output dir can't mask the crash)
     manifest_path = os.path.join(out_dir, "manifest.json")
     crashed = set()
+    min_rows = {}
     if os.path.exists(manifest_path):
         manifest = json.load(open(manifest_path))
         expected = set(manifest["queries"])
         crashed = set(manifest.get("failed", []))
+        # declared minimum output sizes for rows-only queries (absent key
+        # = 1, i.e. emptiness is a failure unless declared intentional)
+        min_rows = manifest.get("min_rows", {})
     else:
         # no manifest (old Verify binary / partial run): fall back to
         # listing whatever output directories exist
@@ -90,11 +94,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: unreadable output ({e})")
             failures += 1
             continue
-        if n == 0:
-            print(f"FAIL {name}: 0 rows (no oracle)")
+        need = min_rows.get(name, 1)
+        if n < need:
+            print(f"FAIL {name}: {n} rows < declared minimum {need} (no oracle)")
             failures += 1
         else:
-            print(f"rows {name}: {n} (no oracle)")
+            print(f"rows {name}: {n} (no oracle, min {need})")
     for name in sorted(set(oracle) - expected):
         print(f"FAIL {name}: oracle SQL declared but query missing from manifest")
         failures += 1
