@@ -114,6 +114,21 @@ object SparkEntry {
     // --- sequence preparation: chunking + packing ---
     "q65_chunked_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q66_sequence_packing" -> ((s, d) => TextOps.packSequences(s, d)),
+    // --- CDC materialization: multi-version changelog → current table
+    // image (the batch twin of streaming.CdcMaterialize) ---
+    "q67_cdc_materialize" -> ((s, d) => Cdc.materializeLatest(s, d)),
+    // --- grouping-sets / value-range frames / exact-sufficient-stats ---
+    "q68_grouping_sets" -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
+    "q69_moving_revenue" -> ((s, d) => Analytics.movingRevenue(s, d)),
+    "q70_corr_stats" -> ((s, d) => Analytics.corrStats(s, d)),
+    "q71_histogram" -> ((s, d) => Analytics.acctbalHistogram(s, d)),
+    // --- set-op cohorts, calendar gap fill ---
+    "q72_customer_cohorts" -> ((s, d) => Analytics.customerCohorts(s, d)),
+    "q73_gap_fill" -> ((s, d) => Analytics.gapFillHourly(s, d)),
+    // --- embedding label profile + skew-salted join (oracle = the
+    // plain join: the rewrite is semantics-preserving by construction) ---
+    "q74_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
+    "q75_skew_salted" -> ((s, d) => SkewJoin.saltedSupplierRevenue(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -771,5 +786,95 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, (cum - n_tokens) // 512 AS bin_no
         |FROM c""".stripMargin,
+    // Closed-form expected final state of the synthesized multi-version
+    // changelog (see Cdc.versionedEnvelope scaladoc for the rules).
+    "q67_cdc_materialize" ->
+      """WITH ranked AS (
+        |  SELECT *, ((l_orderkey * 31 + l_linenumber) % 10) AS h,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_partkey, l_quantity, l_extendedprice) AS r,
+        |    count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS cnt
+        |  FROM lineitem)
+        |SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |  l_partkey AS part_id,
+        |  l_quantity + CASE WHEN h >= 4 THEN 1 ELSE 0 END AS quantity,
+        |  l_extendedprice AS price
+        |FROM ranked
+        |WHERE h < 8 AND r = cnt""".stripMargin,
+    "q68_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+         |  coalesce(l_linestatus, 'ALL') AS status,
+         |  count(*) AS n, ${revSum("revenue")}
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q69_moving_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_30d
+        |FROM orders""".stripMargin,
+    // DECIMAL(19,4) operands: DuckDB sizes multiplication width as
+    // p1+p2 and executes DECIMAL(18) on int64 (overflows); 19+19=38
+    // stays in range and runs on int128. Values are exact either way,
+    // so Spark's (18,4) and DuckDB's (19,4) agree bit-for-bit.
+    "q70_corr_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |      CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |      CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_qp
+        |FROM s""".stripMargin,
+    "q71_histogram" ->
+      """SELECT CAST(floor((c_acctbal + 1000.0) / 500.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  ROUND(CAST(floor((c_acctbal + 1000.0) / 500.0) AS BIGINT) * 500.0 - 1000.0, 1) AS lo
+        |FROM customer
+        |GROUP BY 1""".stripMargin,
+    "q72_customer_cohorts" ->
+      """WITH y1 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     y2 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'retained' AS cohort
+        |FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2)""".stripMargin,
+    "q73_gap_fill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM ev GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |c AS (SELECT event_type, h, count(*) AS cnt FROM ev GROUP BY 1, 2)
+        |SELECT s.event_type, epoch_us(s.h) AS hour_us,
+        |  coalesce(c.cnt, 0) AS n,
+        |  epoch_us(last_value(CASE WHEN c.cnt IS NOT NULL THEN s.h END IGNORE NULLS)
+        |    OVER (PARTITION BY s.event_type ORDER BY s.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS last_active_us
+        |FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.h = c.h""".stripMargin,
+    "q74_label_stats" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |    CAST(embedding[1] AS DOUBLE) AS e0
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  ROUND(min(nrm), 6) AS nrm_min, ROUND(max(nrm), 6) AS nrm_max,
+        |  ROUND(min(e0), 6) AS e0_min, ROUND(max(e0), 6) AS e0_max
+        |FROM e GROUP BY label""".stripMargin,
+    "q75_skew_salted" ->
+      s"""SELECT s_name, count(*) AS n_items, ${revSum("revenue")}
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name""".stripMargin,
   )
 }

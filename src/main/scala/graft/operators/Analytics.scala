@@ -102,6 +102,126 @@ object Analytics {
       .filter(u < rate)
   }
 
+  /** Explicit GROUPING SETS — the third member of the grouping-sets
+    * family next to ROLLUP ([[Relational.revenueRollup]]) and CUBE
+    * ([[revenueCube]]): only the granularities the report needs, so the
+    * expanded-row multiplier is |sets| (here 3), not 2^dims. Group
+    * labels surface as 'ALL' (the data never carries real NULLs in
+    * these dims) to keep the output engine-portable without
+    * grouping_id. */
+  def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double"), 2).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("revenue"))
+
+  /** Value-range window frame: per-customer 30-day trailing revenue,
+    * `RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW` over epoch
+    * seconds. RANGE (not ROWS) is the semantics reports actually want —
+    * the frame is defined by TIME distance, so ties and gaps in order
+    * density don't change the answer. The partition key is the shuffle
+    * key; frames never cross customers, so the operator scales by
+    * customer count. Decimal-exact sum (engine-portable). */
+  def movingRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-2592000L, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // parquet NTZ timestamp → session-TZ (UTC) instant before epoch math
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("epoch_s"),
+        col("o_totalprice").cast(DecimalType(18, 4)).as("p"))
+      .select(col("o_orderkey"), col("o_custkey"), col("epoch_s"),
+        round(sum(col("p")).over(w).cast("double"), 2).as("rev_30d"))
+  }
+
+  /** Correlation + regression slope per group WITHOUT float
+    * accumulation: the five sufficient statistics (n, Σx, Σy, Σx²,
+    * Σxy, Σy²) are decimal-exact sums — associative, partitioning-
+    * independent, identical on any engine — and the float math happens
+    * once per GROUP in the final projection. The portable alternative
+    * to `corr()`/`covar_samp()`, whose per-engine accumulation order
+    * makes bitwise oracle comparison impossible. */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 4))
+    val y = col("l_extendedprice").cast(DecimalType(18, 4))
+    val sums = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * x).cast(DecimalType(38, 8))).cast("double").as("sxx"),
+        sum((x * y).cast(DecimalType(38, 8))).cast("double").as("sxy"),
+        sum((y * y).cast(DecimalType(38, 8))).cast("double").as("syy"))
+    sums.select(col("flag"), col("n").cast("long").as("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope_qp"))
+  }
+
+  /** Fixed-width histogram of customer balances: bin index is pure
+    * IEEE-double arithmetic (identical on every engine), the heavy op
+    * is one map-side-combined groupBy. The building block behind
+    * quality-score and length histograms over a corpus. */
+  def acctbalHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(floor((col("c_acctbal") + 1000.0) / 500.0).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", round(col("bin") * 500.0 - 1000.0, 1))
+
+  /** INTERSECT / EXCEPT surface: customer cohorts by order year —
+    * retained (ordered in both years) vs churned (first year only).
+    * Spark plans both as left-semi/anti joins over the distinct sets;
+    * the two branches share the scan via the common `byYear` subplan. */
+  def customerCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def inYear(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val first = inYear(1995)
+    val second = inYear(1996)
+    first.intersect(second).select(col("o_custkey"), lit("retained").as("cohort"))
+      .unionByName(first.except(second)
+        .select(col("o_custkey"), lit("churned").as("cohort")))
+  }
+
+  /** Calendar-spine gap fill: every (event_type × hour) slot over the
+    * observed range, zero-filled counts plus a forward-filled "last
+    * active hour" — the time-series densification every downstream
+    * charting/feature layer needs. The spine is generated (sequence +
+    * explode), never collected; the fill is one window per type. */
+  def gapFillHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val ffill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        last(when(col("cnt").isNotNull, col("h")), ignoreNulls = true)
+          .over(ffill).cast("timestamp").as("last_active"))
+      .select(col("event_type"), col("hour_us"), col("n"),
+        unix_micros(col("last_active")).as("last_active_us"))
+  }
+
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the
     * explode → groupBy shape whose shuffle carries (bigram, partial
     * count) — map-side combine keeps it narrow at corpus scale. */

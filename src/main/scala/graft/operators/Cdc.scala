@@ -106,4 +106,83 @@ object Cdc {
         count(lit(1)).as("n"),
         count(col("part_id")).as("n_with_payload"),
         max(col("lsn")).as("max_lsn"))
+
+  // --- multi-version changelog → materialized table ---
+  // The reference's CDC pipeline ends at a topic; the natural consumer
+  // (what `cdc-local/ps_sub.py` hand-waves with a print) is a
+  // materialized VIEW of the captured table: apply c/u/d per key in
+  // log order, keep the latest surviving image. Version history is
+  // synthesized deterministically from the key so an external SQL
+  // oracle can state the expected final table in closed form:
+  //   h = pmod(l_orderkey*31 + l_linenumber, 10)   (per KEY)
+  //   each source row (payload-ranked r among same-key duplicates):
+  //     'c' (insert, original quantity)          lsn = base(key, r)
+  //     h >= 4 → 'u' (update, quantity + 1)      lsn = base(key, r)+1
+  //     h >= 8 → 'd' (delete, payload nulled)    lsn = base(key, r)+2
+  // so the final state is: keys with h < 8 survive, the image comes
+  // from the key's HIGHEST-ranked duplicate row, quantity bumped iff
+  // h >= 4.
+
+  private def versionHash = pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(10))
+
+  /** The multi-version wire stream: up to 3 envelopes per key, ordered
+    * by a monotone per-key `lsn`. The synthetic lineitem table carries
+    * duplicate (orderkey, linenumber) keys, so the log treats each
+    * duplicate source row as a successive rewrite of the same key —
+    * ranked deterministically by payload so the per-key order (and thus
+    * the materialized image) is well-defined on any engine. Envelope
+    * construction itself is map-side; the rank is one keyed window. */
+  def versionedEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupRank = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // lsn space: 1000 slots per key (≫ any duplicate-group size), 4 per
+    // rewrite generation — monotone across generations of one key,
+    // unique across keys.
+    val keyLsn = (col("l_orderkey") * 10 + col("l_linenumber")) * 1000 +
+      (col("r") - 1) * 4
+    def env(op: String, quantity: org.apache.spark.sql.Column, lsnOff: Int) = struct(
+      lit(op).as("op"),
+      (keyLsn + lsnOff).as("lsn"),
+      when(lit(op) === "d", lit(null).cast("long")).otherwise(col("l_partkey")).as("part_id"),
+      when(lit(op) === "d", lit(null).cast("double")).otherwise(quantity).as("quantity"),
+      when(lit(op) === "d", lit(null).cast("double")).otherwise(col("l_extendedprice")).as("price"))
+    Similarity.spread(Tables.lineitem(spark, sfDir))
+      .withColumn("h", versionHash)
+      .withColumn("r", row_number().over(dupRank))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(filter(array(
+          env("c", col("l_quantity"), 0),
+          when(col("h") >= 4, env("u", col("l_quantity") + 1, 1)),
+          when(col("h") >= 8, env("d", col("l_quantity"), 2))), v => v.isNotNull)).as("v"))
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("key"),
+        to_json(struct(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          col("v.part_id"), col("v.quantity"), col("v.price"),
+          col("v.op"),
+          when(col("v.op") === "d", "true").otherwise("false").as("__deleted"),
+          lit("order_items").as("table"),
+          col("v.lsn"))).as("value"))
+  }
+
+  /** Materialize the table from the changelog: decode the wire envelope,
+    * keep the max-lsn image per key (one hash-partitioned window — the
+    * shuffle is on the PK, exactly the partitioning the downstream
+    * storage wants), drop keys whose final image is a delete. This is
+    * the batch twin of the streaming upsert view
+    * ([[graft.streaming.CdcMaterialize]]); the two agree by spec. */
+  def materializeLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("order_id"), col("line_no"))
+      .orderBy(col("lsn").desc)
+    versionedEnvelope(spark, sfDir)
+      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
+      .select(col("p.*"))
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1 && col("op") =!= "d")
+      .select(col("order_id"), col("line_no"), col("part_id"),
+        col("quantity"), col("price"))
+  }
 }

@@ -72,6 +72,26 @@ object Similarity {
     e.select(col("vec_id") +: comps: _*)
   }
 
+  /** Per-label embedding-space statistics: count and the norm envelope
+    * (min/max L2 norm, min/max first component) per class label — the
+    * sanity profile run before training on an embedding column. Only
+    * order statistics and counts: exact on any engine and any
+    * partitioning (float SUMS across rows are deliberately absent — the
+    * mean-centroid variant is accumulation-order-sensitive and belongs
+    * behind a tolerance spec, not a hash oracle). One map-side-combined
+    * groupBy on the label — scales as a plain aggregation. */
+  def labelStats(spark: SparkSession, sfDir: String): DataFrame =
+    spread(Tables.embeddings(spark, sfDir))
+      .select(col("label"), l2norm(col("embedding")).as("nrm"),
+        col("embedding").getItem(0).cast("double").as("e0"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("nrm")), 6).as("nrm_min"),
+        round(max(col("nrm")), 6).as("nrm_max"),
+        round(min(col("e0")), 6).as("e0_min"),
+        round(max(col("e0")), 6).as("e0_max"))
+
   /** ANN via LSH buckets: join query→bucket→candidates, exact cosine
     * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
     * is the bucket id so no pair of non-colliding vectors is ever

@@ -34,4 +34,25 @@ object SkewJoin {
       .drop(saltedSmall(key))
       .drop("__salt")
   }
+
+  /** The salted join as a full query: fact (lineitem) salted against
+    * the supplier dimension, aggregated to per-supplier revenue. The
+    * salt is internal plumbing — the result is bit-identical to the
+    * plain join (that IS the oracle), which is the property that lets
+    * this rewrite be dropped onto any hot-key join without touching
+    * downstream logic. */
+  def saltedSupplierRevenue(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String, salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fact = graft.Tables.lineitem(spark, sfDir).select(
+      col("l_suppkey").as("suppkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4)).as("rev"))
+    val dim = graft.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    salted(fact, dim, "suppkey", salts)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev")).cast("double"), 2).as("revenue"))
+  }
 }
