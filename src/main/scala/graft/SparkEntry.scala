@@ -138,7 +138,21 @@ object SparkEntry {
     * matches nothing at a small scale factor). Queries absent from this
     * map default to minimum 1 — emptiness is treated as breakage unless
     * declared otherwise. */
-  def minRows: Map[String, Long] = Map.empty
+  def minRows: Map[String, Long] = Map(
+    // pair counts at sf0.01 (25/12/22 observed); minimums set just under
+    // so real recall loss trips the gate but run-to-run hash jitter can't
+    "q21_minhash_lsh" -> 20L,
+    "q22_simhash_pairs" -> 10L,
+    "q25_ann_lsh_topk" -> 15L,
+    // one row per document (500 at sf0.01; slack for future fixture trims)
+    "q29_fingerprints" -> 400L,
+    "q35_text_embedding" -> 400L,
+    "q38_media_features" -> 400L,
+    "q30_linucb_seed" -> 25L,   // exactly one row per arm (25 brands)
+    "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
+    "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
+    "q44_ann_ivf" -> 50L,       // 10 queries × top-5
+  )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
   // lock-step on the money arithmetic: per-row DECIMAL(18,4) revenue,

@@ -99,7 +99,16 @@ object SupplierStats {
 
   /** Batch analog of the tag step: arrival order = event_id, stream time =
     * running max of event time (inclusive — a record can never make itself
-    * late since windowEnd + grace > its own timestamp). */
+    * late since windowEnd + grace > its own timestamp).
+    *
+    * SCALE CONSTRAINT: the unpartitioned `Window.orderBy(event_id)` below
+    * is a single-partition global running max — inherent to the semantics
+    * (stream time is a sequential fold over ARRIVAL order; the reference's
+    * `LateRecordProcessor.kt:24-79` is the same single-threaded fold). This
+    * batch form exists to make the tag oracle-checkable; the 100 TB path is
+    * the streaming twin ([[graft.streaming.SupplierStatsStream.forkBatch]]),
+    * which tracks the same high-watermark incrementally per micro-batch and
+    * never sorts the history. */
   def tagLate(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
