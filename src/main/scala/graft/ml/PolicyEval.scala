@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * `(min_rank + max_rank)` (twice the average rank); every intermediate
   * sum is integer-valued and exact in double (< 2^53), so the statistic
   * is bit-identical under any partitioning and across engines —
-  * float-summed average ranks would not be. One global sort of the
-  * score column is required for exact ranks (the engine's only
-  * global-sort operator); the 100 TB variant would swap in an
-  * approximate quantile-bucketed AUC.
+  * float-summed average ranks would not be. Exact ranks need one ordered
+  * pass over the distinct scores per policy ([[aucPerPolicy]]) — fine
+  * when scores are discrete, degenerate when they are near-unique; the
+  * scale path is [[aucPerPolicyApprox]], which buckets scores into a
+  * fixed histogram so no ordered pass ever exceeds `buckets` rows.
   */
 object PolicyEval {
 
@@ -43,6 +44,13 @@ object PolicyEval {
     val cum = grouped.withColumn("c",
       sum(col("cnt")).over(Window.partitionBy(col("policy")).orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    finishAuc(cum)
+  }
+
+  /** Mann-Whitney finisher over ascending tie groups `(policy, cnt, pos,
+    * c)` with `c` = cumulative count: each group contributes
+    * `pos · (mn + mx) = pos · (2c − cnt + 1)` — integers throughout. */
+  private def finishAuc(cum: DataFrame): DataFrame =
     cum.groupBy(col("policy")).agg(
       round(
         (sum(col("pos") * (lit(2) * col("c") - col("cnt") + 1)) / 2.0 -
@@ -50,6 +58,35 @@ object PolicyEval {
           (sum(col("pos")) * (sum(col("cnt")) - sum(col("pos")))), 6).as("auc"),
       round(sum(col("pos")) / sum(col("cnt")), 6).as("ctr"),
       sum(col("cnt")).as("n"))
+
+  /** The 100 TB AUC: scores are histogrammed into `buckets` fixed-width
+    * cells between the per-policy min and max (two map-side-combined
+    * aggregations — no pass ever orders more than `buckets` rows per
+    * policy, vs |distinct scores| for [[aucPerPolicy]]). Each cell is
+    * treated as one Mann-Whitney tie group, i.e. pairs that land in the
+    * same cell count ½ — the approximation error is bounded by the
+    * in-cell pair fraction `Σ_b pos_b·neg_b / (P·N)`, which shrinks
+    * linearly in `buckets` for any non-atomic score distribution
+    * (spec-checked ≤ 0.01 against the exact statistic at sf0.01). The
+    * ordered window runs over ≤ `buckets` rows per policy — bounded by
+    * construction, independent of data size. */
+  def aucPerPolicyApprox(df: DataFrame, policy: Column, score: Column,
+                         label: Column, buckets: Int = 4096): DataFrame = {
+    val base = df.select(policy.as("policy"), score.as("s"), label.as("y"))
+    val rng = base.groupBy(col("policy"))
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = base.join(broadcast(rng), "policy")
+      .withColumn("bkt",
+        when(col("hi") <= col("lo"), lit(0)) // degenerate: all scores equal
+          .otherwise(least(
+            floor((col("s") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit(buckets - 1))).cast("int"))
+      .groupBy(col("policy"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = binned.withColumn("c",
+      sum(col("cnt")).over(Window.partitionBy(col("policy")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    finishAuc(cum)
   }
 
   /** The interaction log with engine-portable keys: arm = p_brand,
@@ -69,25 +106,47 @@ object PolicyEval {
   /** SQL-expressible policies: popularity (arm mean reward) and the
     * pseudo-random baseline, melted into ONE pass over the joined frame
     * (both scores live on the same rows). Oracle-checked. */
-  def evalSqlPolicies(spark: SparkSession, sfDir: String): DataFrame = {
+  def evalSqlPolicies(spark: SparkSession, sfDir: String): DataFrame =
+    aucPerPolicy(meltedSqlPolicies(spark, sfDir),
+      col("policy"), col("s"), col("y"))
+
+  /** The melted `(policy, s, y)` frame behind [[evalSqlPolicies]] —
+    * package-visible so specs can run both AUC estimators over the
+    * identical input. */
+  private[ml] def meltedSqlPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = interactions(spark, sfDir)
     val scored = fb.join(
       broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
-    val melted = scored.selectExpr(
+    scored.selectExpr(
       "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)",
       "y")
-    aucPerPolicy(melted, col("policy"), col("s"), col("y"))
   }
 
   /** Model-based policy eval (rows-only: scoring needs A⁻¹): score each
     * interaction's own (arm, context) with the seeded models, AUC over
-    * the pooled scores — LinUCB (exploration bonus α=0.1), LinGreedy
-    * (α=0, pure posterior mean) and LinTS (Thompson sampling with
-    * deterministic seeded noise, ν=0.05) — the reference's linear
-    * policy family (`evaluate.py:65-70`). The oracle is relative,
-    * exactly like the reference's (`evaluate.py` ranks policies; the
-    * linear policies must beat random) — asserted in spec. */
-  def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame = {
+    * the pooled scores — the reference's full benchmark roster
+    * (`evaluate.py:62-108`):
+    *   - `linucb`     — exploration bonus α=0.1 (`evaluate.py:65-70`)
+    *   - `lin_greedy` — α=0, pure posterior mean
+    *   - `lin_eps`    — LinGreedy with ε=0.1 exploration: with
+    *     probability ε the score is a seeded uniform draw (a random
+    *     arm preference), else the greedy score (`evaluate.py:83-85`)
+    *   - `lin_ts`     — Thompson sampling, deterministic seeded noise,
+    *     ν=0.05
+    *   - `clusters_ts` — arms k-means-clustered by their mean context
+    *     ([[clustersTs]]); one Beta posterior per cluster, sampled per
+    *     interaction via a Gaussian approximation (`evaluate.py:88-90`)
+    * The AUC is the bucketed approximation ([[aucPerPolicyApprox]]) —
+    * the exact-rank form would order one partition per policy over
+    * near-unique scores. The oracle is relative, exactly like the
+    * reference's (`evaluate.py` ranks policies; the linear policies
+    * must beat random) — asserted in spec. */
+  def evalLinUCB(spark: SparkSession, sfDir: String): DataFrame =
+    aucPerPolicyApprox(meltedLinPolicies(spark, sfDir),
+      col("policy"), col("s"), col("y"))
+
+  /** The melted `(policy, s, y)` frame behind [[evalLinUCB]]. */
+  private[ml] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
     // hoist the per-ARM factors (θ, chol(A⁻¹)) out of the per-row UDFs:
@@ -104,8 +163,19 @@ object PolicyEval {
                      d: Int, seed: Long) =>
       LinUCB.scoreTSPre(x.toArray, theta.toArray, lchol.toArray, d,
         nu = 0.05, seed = seed))
+    val epsUdf = udf((greedy: Double, seed: Long) => {
+      // ε-greedy: the first uniform decides explore-vs-exploit; the
+      // exploration branch re-seeds so the drawn score is independent
+      // of the decision variable
+      if (seededUniform(seed) < Epsilon) seededUniform(seed ^ EpsDrawSalt)
+      else greedy
+    })
+    val cts = clustersTs(spark, fb)
+    val ctsUdf = udf((mean: Double, sd: Double, seed: Long) =>
+      mean + sd * seededNormal(seed))
     val scored = fb.toDF()
       .join(broadcast(models), "productId")
+      .join(broadcast(cts), "productId")
       .withColumn("s_ucb",
         round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
       .withColumn("s_greedy",
@@ -115,12 +185,124 @@ object PolicyEval {
       .withColumn("s_ts",
         round(tsUdf(col("x"), col("theta"), col("lchol"), col("d"),
           xxhash64(col("productId"), col("x"))), 9))
+      .withColumn("s_eps",
+        round(epsUdf(col("s_greedy"), xxhash64(col("productId"), col("x"), lit("eps"))), 9))
+      .withColumn("s_cts",
+        round(ctsUdf(col("cl_mean"), col("cl_sd"),
+          xxhash64(col("productId"), col("x"), lit("cts"))), 9))
     // melt to (policy, score) so ALL policies evaluate from one pass
     // over the scoring subtree (a per-policy union would re-run the
     // seed aggregation + scoring UDFs once per branch)
-    val melted = scored.selectExpr(
-      "stack(3, 'linucb', s_ucb, 'lin_greedy', s_greedy, 'lin_ts', s_ts) AS (policy, s)",
+    scored.selectExpr(
+      "stack(5, 'linucb', s_ucb, 'lin_greedy', s_greedy, 'lin_ts', s_ts, " +
+        "'lin_eps', s_eps, 'clusters_ts', s_cts) AS (policy, s)",
       "reward AS y")
-    aucPerPolicy(melted, col("policy"), col("s"), col("y"))
+  }
+
+  private[ml] val Epsilon = 0.1
+  private val EpsDrawSalt = 0x5deece66dL
+
+  /** ClustersTS fitted artifact: `(productId, cl_mean, cl_sd)` — the
+    * reference's sixth benchmark policy (`evaluate.py:88-90`): arms are
+    * k-means-clustered on their mean context vector, and each cluster
+    * carries one Beta(1+succ, 1+fail) reward posterior, sampled per
+    * interaction through the Gaussian approximation `N(μ, σ²)` with the
+    * posterior's own mean/sd (a documented divergence: mabwiser draws
+    * Beta variates; the Gaussian form keeps the draw deterministic from
+    * a splitmix64 seed, the engine's reproducibility discipline).
+    *
+    * Scale shape: both aggregations (per-arm centroid, per-cluster
+    * reward counts) are map-side-combined groupBys; only the ARM-sized
+    * centroid table (bounded by the catalog, not the corpus) is
+    * collected for the driver-side Lloyd loop, and the result joins
+    * back as a broadcast. */
+  private[ml] def clustersTs(spark: SparkSession,
+                             fb: org.apache.spark.sql.Dataset[LinUCB.Feedback],
+                             k: Int = 4, iters: Int = 10): DataFrame = {
+    import spark.implicits._
+    val d = LinUCB.Dim
+    val centroidAggs = (0 until d).map(i => avg(element_at(col("x"), i + 1)).as(s"c$i"))
+    val armCentroids = fb.toDF().groupBy(col("productId"))
+      .agg(centroidAggs.head, centroidAggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> (0 until d).map(i => r.getDouble(i + 1)).toArray)
+      .sortBy(_._1) // deterministic order for init + tie-breaks
+    val armToCluster = kMeansLocal(armCentroids.map(_._2), math.min(k, armCentroids.length), iters)
+    val clusterOf = armCentroids.map(_._1).zip(armToCluster).toMap
+    val clusterCol = typedLit(clusterOf).getItem(col("productId"))
+    val stats = fb.toDF()
+      .withColumn("cluster", clusterCol)
+      .groupBy(col("cluster"))
+      .agg(sum(col("reward")).as("succ"), count(lit(1)).as("n"))
+      .withColumn("a", col("succ") + 1.0)
+      .withColumn("b", col("n") - col("succ") + 1.0)
+      .select(col("cluster"),
+        (col("a") / (col("a") + col("b"))).as("cl_mean"),
+        sqrt(col("a") * col("b") /
+          ((col("a") + col("b")) * (col("a") + col("b")) * (col("a") + col("b") + 1.0)))
+          .as("cl_sd"))
+    clusterOf.toSeq.toDF("productId", "cluster")
+      .join(stats, "cluster")
+      .select(col("productId"), col("cl_mean"), col("cl_sd"))
+  }
+
+  /** Driver-side Lloyd k-means over an ARM-BOUNDED point set (≤ a few
+    * hundred rows — the arm catalog, never the corpus). Deterministic:
+    * init = first k points in caller-sorted order; ties → lowest
+    * cluster id. Returns the cluster of each input point in order. */
+  private[ml] def kMeansLocal(points: Array[Array[Double]], k: Int,
+                              iters: Int): Array[Int] = {
+    require(points.nonEmpty && k >= 1)
+    val d = points.head.length
+    var centroids = points.take(k).map(_.clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val df = points(p)(i) - centroids(c)(i); dist += df * df; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Int](k)
+      p = 0
+      while (p < points.length) {
+        val c = assign(p); cnts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (cnts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / cnts(c))
+      }
+      it += 1
+    }
+    assign
+  }
+
+  /** First U(0,1] of the splitmix64 stream for `seed` — the same
+    * generator discipline as [[LinUCB.scoreTSPre]]. */
+  private[ml] def seededUniform(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((z >>> 11).toDouble + 1.0) / 9007199254740993.0
+  }
+
+  /** First standard normal (Box-Muller over splitmix64) for `seed`. */
+  private[ml] def seededNormal(seed: Long): Double = {
+    val u1 = seededUniform(seed)
+    val u2 = seededUniform(seed + 0x9e3779b97f4a7c15L)
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 }

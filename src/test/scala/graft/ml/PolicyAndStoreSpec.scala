@@ -22,6 +22,45 @@ class PolicyAndStoreSpec extends SparkSpec {
       s"lin_greedy ${lin("lin_greedy")} vs random ${sql("random")}")
     assert(lin("lin_ts") > sql("random") + 0.05,
       s"lin_ts ${lin("lin_ts")} vs random ${sql("random")}")
+    // ε-greedy dilutes the greedy edge by at most ε — still well clear
+    // of random (evaluate.py:83-85)
+    assert(lin("lin_eps") > sql("random") + 0.04,
+      s"lin_eps ${lin("lin_eps")} vs random ${sql("random")}")
+    // clusters_ts pools arms into coarse clusters: a weaker signal than
+    // the per-arm linear policies, but still above the random baseline
+    // (the reference's relative ordering, evaluate.py:88-90)
+    assert(lin("clusters_ts") > sql("random"),
+      s"clusters_ts ${lin("clusters_ts")} vs random ${sql("random")}")
+  }
+
+  test("bucketed approximate AUC tracks the exact statistic within 0.01") {
+    import org.apache.spark.sql.functions.col
+    for (melted <- Seq(PolicyEval.meltedSqlPolicies(spark, sf("0.01")),
+                       PolicyEval.meltedLinPolicies(spark, sf("0.01")))) {
+      val cached = melted.cache()
+      try {
+        val exact = PolicyEval.aucPerPolicy(cached, col("policy"), col("s"), col("y"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val approx = PolicyEval.aucPerPolicyApprox(cached, col("policy"), col("s"), col("y"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(exact.keySet == approx.keySet)
+        for ((p, a) <- exact)
+          assert(math.abs(a - approx(p)) <= 0.01,
+            s"policy $p: exact $a vs approx ${approx(p)}")
+      } finally cached.unpersist()
+    }
+  }
+
+  test("lin_eps explores with frequency ε under its own seeding") {
+    import org.apache.spark.sql.functions._
+    // The exact seed expression + generator the ε-greedy scorer uses:
+    // the realized exploration fraction must sit at ε (deterministic
+    // for the fixture, so the bound is tight).
+    val explore = udf((s: Long) => PolicyEval.seededUniform(s) < PolicyEval.Epsilon)
+    val frac = LinUCB.feedbackFromLineitem(spark, sf("0.01")).toDF()
+      .withColumn("e", explore(xxhash64(col("productId"), col("x"), lit("eps"))))
+      .agg(avg(col("e").cast("double"))).head().getDouble(0)
+    assert(math.abs(frac - PolicyEval.Epsilon) < 0.01, s"exploration fraction $frac")
   }
 
   test("LinTS scores are deterministic for a fixed seed and vary across seeds") {
