@@ -129,6 +129,8 @@ object SparkEntry {
     // plain join: the rewrite is semantics-preserving by construction) ---
     "q74_label_stats" -> ((s, d) => Similarity.labelStats(s, d)),
     "q75_skew_salted" -> ((s, d) => SkewJoin.saltedSupplierRevenue(s, d)),
+    // --- ranking metrics (precision@k / recall@k, A12 companion) ---
+    "q76_policy_ranking" -> ((s, d) => graft.ml.PolicyEval.rankingMetrics(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -890,5 +892,34 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_items, ${revSum("revenue")}
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name""".stripMargin,
+    "q76_policy_ranking" ->
+      """WITH fb AS (
+        |  SELECT l_orderkey AS group_id, l_linenumber AS line_no, p_brand AS arm,
+        |    CASE WHEN l_quantity * 0.012 + l_discount * 4.0 > 0.5 THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 10007 AS DOUBLE) AS rnd_score
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pop AS (SELECT arm, ROUND(AVG(y), 6) AS pop_score FROM fb GROUP BY 1),
+        |j AS (SELECT fb.*, pop_score FROM fb JOIN pop USING (arm)),
+        |melted AS (
+        |  SELECT group_id, line_no, arm, y, 'popularity' AS policy, pop_score AS s FROM j
+        |  UNION ALL
+        |  SELECT group_id, line_no, arm, y, 'random', rnd_score FROM j),
+        |ranked AS (
+        |  SELECT policy, group_id, y,
+        |    ROW_NUMBER() OVER (PARTITION BY policy, group_id
+        |      ORDER BY s DESC, arm, line_no, y DESC) AS rn
+        |  FROM melted),
+        |pg AS (
+        |  SELECT policy, group_id,
+        |    SUM(CASE WHEN rn <= 3 THEN y ELSE 0 END) AS hits, SUM(y) AS tot
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT policy,
+        |  ROUND(SUM(hits) / (3 * COUNT(*)), 6) AS p_at_3,
+        |  ROUND(SUM(hits) / SUM(tot), 6) AS r_micro,
+        |  ROUND(CAST(SUM(CASE WHEN tot > 0
+        |      THEN CAST(ROUND(hits / tot, 12) AS DECIMAL(18,12)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END), 6) AS r_macro,
+        |  COUNT(*) AS n_groups
+        |FROM pg GROUP BY policy""".stripMargin,
   )
 }

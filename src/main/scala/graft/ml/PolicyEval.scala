@@ -199,6 +199,54 @@ object PolicyEval {
       "reward AS y")
   }
 
+  /** Precision@k / Recall@k — the other half of the reference's
+    * benchmark table (`evaluate.py:75-76`): each order is one
+    * interaction group, its lineitems are the ranked candidates, a hit
+    * is a top-k row with reward 1. Reported per policy (popularity +
+    * random, the SQL-expressible pair):
+    *   - `p_at_k`  = Σ hits / (k · #groups)
+    *   - `r_micro` = Σ hits / Σ positives (micro-averaged recall)
+    *   - `r_macro` = mean over positive groups of hits/tot
+    * All aggregates are either integer-valued doubles (hit/positive
+    * counts — exact under any partitioning) or fixed-scale decimals
+    * (per-group recall rounded to 12 dp before the sum), so the result
+    * hash-matches an external engine. The ranking window partitions by
+    * (policy, group) — millions of small partitions, no global sort. */
+  def rankingMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val fb = graft.Tables.lineitem(spark, sfDir)
+      .join(broadcast(graft.Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey").as("group_id"),
+        col("l_linenumber").as("line_no"),
+        col("p_brand").as("arm"),
+        when(col("l_quantity") * 0.012 + col("l_discount") * 4.0 > 0.5, 1.0)
+          .otherwise(0.0).as("y"),
+        pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(10007))
+          .cast("double").as("rnd_score"))
+    val scored = fb.join(
+      broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
+    val melted = scored.selectExpr("group_id", "line_no", "arm", "y",
+      "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)")
+    // (group, line_no) is NOT unique in the synthetic lineitem table, so
+    // y joins the tie-break: rows that still tie after it carry equal y
+    // and cannot change the hit count whichever order they land in.
+    val w = Window.partitionBy(col("policy"), col("group_id"))
+      .orderBy(desc("s"), asc("arm"), asc("line_no"), desc("y"))
+    val perGroup = melted.withColumn("rn", row_number().over(w))
+      .groupBy(col("policy"), col("group_id"))
+      .agg(sum(when(col("rn") <= k, col("y")).otherwise(0.0)).as("hits"),
+        sum(col("y")).as("tot"))
+    perGroup.groupBy(col("policy")).agg(
+      round(sum(col("hits")) / (lit(k) * count(lit(1))), 6).as(s"p_at_$k"),
+      round(sum(col("hits")) / sum(col("tot")), 6).as("r_micro"),
+      round(
+        sum(when(col("tot") > 0, round(col("hits") / col("tot"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12)))).cast("double") /
+          sum(when(col("tot") > 0, 1L).otherwise(0L)), 6).as("r_macro"),
+      count(lit(1)).as("n_groups"))
+  }
+
   private[ml] val Epsilon = 0.1
   private val EpsDrawSalt = 0x5deece66dL
 
