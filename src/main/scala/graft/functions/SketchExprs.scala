@@ -199,3 +199,69 @@ case class SrpBucket(child: Expression, numPlanes: Int)
 object SrpBucket {
   val MaxDims = 1024
 }
+
+/** ENGINE-PORTABLE sign-random-projection signature: like [[SrpBucket]]
+  * but the hyperplane weights come from pure integer arithmetic —
+  * `w(p,i) = (((p·1024 + i) · 2654435761) mod 2000001 − 1000000) / 10⁶`
+  * — so an external SQL engine can recompute the signature bit-for-bit
+  * (the [[SrpBucket]] weights come from Spark's xxhash64, which DuckDB
+  * cannot evaluate). This is what lets the bucketed embedding near-dup
+  * join keep a hash-checked oracle: both engines derive the same
+  * buckets, so the bucket-restricted result sets are comparable.
+  *
+  * The signature packs one sign bit per plane (bit p = 1 iff the
+  * projection onto plane p is ≥ 0, accumulated left-to-right in double —
+  * the same fold order as `list_sum`/`aggregate`, which is what makes
+  * the sign reproducible). Band keys are then bit-slices of the
+  * signature (`shiftright(sig, band·r) & (2^r − 1)`) — derived in plain
+  * SQL on both sides.
+  */
+case class PortableSrpSig(child: Expression, numPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPlanes >= 1 && numPlanes <= 64,
+    s"srp_sig_portable needs 1 <= numPlanes <= 64, got $numPlanes")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_sig_portable requires array<float>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(numPlanes, SrpBucket.MaxDims) { (p, i) =>
+      PortableSrpSig.weight(p, i)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), SrpBucket.MaxDims)
+    var sig = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val w = weights(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        proj += arr.getFloat(i).toDouble * w(i)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSrpSig =
+    copy(child = newChild)
+  override def prettyName: String = "srp_sig_portable"
+}
+
+object PortableSrpSig {
+  /** The portable weight formula — kept callable so specs can assert
+    * the SQL-side reconstruction matches. Knuth multiplier stride mod a
+    * prime-ish modulus: uniform-ish in [-1, 1], zero state to ship. */
+  def weight(plane: Int, dim: Int): Double =
+    (((plane.toLong * 1024L + dim) * 2654435761L) % 2000001L - 1000000L)
+      .toDouble / 1000000.0
+}

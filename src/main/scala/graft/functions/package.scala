@@ -27,6 +27,10 @@ package object functions {
   /** Sign-random-projection LSH bucket of an `array<float>`. */
   def srpBucket(c: Column, planes: Int): Column = wrap(SrpBucket(ex(c), planes))
 
+  /** Engine-portable SRP signature (integer-arithmetic weights — an
+    * external SQL engine can recompute it; see [[PortableSrpSig]]). */
+  def srpSigPortable(c: Column, planes: Int): Column = wrap(PortableSrpSig(ex(c), planes))
+
   /** Distinct word n-gram shingles of a string column (null if < n
     * tokens). */
   def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
@@ -56,6 +60,7 @@ package object functions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs(1)))),
     "srp_bucket" -> (exprs => SrpBucket(exprs.head, intArg(exprs(1)))),
+    "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs(1)))),
   )
 

@@ -221,9 +221,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2) // clusters that actually deduplicate
 
-  /** Embedding-cosine near-dup: brute-force pair scan (exact, the
-    * baseline). The scale path is the LSH-bucketed variant in
-    * [[Similarity.lshTopK]] — same scoring expression, bucketed join. */
+  /** Embedding-cosine near-dup, EXACT all-pairs form: the spec-side
+    * recall oracle for [[embeddingPairsBucketed]], quadratic by
+    * construction — never the queries-map entry (a cartesian product
+    * dies at corpus scale). */
   def embeddingPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
     val e = Similarity.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"),
@@ -233,5 +234,54 @@ object Dedup {
         Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup, the SCALE path (the q23 queries entry):
+    * banded sign-random-projection candidate generation + exact cosine
+    * verify — the embedding-space analog of [[minhashLsh]]'s
+    * band-bucket-verify shape. One portable 48-bit SRP signature per
+    * vector ([[graft.functions.PortableSrpSig]] — integer-arithmetic
+    * weights, so the DuckDB oracle recomputes the SAME buckets and the
+    * bucket-restricted result stays hash-comparable); 8 bands × 6
+    * planes; candidates join on (band, 6-bit key), so the shuffle key
+    * is the band bucket and no non-colliding pair is ever materialized.
+    *
+    * Approximate by design: a qualifying pair in no shared band is
+    * missed. With 6-plane bands the per-band collision odds for a pair
+    * at angle θ are `(1−θ/π)⁶`, so detection = `1−(1−(1−θ/π)⁶)⁸` ≈ 0.90
+    * at cos 0.8 (true near-dups) but only ≈ 0.3 at the demo threshold
+    * 0.4 — cos 0.4 is 66°, nearly orthogonal, a regime where ANY LSH
+    * family prunes weakly (recall floor spec-asserted against the exact
+    * all-pairs form). Candidate volume on the near-random synthetic
+    * corpus ≈ bands/2^planes ≈ 13% of all pairs; on a real corpus with
+    * actual near-dup structure the collision mass concentrates in the
+    * duplicate clusters, which is what makes the shape scale. */
+  def embeddingPairsBucketed(spark: SparkSession, sfDir: String, threshold: Double,
+                             planesPerBand: Int = 6, bands: Int = 8): DataFrame = {
+    val nPlanes = planesPerBand * bands
+    val mask = (1 << planesPerBand) - 1
+    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"),
+        graft.functions.srpSigPortable(col("embedding"), nPlanes).as("sig"))
+    val bk = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, shiftright(sig, CAST(b*$planesPerBand AS INT)) & $mask AS bkey))"))
+        .as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bkey"))
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_i"), col("y.vec_id").as("vec_j"))
+      .distinct()
+    val v = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(v.as("na"), col("vec_i") === col("na.vec_id"))
+      .join(v.as("nb"), col("vec_j") === col("nb.vec_id"))
+      .withColumn("cos_sim", round(
+        Similarity.dot(col("na.embedding"), col("nb.embedding")) /
+          (col("na.nrm") * col("nb.nrm")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_i"), col("vec_j"), col("cos_sim"))
   }
 }

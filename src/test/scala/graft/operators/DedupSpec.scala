@@ -97,4 +97,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("bucketed embedding pairs: subset of exact, recall floor, no cartesian in plan") {
+    val exact = Dedup.embeddingPairs(spark, sf("0.01"), 0.4)
+      .select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingPairsBucketed(spark, sf("0.01"), 0.4)
+    val got = bucketed.select("vec_i", "vec_j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain cos >= 0.4 pairs")
+    // candidates are verified with the exact cosine -> strict subset
+    assert((got -- exact).isEmpty, s"false positives: ${got -- exact}")
+    // 8 bands x 6 planes at cos 0.4 (66 deg, near-orthogonal - the
+    // hardest regime for any LSH family): measured recall 0.38/0.42 on
+    // the sf0.001/sf0.01 fixtures; floor set below both. True near-dups
+    // (cos >= 0.8) would see ~0.90 with the same parameters.
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall (${got.size}/${exact.size})")
+    // the whole point: the physical plan must not contain an
+    // unrestricted pair join
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"quadratic join in plan:\n$plan")
+  }
+
+  test("portable SRP weight formula matches its documented arithmetic") {
+    // the same expression the DuckDB oracle embeds - if this drifts, the
+    // q23 oracle silently diverges
+    for (p <- 0 until 48; i <- 0 until 64) {
+      val w = graft.functions.PortableSrpSig.weight(p, i)
+      val expect = (((p.toLong * 1024 + i) * 2654435761L) % 2000001L - 1000000L) / 1e6
+      assert(w == expect)
+      assert(w >= -1.0 && w <= 1.0)
+    }
+  }
 }
