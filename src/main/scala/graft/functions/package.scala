@@ -35,6 +35,12 @@ package object functions {
     * tokens). */
   def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
 
+  /** Indices of the `nProbe` nearest centroids (squared L2) against a
+    * plan-time k×d row-major centroid matrix (IVF assignment/probe). */
+  def nearestCentroids(c: Column, centroids: Array[Double], nCentroids: Int,
+                       nProbe: Int): Column =
+    wrap(NearestCentroids(ex(c), centroids, nCentroids, nProbe))
+
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"expected an integer literal argument, got non-literal ${e.sql}")

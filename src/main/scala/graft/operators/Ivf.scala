@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,40 +27,18 @@ object Ivf {
     df.select(col("vec_id"), col("embedding"),
       Similarity.l2norm(col("embedding")).as("nrm"))
 
-  private def assignExpr(centroids: Array[Array[Double]]) = {
-    // nearest centroid by squared L2; ties → lowest cluster id
-    udf((emb: Seq[Float]) => {
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val ctr = centroids(c)
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length && i < emb.length) {
-          val diff = emb(i) - ctr(i)
-          d += diff * diff
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    })
-  }
+  // Assignment and probing are the native codegen'd
+  // [[graft.functions.NearestCentroids]] expression (ties → lowest
+  // cluster id, identical arithmetic to the former per-row Scala UDFs —
+  // which cost a serialize/deserialize per row and broke whole-stage
+  // codegen on the scan).
+  private def assignExpr(centroids: Array[Array[Double]]) = (emb: Column) =>
+    graft.functions.nearestCentroids(emb, centroids.flatten, centroids.length, 1)
+      .getItem(0)
 
   private def nearestClusters(centroids: Array[Array[Double]], nProbe: Int) =
-    udf((emb: Seq[Float]) => {
-      centroids.indices.map { c =>
-        val ctr = centroids(c)
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length && i < emb.length) {
-          val diff = emb(i) - ctr(i); d += diff * diff; i += 1
-        }
-        (d, c)
-      }.sorted.take(nProbe).map(_._2)
-    })
+    (emb: Column) =>
+      graft.functions.nearestCentroids(emb, centroids.flatten, centroids.length, nProbe)
 
   /** Lloyd iterations; returns the centroid matrix. */
   def fitCentroids(spark: SparkSession, sfDir: String, k: Int,

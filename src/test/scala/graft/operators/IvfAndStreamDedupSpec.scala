@@ -76,4 +76,10 @@ class IvfAndStreamDedupSpec extends SparkSpec {
       assert(o1s == 2, s"expected o1 readmitted after eviction, got $o1s rows")
     } finally q.stop()
   }
+
+  test("IVF assignment/probe is the native expression - no ScalaUDF in the plan") {
+    val plan = Ivf.topK(spark, sf("0.01")).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF survived in q44 plan:\n$plan")
+    assert(plan.contains("nearest_centroids"), "native expression missing from plan")
+  }
 }
