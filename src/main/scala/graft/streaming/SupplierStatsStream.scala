@@ -55,6 +55,26 @@ object SupplierStatsStream {
         col("o.item").as("item"),
         coalesce(col("o.supplier"), lit("UNKNOWN")).as("supplier"))
 
+  /** The Avro twin of [[parseOrders]] (S9): registry-FRAMED Avro payloads
+    * (Confluent 5-byte magic + schema-id header, as the reference's
+    * consumers decode, `orders-stats-flink/.../kafka/Utils.kt:48-70`) →
+    * the same typed order frame, with identical event-time fallback
+    * semantics. Works on batch and streaming frames alike
+    * (`mapPartitions` under the hood, one reader per partition per
+    * schema id). */
+  def parseAvroFramedOrders(raw: DataFrame,
+                            registry: graft.sources.AvroSerde.SchemaRegistryStub =
+                              graft.sources.AvroSerde.orderRegistry,
+                            valueCol: String = "value"): DataFrame =
+    graft.sources.AvroSerde.decodeOrdersFramed(raw, registry, valueCol).toDF()
+      .select(
+        col("order_id"),
+        coalesce(try_to_timestamp(col("bid_time"), lit("yyyy-MM-dd HH:mm:ss")),
+          current_timestamp()).as("bid_time"),
+        col("price"),
+        col("item"),
+        coalesce(col("supplier"), lit("UNKNOWN")).as("supplier"))
+
   /** The streaming query: watermark + the shared batch/stream agg core. */
   def stats(orders: DataFrame,
             watermarkDelay: String = "5 seconds",
