@@ -131,6 +131,10 @@ object SparkEntry {
     "q75_skew_salted" -> ((s, d) => SkewJoin.saltedSupplierRevenue(s, d)),
     // --- ranking metrics (precision@k / recall@k, A12 companion) ---
     "q76_policy_ranking" -> ((s, d) => graft.ml.PolicyEval.rankingMetrics(s, d)),
+    // rows-only: feature-hashed (open-vocab) twin of q35 — hashed
+    // buckets come from xxhash64, which no external engine reproduces
+    "q77_text_embedding_hashed" -> ((s, d) =>
+      graft.features.Features.textEmbeddingHashedQuery(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -154,6 +158,7 @@ object SparkEntry {
     "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
     "q44_ann_ivf" -> 50L,       // 10 queries × top-5
+    "q77_text_embedding_hashed" -> 400L, // one row per document
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -130,8 +130,18 @@ object Features {
     * canonicalized (first nonzero coordinate positive) so the embedding
     * is deterministic across runs/partitionings. */
   def textEmbedding(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
-    import spark.implicits._
     val (vecs, v) = tfidfVectors(spark, sfDir)
+    svdProject(spark, vecs, v, k)
+  }
+
+  /** Shared truncated-SVD projection: gram-aggregate the `vec` column
+    * (dimension `v`), eigen-factor on the driver, broadcast the V×k
+    * projection back. Works for the vocab-indexed AND the feature-hashed
+    * vector spaces — `v` is vocab size for one, the fixed hash dimension
+    * for the other. */
+  private def svdProject(spark: SparkSession, vecs: DataFrame, v: Int,
+                         k: Int): DataFrame = {
+    import spark.implicits._
     val gram = vecs.select(col("vec")).as[Array[Double]].rdd
       .mapPartitions { it =>
         val acc = new Array[Double](v * v)
@@ -187,6 +197,59 @@ object Features {
   /** Flat query surface for the embedding (first 4 dims as columns). */
   def textEmbeddingQuery(spark: SparkSession, sfDir: String): DataFrame =
     textEmbedding(spark, sfDir).select(
+      col("doc_id"),
+      element_at(col("embedding"), 1).as("e0"),
+      element_at(col("embedding"), 2).as("e1"),
+      element_at(col("embedding"), 3).as("e2"),
+      element_at(col("embedding"), 4).as("e3"))
+
+  /** F14, OPEN-VOCABULARY form: feature-hashed TF-IDF vectors of fixed
+    * dimension `dim` — `bucket = pmod(xxhash64(term), dim)` with a ±1
+    * sign hash so colliding terms cancel in expectation (the standard
+    * hashing-trick construction). No driver-side vocabulary exists at
+    * any point: where [[tfidfVectors]] collects the distinct-term list
+    * (fine for this closed synthetic corpus, unbounded on a real one —
+    * the self-acknowledged limit of the dense path), this pipeline's
+    * only driver-sized object is the dim×dim gram matrix, fixed by
+    * configuration. Per-bucket sums run in DECIMAL(28,6) (tfidf is
+    * already rounded to 6 dp) so the hashed vectors are exact and
+    * partitioning-independent. */
+  private[graft] def tfidfHashedVectors(spark: SparkSession, sfDir: String,
+                                        dim: Int = 256): DataFrame = {
+    val scores = tfidf(spark, sfDir)
+    val bucket = pmod(xxhash64(col("term")), lit(dim)).cast("int")
+    val sign = when(pmod(xxhash64(col("term"), lit(1)), lit(2)) === 0, 1.0)
+      .otherwise(-1.0)
+    val toVec = udf((buckets: Seq[Int], vals: Seq[Double]) => {
+      val arr = new Array[Double](dim)
+      var i = 0
+      while (i < buckets.length) { arr(buckets(i)) = vals(i); i += 1 }
+      arr
+    })
+    scores
+      .withColumn("bucket", bucket)
+      .withColumn("sv", (col("tfidf") * sign)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sv")).cast("double").as("v"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("bucket")).as("buckets"), collect_list(col("v")).as("vals"))
+      .select(col("doc_id"), toVec(col("buckets"), col("vals")).as("vec"))
+  }
+
+  /** [[textEmbedding]] over the feature-hashed space: the same SVD
+    * projection ([[svdProject]]), but the gram matrix is dim×dim by
+    * configuration instead of V×V by corpus — the variant that survives
+    * an unbounded vocabulary. Near-dup preservation is spec-asserted
+    * (identical texts ⇒ identical embeddings; high-Jaccard pairs stay
+    * high-cosine vs the random-pair background). */
+  def textEmbeddingHashed(spark: SparkSession, sfDir: String, k: Int = 10,
+                          dim: Int = 256): DataFrame =
+    svdProject(spark, tfidfHashedVectors(spark, sfDir, dim), dim, k)
+
+  /** Flat query surface for the hashed embedding. */
+  def textEmbeddingHashedQuery(spark: SparkSession, sfDir: String): DataFrame =
+    textEmbeddingHashed(spark, sfDir).select(
       col("doc_id"),
       element_at(col("embedding"), 1).as("e0"),
       element_at(col("embedding"), 2).as("e1"),

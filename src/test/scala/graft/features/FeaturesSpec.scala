@@ -83,4 +83,27 @@ class FeaturesSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(counts.nonEmpty && counts.forall { case (n, want) => n == want })
   }
+
+  test("hashed embedding keeps near-dups near and is deterministic") {
+    // open-vocab twin of the two tests above: same invariants, but the
+    // vector space is the feature-hashed one (no driver vocabulary)
+    val emb = Features.textEmbeddingHashed(spark, sf("0.01"), k = 10)
+      .as[(Long, Array[Double])].collect().toMap
+    // high-Jaccard near-dups: mean distance well under the random background
+    val dups = graft.operators.Dedup.jaccardPairs(spark, sf("0.01"), 0.9)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect()
+    assert(dups.nonEmpty)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val dupDist = dups.map { case (i, j) => dist(emb(i), emb(j)) }.sum / dups.length
+    val ids = emb.keys.toArray.sorted
+    val randDist = ids.take(50).zip(ids.takeRight(50)).map { case (i, j) =>
+      dist(emb(i), emb(j)) }.sum / 50
+    assert(dupDist < randDist / 2,
+      s"dup pairs mean dist $dupDist vs random $randDist")
+    // and determinism across re-runs (decimal bucket sums - exact)
+    val again = Features.textEmbeddingHashed(spark, sf("0.01"), k = 10)
+      .as[(Long, Array[Double])].collect().toMap
+    assert(emb.keys.forall(k => emb(k).sameElements(again(k))))
+  }
 }
