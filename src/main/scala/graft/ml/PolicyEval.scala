@@ -149,10 +149,15 @@ object PolicyEval {
   private[ml] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
+    // ONE corpus-scan seed aggregation; the arm-bounded model table is
+    // collected once and re-entered as a local frame, so the ClustersTS
+    // fit below adds no further pass over fb (it reads the sufficient
+    // statistics already inside the models — see [[clustersTs]]).
+    val seeded = LinUCB.seed(fb, LinUCB.Dim).collect()
     // hoist the per-ARM factors (θ, chol(A⁻¹)) out of the per-row UDFs:
     // O(d³) work happens once per model on the broadcast side, the row
     // path only draws z and takes dot products
-    val models = LinUCB.seed(fb, LinUCB.Dim)
+    val models = seeded.toSeq
       .map(m => (m.productId, m.aInv, m.b, m.d,
         LinUCB.thetaOf(m), LinAlg.choleskyLower(m.aInv, m.d)))
       .toDF("productId", "aInv", "b", "d", "theta", "lchol")
@@ -170,7 +175,7 @@ object PolicyEval {
       if (seededUniform(seed) < Epsilon) seededUniform(seed ^ EpsDrawSalt)
       else greedy
     })
-    val cts = clustersTs(spark, fb)
+    val cts = clustersTs(spark, seeded)
     val ctsUdf = udf((mean: Double, sd: Double, seed: Long) =>
       mean + sd * seededNormal(seed))
     val scored = fb.toDF()
@@ -259,39 +264,44 @@ object PolicyEval {
     * Beta variates; the Gaussian form keeps the draw deterministic from
     * a splitmix64 seed, the engine's reproducibility discipline).
     *
-    * Scale shape: both aggregations (per-arm centroid, per-cluster
-    * reward counts) are map-side-combined groupBys; only the ARM-sized
-    * centroid table (bounded by the catalog, not the corpus) is
-    * collected for the driver-side Lloyd loop, and the result joins
-    * back as a broadcast. */
+    * Scale shape: the fit consumes NO corpus pass of its own — every
+    * input it needs is a sufficient statistic the LinUCB seed
+    * aggregation already computed. Because the context's slot 0 is the
+    * bias (x₀ ≡ 1, `feedbackFromLineitem`):
+    *   - row 0 of `A = I + Σxxᵀ` is `[1+n, Σx₁, …, Σx_{d−1}]` — the
+    *     per-arm context SUM, so centroid = A[0,:]/n (A recovered from
+    *     the stored A⁻¹ by one d×d inversion per ARM, driver-side);
+    *   - `b = Σ r·x`, so slot 0 is exactly the success count Σr.
+    * The whole fit is therefore driver-side over the arm-bounded model
+    * table (catalog-sized, never corpus-sized), and the per-arm
+    * `(cl_mean, cl_sd)` result re-enters the plan as a broadcast. */
   private[ml] def clustersTs(spark: SparkSession,
-                             fb: org.apache.spark.sql.Dataset[LinUCB.Feedback],
+                             models: Array[LinUCB.Model],
                              k: Int = 4, iters: Int = 10): DataFrame = {
     import spark.implicits._
-    val d = LinUCB.Dim
-    val centroidAggs = (0 until d).map(i => avg(element_at(col("x"), i + 1)).as(s"c$i"))
-    val armCentroids = fb.toDF().groupBy(col("productId"))
-      .agg(centroidAggs.head, centroidAggs.tail: _*)
-      .collect()
-      .map(r => r.getString(0) -> (0 until d).map(i => r.getDouble(i + 1)).toArray)
-      .sortBy(_._1) // deterministic order for init + tie-breaks
-    val armToCluster = kMeansLocal(armCentroids.map(_._2), math.min(k, armCentroids.length), iters)
-    val clusterOf = armCentroids.map(_._1).zip(armToCluster).toMap
-    val clusterCol = typedLit(clusterOf).getItem(col("productId"))
-    val stats = fb.toDF()
-      .withColumn("cluster", clusterCol)
-      .groupBy(col("cluster"))
-      .agg(sum(col("reward")).as("succ"), count(lit(1)).as("n"))
-      .withColumn("a", col("succ") + 1.0)
-      .withColumn("b", col("n") - col("succ") + 1.0)
-      .select(col("cluster"),
-        (col("a") / (col("a") + col("b"))).as("cl_mean"),
-        sqrt(col("a") * col("b") /
-          ((col("a") + col("b")) * (col("a") + col("b")) * (col("a") + col("b") + 1.0)))
-          .as("cl_sd"))
-    clusterOf.toSeq.toDF("productId", "cluster")
-      .join(stats, "cluster")
-      .select(col("productId"), col("cl_mean"), col("cl_sd"))
+    val byArm = models.sortBy(_.productId) // deterministic init + ties
+    val centroids = byArm.map { m =>
+      val a = LinAlg.invertRowMajor(m.aInv, m.d) // recover A = I + Σxxᵀ
+      val n = math.max(m.n, 1L).toDouble
+      Array.tabulate(m.d)(j => if (j == 0) (a(0) - 1.0) / n else a(j) / n)
+    }
+    val assign = kMeansLocal(centroids, math.min(k, byArm.length), iters)
+    val succ = new Array[Double](math.min(k, byArm.length))
+    val cnt = new Array[Double](succ.length)
+    byArm.indices.foreach { i =>
+      succ(assign(i)) += byArm(i).b(0) // b[0] = Σ reward (bias slot)
+      cnt(assign(i)) += byArm(i).n
+    }
+    val rows = byArm.indices.map { i =>
+      val c = assign(i)
+      val alpha = succ(c) + 1.0
+      val beta = cnt(c) - succ(c) + 1.0
+      val mean = alpha / (alpha + beta)
+      val sd = math.sqrt(alpha * beta /
+        ((alpha + beta) * (alpha + beta) * (alpha + beta + 1.0)))
+      (byArm(i).productId, mean, sd)
+    }
+    rows.toDF("productId", "cl_mean", "cl_sd")
   }
 
   /** Driver-side Lloyd k-means over an ARM-BOUNDED point set (≤ a few

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-quality regression gates: the physical-plan properties the
+  * engine's 100 TB story rests on, asserted so a refactor cannot
+  * silently lose them. String-level checks over `executedPlan` — coarse,
+  * but they catch the failure modes that matter (a lost pushdown, a
+  * dropped broadcast hint, a join degenerating to nested-loop, a UDF
+  * slipping into a codegen'd path).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dashboard join: dims broadcast, date filter pushed to the orders scan") {
+    val p = plan(Relational.dashboardJoin(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"dimension broadcast lost:\n$p")
+    // the o_orderdate lookback must reach the parquet reader, not run
+    // post-scan over the full table
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), s"lookback not pushed:\n$p")
+    // column pruning: the scan must not drag the wide comment column
+    // along for a projection that never uses it
+    assert(!p.contains("l_comment"), s"lineitem scan reads unused columns:\n$p")
+  }
+
+  test("shipping priority: segment equality pushed to the customer scan") {
+    val p = plan(Relational.shippingPriority(spark, sf()))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$p")
+  }
+
+  test("pricing summary: partial (map-side) aggregation before the shuffle") {
+    val df = Relational.pricingSummary(spark, sf())
+    val p = plan(df)
+    // two HashAggregate levels = partial + final; a single level would
+    // ship every row through the shuffle
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"no partial aggregation ($n HashAggregate nodes):\n$p")
+    // codegen spans materialize in the ADAPTIVE final plan — execute,
+    // then audit
+    df.collect()
+    val finalPlan = plan(df)
+    // codegen'd operators print with the `*(id)` prefix in the final plan
+    assert(finalPlan.contains("*(1) HashAggregate") || finalPlan.contains("*(2) HashAggregate"),
+      s"aggregation fell out of codegen:\n$finalPlan")
+  }
+
+  test("jaccard inverted-index join: keyed equi-join, never nested-loop") {
+    val p = plan(Dedup.jaccardPairs(spark, sf(), 0.5))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair join degenerated to a quadratic strategy:\n$p")
+  }
+
+  test("ANN scans score through the native dot product, not a UDF") {
+    for (df <- Seq(Similarity.bruteForceTopK(spark, sf()),
+                   Similarity.lshTopK(spark, sf()))) {
+      val p = plan(df)
+      assert(p.contains("dot_f32"), s"native dot product missing:\n$p")
+      assert(!p.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
+    }
+  }
+
+  test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
+    val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bucketed join degenerated:\n$p")
+    assert(p.contains("srp_sig_portable"), s"portable signature missing:\n$p")
+  }
+}
