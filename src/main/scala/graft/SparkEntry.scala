@@ -135,6 +135,8 @@ object SparkEntry {
     // buckets come from xxhash64, which no external engine reproduces
     "q77_text_embedding_hashed" -> ((s, d) =>
       graft.features.Features.textEmbeddingHashedQuery(s, d)),
+    // --- repetition/diversity quality signals (Gopher-style filters) ---
+    "q78_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -941,5 +943,24 @@ object SparkEntry {
         |    / SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END), 6) AS r_macro,
         |  COUNT(*) AS n_groups
         |FROM pg GROUP BY policy""".stripMargin,
+    "q78_repetition_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |u AS (SELECT doc_id, unnest(t) AS g FROM d),
+        |uc AS (SELECT doc_id, g, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        |ua AS (SELECT doc_id, MAX(c) AS max_uni, SUM(c) AS n_uni,
+        |         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+        |       FROM uc GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+        |    i -> concat_ws(' ', t[i-1], t[i]))) AS g FROM d),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, MAX(c) AS max_bi, SUM(c) AS n_bi FROM bc GROUP BY 1)
+        |SELECT doc_id,
+        |  ROUND(CAST(max_uni AS DOUBLE) / n_uni, 6) AS top_unigram_frac,
+        |  ROUND(CAST(max_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac,
+        |  ROUND(CAST(hapax AS DOUBLE) / n_uni, 6) AS hapax_frac
+        |FROM ua JOIN ba USING (doc_id)""".stripMargin,
   )
 }

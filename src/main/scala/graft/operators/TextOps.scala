@@ -137,6 +137,35 @@ object TextOps {
     * text — implemented as a native Catalyst expression with codegen
     * ([[graft.functions.Fnv1a64]]); plus xxhash64 for comparison. Not
     * SQL-expressible in the oracle (rows-only check). */
+  /** Repetition / diversity quality signals — the Gopher-family filters
+    * that catch degenerate generations and boilerplate: fraction of the
+    * doc covered by its most frequent unigram and bigram, and the hapax
+    * ratio (tokens occurring exactly once). All ratios are single
+    * divisions of integer counts (exact under any partitioning, so the
+    * result hash-matches an external engine). Shape: explode → two
+    * map-side-combined per-doc aggregations — shuffle keyed on doc_id,
+    * no global state. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = docs.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_uni"), sum(col("c")).as("n_uni"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val bi = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bi"), sum(col("c")).as("n_bi"))
+    uni.join(bi, "doc_id").select(
+      col("doc_id"),
+      round(col("max_uni").cast("double") / col("n_uni"), 6).as("top_unigram_frac"),
+      round(col("max_bi").cast("double") / col("n_bi"), 6).as("top_bigram_frac"),
+      round(col("hapax").cast("double") / col("n_uni"), 6).as("hapax_frac"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

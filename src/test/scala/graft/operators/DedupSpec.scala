@@ -129,4 +129,18 @@ class DedupSpec extends SparkSpec {
       assert(w >= -1.0 && w <= 1.0)
     }
   }
+
+  test("repetition stats are consistent quality signals") {
+    val r = TextOps.repetitionStats(spark, sf("0.01"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(r.length == 500)
+    r.foreach { case (id, topUni, topBi, hapax) =>
+      assert(topUni > 0.0 && topUni <= 1.0, s"doc $id top_unigram $topUni")
+      assert(topBi > 0.0 && topBi <= 1.0, s"doc $id top_bigram $topBi")
+      assert(hapax >= 0.0 && hapax <= 1.0, s"doc $id hapax $hapax")
+    }
+    // the corpus repeats words heavily (closed vocab) - the signal must
+    // actually separate docs, not collapse to a constant
+    assert(r.map(_._2).distinct.length > 100, "top_unigram_frac is degenerate")
+  }
 }
