@@ -160,4 +160,26 @@ class ExprParitySpec extends SparkSpec {
         |FROM emb_sql""".stripMargin).collect()
     assert(r2.length == 5 && r2.forall(_.getAs[Double]("d2") > 0.0))
   }
+
+  test("srpSigPortable == declarative integer-weight plane-sign form, incl. SQL name") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val planes = 6
+    // the documented portable weight: ((p*1024+i)*2654435761 mod 2000001 - 1e6)/1e6
+    val slow = (0 until planes).map { p =>
+      val proj = expr(
+        "aggregate(zip_with(embedding, transform(sequence(0, size(embedding)-1), " +
+          s"i -> (CAST(($p * 1024 + i) * 2654435761 % 2000001 AS DOUBLE) - 1000000.0) / 1000000.0), " +
+          "(x, wgt) -> CAST(x AS DOUBLE) * wgt), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }.reduce(_ + _)
+    val both = e.select(srpSigPortable($"embedding", planes).as("fast"), slow.as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+    // SQL registration round-trip
+    graft.functions.registerAll(spark)
+    e.createOrReplaceTempView("srp_portable_e")
+    val viaSql = spark.sql(
+      s"SELECT srp_sig_portable(embedding, $planes) AS s FROM srp_portable_e")
+    val viaApi = e.select(srpSigPortable($"embedding", planes).as("s"))
+    assert(viaSql.exceptAll(viaApi).count() == 0 && viaApi.exceptAll(viaSql).count() == 0)
+  }
 }
