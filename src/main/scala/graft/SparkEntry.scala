@@ -137,6 +137,9 @@ object SparkEntry {
       graft.features.Features.textEmbeddingHashedQuery(s, d)),
     // --- repetition/diversity quality signals (Gopher-style filters) ---
     "q78_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    // --- eval-set decontamination + corpus token accounting ---
+    "q79_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
+    "q80_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -962,5 +965,23 @@ object SparkEntry {
         |  ROUND(CAST(max_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac,
         |  ROUND(CAST(hapax AS DOUBLE) / n_uni, 6) AS hapax_frac
         |FROM ua JOIN ba USING (doc_id)""".stripMargin,
+    "q79_decontamination" ->
+      s"""WITH sh AS ($shingles),
+         |g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 5)
+         |SELECT doc_id, COUNT(*) AS n_shared_grams
+         |FROM g JOIN ev USING (g)
+         |WHERE doc_id >= 5
+         |GROUP BY 1""".stripMargin,
+    "q80_token_budget" ->
+      """WITH p AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws,
+        |    CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS n_tokens_bpe_est
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM p)
+        |SELECT lang, n_docs, n_tokens_ws, n_tokens_bpe_est,
+        |  ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share
+        |FROM p, t""".stripMargin,
   )
 }

@@ -166,6 +166,48 @@ object TextOps {
       round(col("hapax").cast("double") / col("n_uni"), 6).as("hapax_frac"))
   }
 
+  /** Benchmark DECONTAMINATION — the eval-set overlap check every
+    * training corpus needs: flag corpus documents sharing any word
+    * n-gram with a (small) benchmark set, with the shared-gram count as
+    * evidence. Here the "benchmark" is the first `nEvalDocs` documents
+    * (a stand-in for an external eval suite). Shape: the benchmark's
+    * distinct grams BROADCAST against the exploded corpus grams — a
+    * corpus-scale semi-join keyed on the gram, never a pair join; at
+    * 100 TB the corpus side streams map-only through the broadcast
+    * filter. Shingles are per-doc distinct ([[Dedup.shingled]]), so
+    * `count(*)` after the join IS the distinct shared-gram count. */
+  def decontamination(spark: SparkSession, sfDir: String,
+                      nEvalDocs: Int = 5): DataFrame = {
+    val grams = Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") < nEvalDocs)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") >= nEvalDocs)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Corpus token accounting per language — the budget report a packing
+    * / mixture-weighting step starts from: document count, whitespace
+    * and BPE-estimate token totals, and each language's share of the
+    * corpus token mass. Integer sums + one final division (exact under
+    * any partitioning); one map-side-combined aggregation plus a 1-row
+    * broadcast for the total. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), size(toks).cast("long").as("t"),
+        expr("(n_chars + 3) div 4").as("b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens_ws"),
+        sum(col("b")).as("n_tokens_bpe_est"))
+    perLang.crossJoin(broadcast(
+        perLang.agg(sum(col("n_tokens_ws")).as("total_ws"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens_ws"),
+        col("n_tokens_bpe_est"),
+        round(col("n_tokens_ws").cast("double") / col("total_ws"), 6).as("token_share"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

@@ -69,4 +69,12 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join degenerated:\n$p")
     assert(p.contains("srp_sig_portable"), s"portable signature missing:\n$p")
   }
+
+  test("decontamination: benchmark grams broadcast, corpus side map-only") {
+    val p = plan(TextOps.decontamination(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-gram side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontamination degenerated:\n$p")
+  }
 }
