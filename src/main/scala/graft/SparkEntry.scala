@@ -140,6 +140,8 @@ object SparkEntry {
     // --- eval-set decontamination + corpus token accounting ---
     "q79_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
     "q80_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
+    // --- deterministic train/val/test split assignment ---
+    "q81_split_assign" -> ((s, d) => Analytics.splitAssign(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -983,5 +985,16 @@ object SparkEntry {
         |SELECT lang, n_docs, n_tokens_ws, n_tokens_bpe_est,
         |  ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share
         |FROM p, t""".stripMargin,
+    "q81_split_assign" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+        |      % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang, ROUND(u, 6) AS u,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
   )
 }

@@ -102,6 +102,25 @@ object Analytics {
       .filter(u < rate)
   }
 
+  /** Deterministic train/val/test split assignment — the partition
+    * labels a training run consumes (80/10/10 by the same overflow-safe
+    * arithmetic hash as [[stratifiedSample]]): every engine, every
+    * partitioning, every rerun assigns each document the identical
+    * split, which is what makes downstream metrics comparable across
+    * reprocessings. A 100 TB corpus streams through this map-only
+    * projection; the split fractions land within sampling error of the
+    * configured rates by hash uniformity (spec-asserted). */
+  def splitAssign(spark: SparkSession, sfDir: String,
+                  trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
+    val u = h / lit(1048576.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), round(u, 6).as("u"),
+        when(u < trainFrac, "train")
+          .when(u < trainFrac + valFrac, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Explicit GROUPING SETS — the third member of the grouping-sets
     * family next to ROLLUP ([[Relational.revenueRollup]]) and CUBE
     * ([[revenueCube]]): only the granularities the report needs, so the

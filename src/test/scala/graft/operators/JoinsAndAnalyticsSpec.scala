@@ -187,4 +187,18 @@ class JoinsAndAnalyticsSpec extends SparkSpec {
     val expectTop = exact.toSeq.sortBy { case (b, n) => (-n, b) }.take(20)
     assert(out.toSeq == expectTop, s"engine ${out.take(3).toSeq} vs exact ${expectTop.take(3)}")
   }
+
+  test("split assignment is deterministic and lands near the configured rates") {
+    val a = Analytics.splitAssign(spark, sf("0.01")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = Analytics.splitAssign(spark, sf("0.01")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b, "split must be stable across runs")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    // hash uniformity: 500 docs, sd ~ 0.018 for the 0.8 bucket
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05, s"val $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05, s"test $frac")
+  }
 }
