@@ -142,6 +142,9 @@ object SparkEntry {
     "q80_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     // --- deterministic train/val/test split assignment ---
     "q81_split_assign" -> ((s, d) => Analytics.splitAssign(s, d)),
+    // --- mixture weighting + containment (asymmetric Jaccard) ---
+    "q82_mixture_weights" -> ((s, d) => TextOps.mixtureWeights(s, d)),
+    "q83_containment" -> ((s, d) => TextOps.containmentPairs(s, d, 0.8)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -996,5 +999,38 @@ object SparkEntry {
         |       WHEN u < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM u""".stripMargin,
+    "q82_mixture_weights" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM p),
+        |s AS (
+        |  SELECT lang,
+        |    ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share,
+        |    sqrt(ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6)) AS w_raw
+        |  FROM p, t),
+        |w AS (SELECT SUM(w_raw) AS w_sum FROM s)
+        |SELECT lang, token_share,
+        |  ROUND(w_raw / w_sum, 6) AS weight,
+        |  ROUND(w_raw / w_sum / token_share, 6) AS oversample
+        |FROM s, w""".stripMargin,
+    "q83_containment" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dirs AS (
+         |  SELECT doc_i AS src_doc, doc_j AS dst_doc,
+         |    ROUND(CAST(c AS DOUBLE) / na.n, 4) AS containment
+         |  FROM inter JOIN sz na ON doc_i = na.doc_id
+         |  UNION ALL
+         |  SELECT doc_j, doc_i, ROUND(CAST(c AS DOUBLE) / nb.n, 4)
+         |  FROM inter JOIN sz nb ON doc_j = nb.doc_id)
+         |SELECT src_doc, dst_doc, containment
+         |FROM dirs WHERE containment >= 0.8""".stripMargin,
   )
 }

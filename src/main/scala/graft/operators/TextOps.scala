@@ -208,6 +208,49 @@ object TextOps {
         round(col("n_tokens_ws").cast("double") / col("total_ws"), 6).as("token_share"))
   }
 
+  /** Temperature-smoothed language MIXTURE WEIGHTS over the token
+    * budget — the multilingual-training resampling step: raw language
+    * shares are smoothed with exponent α (here α = 1/2, computed as
+    * `sqrt` — an IEEE correctly-rounded primitive, so the oracle
+    * reproduces it bit-for-bit, unlike a general `pow`), renormalized,
+    * and reported with the oversample factor each language needs. The
+    * corpus-sized work is [[tokenBudget]]'s one aggregation; everything
+    * after runs on the language-bounded table. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val tb = tokenBudget(spark, sfDir)
+      .select(col("lang"), col("token_share"), sqrt(col("token_share")).as("w_raw"))
+    tb.crossJoin(broadcast(tb.agg(sum(col("w_raw")).as("w_sum"))))
+      .select(col("lang"), col("token_share"),
+        round(col("w_raw") / col("w_sum"), 6).as("weight"),
+        round(col("w_raw") / col("w_sum") / col("token_share"), 6).as("oversample"))
+  }
+
+  /** CONTAINMENT (asymmetric Jaccard) near-dup join: `|A∩B| / |A|` —
+    * the direction-sensitive overlap that catches a document EMBEDDED
+    * in a longer one, which symmetric Jaccard dilutes below threshold.
+    * Same inverted-index shape as [[Dedup.jaccardPairs]] (shuffle keyed
+    * on the shingle, fan-in bounded by co-occurrence); each undirected
+    * intersection then emits BOTH directed containments and filters —
+    * no second pair pass. */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    val sh = Dedup.shingled(spark, sfDir)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("na"), col("doc_i") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .selectExpr(
+        "stack(2, doc_i, doc_j, round(CAST(c AS DOUBLE) / na.n, 4), " +
+          "doc_j, doc_i, round(CAST(c AS DOUBLE) / nb.n, 4)) " +
+          "AS (src_doc, dst_doc, containment)")
+      .filter(col("containment") >= threshold)
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

@@ -143,4 +143,38 @@ class DedupSpec extends SparkSpec {
     // actually separate docs, not collapse to a constant
     assert(r.map(_._2).distinct.length > 100, "top_unigram_frac is degenerate")
   }
+
+  test("mixture weights renormalize shares and upsample the tail languages") {
+    val w = TextOps.mixtureWeights(spark, sf("0.01"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(w.length == 5)
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-4, s"weights sum ${w.map(_._3).sum}")
+    // sqrt smoothing: every language with below-average share gets
+    // oversampled (>1), the dominant one damped (<1)
+    val avg = 1.0 / w.length
+    w.foreach { case (lang, share, _, over) =>
+      if (share < avg) assert(over > 1.0, s"$lang share $share oversample $over")
+      if (share > 2 * avg) assert(over < 1.0, s"$lang share $share oversample $over")
+    }
+  }
+
+  test("containment dominates symmetric Jaccard on the shared pair graph") {
+    val jac = Dedup.jaccardPairs(spark, sf("0.01"), 0.5)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect().toSet
+    val cont = TextOps.containmentPairs(spark, sf("0.01"), 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.nonEmpty)
+    // containment = |A inter B| / |A| >= jaccard for the same pair, so every
+    // jaccard>=0.8 pair must appear in some direction here; and the planted
+    // near-identical pairs (j >= 0.9) must be mutual containments
+    val dirs = cont.map(c => (c._1, c._2)).toSet
+    val mutual = Dedup.jaccardPairs(spark, sf("0.01"), 0.9)
+      .select("doc_i", "doc_j").as[(Long, Long)].collect()
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (i, j) =>
+      assert(dirs.contains((i, j)) && dirs.contains((j, i)),
+        s"planted near-dup ($i,$j) not mutually contained")
+    }
+    assert(jac.nonEmpty)
+  }
 }
