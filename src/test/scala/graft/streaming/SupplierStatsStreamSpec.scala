@@ -185,4 +185,35 @@ class SupplierStatsStreamSpec extends SparkSpec {
       orderJson("c", "2024-01-01 00:01:02", 1, "S")), 1)
     assert(valid == Seq("c") && late == Seq("b"))
   }
+
+  test("framed-Avro stream decodes through the same windowed stats (S9 end-to-end)") {
+    import graft.sources.AvroSerde
+    implicit val sqlCtx = spark.sqlContext
+    // encode the same six orders as registry-framed Avro payloads
+    val orderRows = Seq(
+      AvroSerde.OrderRow("o1", "2024-01-01 00:00:01", 10.00, "item", "Alice"),
+      AvroSerde.OrderRow("o2", "2024-01-01 00:00:03", 20.50, "item", "Alice"),
+      AvroSerde.OrderRow("o3", "2024-01-01 00:00:04", 5.25, "item", "Bob"),
+      AvroSerde.OrderRow("o4", "2024-01-01 00:00:02", 1.00, "item", "Bob"),
+      AvroSerde.OrderRow("o5", "2024-01-01 00:00:07", 2.00, "item", "Alice"),
+      AvroSerde.OrderRow("o6", "2024-01-01 00:00:30", 9.99, "item", "Bob"))
+    val payloads = AvroSerde.encodeOrdersFramed(orderRows.toDS())
+      .select("value").as[Array[Byte]].collect()
+    val mem = MemoryStream[Array[Byte]]
+    val parsed = SupplierStatsStream.parseAvroFramedOrders(
+      mem.toDF().select(col("value")))
+    val q = SupplierStatsStream.stats(parsed)
+      .writeStream.format("memory").queryName("avro_stats_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(payloads: _*)
+      q.processAllAvailable()
+      val got = spark.table("avro_stats_out")
+        .select("supplier", "total_price", "cnt")
+        .as[(String, Double, Long)].collect().toSet
+      // same closed windows as the JSON-stream test: [0,5) and [5,10)
+      assert(got == Set(("Alice", 30.50, 2L), ("Bob", 6.25, 2L), ("Alice", 2.00, 1L)),
+        s"got $got")
+    } finally q.stop()
+  }
 }
