@@ -145,6 +145,9 @@ object SparkEntry {
     // --- mixture weighting + containment (asymmetric Jaccard) ---
     "q82_mixture_weights" -> ((s, d) => TextOps.mixtureWeights(s, d)),
     "q83_containment" -> ((s, d) => TextOps.containmentPairs(s, d, 0.8)),
+    // rows-only: HLL sketch estimates are engine-specific (accuracy
+    // bound spec-asserted against the exact counts)
+    "q84_approx_distinct" -> ((s, d) => Relational.dashboardMetricsApprox(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -169,6 +172,7 @@ object SparkEntry {
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
     "q44_ann_ivf" -> 50L,       // 10 queries × top-5
     "q77_text_embedding_hashed" -> 400L, // one row per document
+    "q84_approx_distinct" -> 1L, // single global KPI row
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
