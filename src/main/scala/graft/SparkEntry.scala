@@ -148,6 +148,9 @@ object SparkEntry {
     // rows-only: HLL sketch estimates are engine-specific (accuracy
     // bound spec-asserted against the exact counts)
     "q84_approx_distinct" -> ((s, d) => Relational.dashboardMetricsApprox(s, d)),
+    // rows-only: GK-sketch percentiles (engine-specific internals;
+    // accuracy spec-asserted against the exact quantiles)
+    "q85_approx_percentiles" -> ((s, d) => Relational.valuePercentilesApprox(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -173,6 +176,7 @@ object SparkEntry {
     "q44_ann_ivf" -> 50L,       // 10 queries × top-5
     "q77_text_embedding_hashed" -> 400L, // one row per document
     "q84_approx_distinct" -> 1L, // single global KPI row
+    "q85_approx_percentiles" -> 5L, // one row per event type
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -196,6 +196,22 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 6).as("p99"),
         round(max(col("value")), 6).as("p100"))
 
+  /** Scale path for [[valuePercentiles]]: Greenwald-Khanna sketch
+    * percentiles (`approx_percentile`) — exact `percentile` buffers
+    * every group value (fine here, OOM on a 100 TB group); the sketch
+    * is one bounded-memory pass with map-side partial merge. Rows-only
+    * (sketch internals are engine-specific); the spec bounds each
+    * approximate quantile inside the neighboring exact quantiles'
+    * envelope. Accuracy 10000 ⇒ rank error ≤ n/10000. */
+  def valuePercentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 6).as("p50"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
+        round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"),
+        round(max(col("value")), 6).as("p100"))
+
   /** Hierarchical rollup: revenue at (region, nation), (region), and
     * grand-total levels in one pass — `ROLLUP` is one shuffle with
     * partial aggregation per grouping set, vs three separate scans.

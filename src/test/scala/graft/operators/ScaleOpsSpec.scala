@@ -45,4 +45,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("approx percentiles (GK sketch) track exact quantiles per group") {
+    val exact = graft.operators.Relational.valuePercentiles(spark, sf("0.01"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = graft.operators.Relational.valuePercentilesApprox(spark, sf("0.01"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      // rank error n/10000 on ~12k rows/group = a few ranks; values are
+      // dense in [0, 1000], so a 1% value envelope is generous
+      def close(x: Double, y: Double, tol: Double) = math.abs(x - y) <= tol
+      assert(close(a._2, e._2, 0.01 * math.max(1.0, e._2)), s"$k p50 ${a._2} vs ${e._2}")
+      assert(close(a._3, e._3, 0.01 * math.max(1.0, e._3)), s"$k p90 ${a._3} vs ${e._3}")
+      assert(close(a._4, e._4, 0.01 * math.max(1.0, e._4)), s"$k p99 ${a._4} vs ${e._4}")
+      assert(a._5 == e._5, s"$k max must be exact")
+    }
+  }
 }
