@@ -151,6 +151,11 @@ object SparkEntry {
     // rows-only: GK-sketch percentiles (engine-specific internals;
     // accuracy spec-asserted against the exact quantiles)
     "q85_approx_percentiles" -> ((s, d) => Relational.valuePercentilesApprox(s, d)),
+    // --- event funnel + first-order transition matrix ---
+    "q86_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "q87_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
+    // --- PII redaction / text normalization (corpus scrub pass) ---
+    "q88_pii_redact" -> ((s, d) => TextOps.redactPii(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1040,5 +1045,46 @@ object SparkEntry {
          |  FROM inter JOIN sz nb ON doc_j = nb.doc_id)
          |SELECT src_doc, dst_doc, containment
          |FROM dirs WHERE containment >= 0.8""".stripMargin,
+    "q86_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p""".stripMargin,
+    "q87_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n_trans,
+        |  ROUND(CAST(n_trans AS DOUBLE) /
+        |    SUM(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
+        |FROM c""".stripMargin,
+    "q88_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3,}', '<NUM>', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[0-9]{3,}')) AS BIGINT) AS n_long_nums
+        |  FROM documents)
+        |SELECT doc_id, clean_text, n_emails, n_long_nums,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+        |FROM r""".stripMargin,
   )
 }

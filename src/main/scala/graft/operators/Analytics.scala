@@ -241,6 +241,53 @@ object Analytics {
         unix_micros(col("last_active")).as("last_active_us"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * for a stage only if the stage event happens strictly AFTER their
+    * entry into the previous stage (first qualifying timestamp each
+    * time). Each stage is a groupBy on `user_id` — the same shuffle key
+    * three times, so AQE/exchange reuse keeps it to one fact-table
+    * partitioning; no window, no global sort, scale-safe. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(col("ts_us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts_us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+    view.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(click.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("2_click")))
+      .unionByName(purchase.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): lead
+    * over (user_id, ts, event_id) pairs consecutive events per user,
+    * then one groupBy on (from, to). The share denominator is a window
+    * over the 5×5 AGGREGATED matrix, not the fact table — the only
+    * per-row work is one keyed window, partitioned by user. */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    counts.withColumn("p_trans",
+      round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
+  }
+
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the
     * explode → groupBy shape whose shuffle carries (bigram, partial
     * count) — map-side combine keeps it narrow at corpus scale. */

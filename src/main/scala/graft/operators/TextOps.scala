@@ -251,6 +251,37 @@ object TextOps {
       .filter(col("containment") >= threshold)
   }
 
+  /** Email-address pattern shared by count + replace (Java regex and
+    * RE2 agree on this subset — no backrefs, no lookaround). */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Long digit runs (ids, phone-ish numbers); 1-2 digit counts are
+    * ordinary prose and stay. */
+  val LongNumPat = "[0-9]{3,}"
+
+  /** Normalized, PII-redacted text: lowercase → email masking → long
+    * digit-run masking → whitespace collapse → trim. Column-level so it
+    * applies to any text column (tested on planted PII in the spec). */
+  def redactedText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), EmailPat, "<EMAIL>"),
+        LongNumPat, "<NUM>"),
+      "\\s+", " "))
+
+  /** PII redaction + normalization pass over the corpus — the scrub
+    * step every training-data pipeline runs before tokenization. Pure
+    * per-row projection: map-only, no shuffle, codegen'd regexes. */
+  def redactPii(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      redactedText(col("text")).as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0)))
+        .cast("long").as("n_long_nums"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
