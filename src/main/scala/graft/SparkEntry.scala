@@ -156,6 +156,15 @@ object SparkEntry {
     "q87_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
     // --- PII redaction / text normalization (corpus scrub pass) ---
     "q88_pii_redact" -> ((s, d) => TextOps.redactPii(s, d)),
+    // --- bloom-filter join pruning (oracle = the plain join: false
+    // positives die in the exact join, so the rewrite is
+    // semantics-preserving by construction) ---
+    "q89_bloom_join" -> ((s, d) => BloomPrune.urgentRevenueByMonth(s, d)),
+    // --- exact CDF quantile binning (integer arithmetic, no
+    // interpolation) + sketch-candidate heavy hitters (oracle = plain
+    // HAVING: the MG pass only bounds the shuffle, never the result) ---
+    "q90_decile_bins" -> ((s, d) => Analytics.acctbalDecileBins(s, d)),
+    "q91_heavy_tokens" -> ((s, d) => HeavyHitters.heavyTokens(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1086,5 +1095,31 @@ object SparkEntry {
         |SELECT doc_id, clean_text, n_emails, n_long_nums,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
         |FROM r""".stripMargin,
+    "q89_bloom_join" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+         |  ${revSum("revenue")}, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin,
+    "q90_decile_bins" ->
+      """WITH vals AS (
+        |  SELECT c_acctbal AS v, COUNT(*) AS cnt FROM customer GROUP BY c_acctbal),
+        |cum AS (
+        |  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum,
+        |    (SELECT SUM(cnt) FROM vals) AS n_total
+        |  FROM vals)
+        |SELECT CAST((cum * 10 + n_total - 1) // n_total AS BIGINT) AS bin,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_customers,
+        |  MIN(v) AS lo_bal, MAX(v) AS hi_bal,
+        |  ROUND(CAST(SUM(CAST(v * cnt AS DECIMAL(18,2))) AS DOUBLE) / SUM(cnt), 2)
+        |    AS avg_bal
+        |FROM cum GROUP BY bin""".stripMargin,
+    "q91_heavy_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |n AS (SELECT COUNT(*) AS n_tokens FROM tok)
+        |SELECT t AS token, COUNT(*) AS cnt
+        |FROM tok, n GROUP BY t, n_tokens
+        |HAVING COUNT(*) * 50 > n_tokens""".stripMargin,
   )
 }

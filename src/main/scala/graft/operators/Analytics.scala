@@ -241,6 +241,32 @@ object Analytics {
         unix_micros(col("last_active")).as("last_active_us"))
   }
 
+  /** CDF-based decile binning of customer balances — the exact,
+    * interpolation-free quantile bucketing: aggregate to (value, count)
+    * first, cumulative-sum over the DISTINCT values, then
+    * `bin = ceil(10·cum/n)` in pure integer arithmetic (so Spark and
+    * any oracle agree bit-for-bit; no percentile interpolation to
+    * drift). The one ordered window runs over the aggregated distinct
+    * values — bounded by the value domain (price cents), NOT the row
+    * count, so the single-partition window stays small at any fact
+    * scale. */
+  def acctbalDecileBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.customer(spark, sfDir)
+      .groupBy(col("c_acctbal").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = vals.agg(sum(col("cnt")).as("n_total"))
+    vals.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("(cum * 10 + n_total - 1) div n_total"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n_customers"),
+        min(col("v")).as("lo_bal"), max(col("v")).as("hi_bal"),
+        round(sum((col("v") * col("cnt")).cast(DecimalType(18, 2)))
+          .cast("double") / sum(col("cnt")), 2).as("avg_bal"))
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user counts
     * for a stage only if the stage event happens strictly AFTER their
     * entry into the previous stage (first qualifying timestamp each

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Frequent-item (heavy-hitter) detection at corpus scale: a
+  * Misra-Gries summary per partition finds CANDIDATES without shuffling
+  * the raw stream, then one exact counting pass restricted to the
+  * candidate set verifies them. The output is exactly the set of items
+  * with count·k > n — deterministic, so the plain GROUP BY … HAVING
+  * query is the oracle; the sketch only bounds what gets shuffled.
+  *
+  * Guarantee: an MG summary of capacity m undercounts any item by at
+  * most n_p/(m+1) of its partition's n_p elements, so every item with
+  * global frequency > n/(m+1) survives in at least one partition
+  * (averaging argument: some partition sees at least its global share).
+  * With m = 4k the candidate set provably contains every item above the
+  * n/k cut; false candidates die in the exact pass.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra-Gries candidate keys (capacity `m` counters).
+    * Genuine per-partition imperative state — the documented
+    * mapPartitions exception, not a driver-side loop. */
+  def candidates(ds: Dataset[String], m: Int): Dataset[String] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < m => counts.update(t, 1L)
+          case None =>
+            // decrement-all step; snapshot keys so removal is safe
+            counts.keys.toArray.foreach { k =>
+              val c = counts(k)
+              if (c == 1L) counts.remove(k) else counts.update(k, c - 1)
+            }
+        }
+      }
+      counts.keysIterator
+    }
+  }
+
+  /** Corpus tokens with count·k > n (frequency above 1/k): MG candidate
+    * pass → broadcast semi-join → exact count over candidates only. */
+  def heavyTokens(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    import spark.implicits._
+    def toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val cand = candidates(toks.as[String], 4 * k)
+      .toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_tokens"))
+    toks.join(broadcast(cand), col("t") === col("token"), "left_semi")
+      .groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_tokens"))
+      .select(col("token"), col("cnt"))
+  }
+}

@@ -40,6 +40,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(0) > 0)
   }
 
+  test("bloom-pruned fact keeps every true match and actually prunes") {
+    val fact = spark.range(50000).select($"id".as("k"), ($"id" % 97).as("v"))
+    val dim = spark.range(1000).select(($"id" * 50).as("k")) // 2% selectivity
+    val pruned = BloomPrune.prunedFact(fact, "k", dim, "k", 4096, 0.01)
+    // no false negatives: pruned ⊇ true matches
+    assert(pruned.join(dim, "k").count() == fact.join(dim, "k").count())
+    // at fpp=1% the survivor set is within ~2x of the true match count
+    val survivors = pruned.count()
+    assert(survivors >= 1000 && survivors < 3000, s"survivors=$survivors")
+    // probe is a codegen'd catalyst predicate, not a Scala UDF
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+    assert(!plan.contains("UDF"), "probe must not be a Scala UDF")
+  }
+
+  test("Misra-Gries candidates are a superset of true heavy hitters") {
+    // skewed stream: items 0-9 take ~90% of mass, long uniform tail
+    val ds = spark.range(100000).select(
+      when($"id" % 10 < 9, concat(lit("hot"), $"id" % 10))
+        .otherwise(concat(lit("cold"), $"id")).as("t")).as[String]
+      .repartition(8)
+    val k = 20
+    val cand = HeavyHitters.candidates(ds, 4 * k).collect().toSet
+    val n = ds.count()
+    val trueHH = ds.groupBy("t").count()
+      .filter($"count" * k > n).select("t").as[String].collect().toSet
+    assert(trueHH.nonEmpty)
+    assert(trueHH.subsetOf(cand),
+      s"missing: ${trueHH -- cand}; candidates=${cand.size}")
+  }
+
+  test("heavyTokens equals the exact HAVING computation") {
+    val sketched = HeavyHitters.heavyTokens(spark, sf("0.001"), k = 50)
+      .orderBy("token").collect().toSeq
+    val toks = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(explode(split($"text", " ")).as("t"))
+    val n = toks.count()
+    val exact = toks.groupBy($"t".as("token")).agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 50 > n).orderBy("token").collect().toSeq
+    assert(sketched == exact)
+    assert(sketched.nonEmpty)
+  }
+
+  test("decile bins partition the customer table monotonically") {
+    val bins = Analytics.acctbalDecileBins(spark, sf("0.001"))
+      .orderBy("bin").collect()
+    assert(bins.length == 10)
+    assert(bins.map(_.getLong(0)).toSeq == (1L to 10L))
+    // contiguous, ordered ranges; sizes within one of n/10
+    val n = bins.map(_.getLong(1)).sum
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) < b.getDouble(2)) // hi_bal(prev) < lo_bal(next)
+    }
+    bins.foreach(r => assert(math.abs(r.getLong(1) - n / 10.0) <= n / 10.0 * 0.5 + 1))
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
