@@ -165,6 +165,8 @@ object SparkEntry {
     // HAVING: the MG pass only bounds the shuffle, never the result) ---
     "q90_decile_bins" -> ((s, d) => Analytics.acctbalDecileBins(s, d)),
     "q91_heavy_tokens" -> ((s, d) => HeavyHitters.heavyTokens(s, d)),
+    // --- z-order clustering for multi-dim data skipping ---
+    "q92_zorder" -> ((s, d) => ZOrder.eventZValues(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1121,5 +1123,14 @@ object SparkEntry {
         |SELECT t AS token, COUNT(*) AS cnt
         |FROM tok, n GROUP BY t, n_tokens
         |HAVING COUNT(*) * 50 > n_tokens""".stripMargin,
+    "q92_zorder" -> {
+      // the same shift/mask interleave, spelled out arithmetically
+      val bits = (0 until 8).map(i =>
+        s"(((ub >> $i) & 1) << ${2 * i}) | (((hb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""SELECT event_id, ub, hb, CAST($bits AS BIGINT) AS z
+         |FROM (SELECT event_id, user_id % 256 AS ub,
+         |  (epoch_us(ts) // 3600000000) % 256 AS hb FROM events)""".stripMargin
+    },
   )
 }

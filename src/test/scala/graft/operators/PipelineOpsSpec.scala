@@ -96,6 +96,35 @@ class PipelineOpsSpec extends SparkSpec {
     bins.foreach(r => assert(math.abs(r.getLong(1) - n / 10.0) <= n / 10.0 * 0.5 + 1))
   }
 
+  test("z-interleave is a bijection on the 8-bit x 8-bit grid") {
+    val grid = spark.range(256 * 256).select(
+      ($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val z = grid.select(ZOrder.interleave($"x", $"y", 8).as("z"))
+    assert(z.distinct().count() == 256 * 256)
+    assert(z.agg(min($"z"), max($"z")).as[(Long, Long)].head() == ((0L, 65535L)))
+    // spot-check: x=5 (101) in even bits -> 1+16, y=3 (011) in odd
+    // bits -> 2+8, z = 011011 = 27
+    val one = spark.range(1).select(
+      ZOrder.interleave(lit(5L), lit(3L), 8).as("z")).as[Long].head()
+    assert(one == 27L)
+  }
+
+  test("z-clustering bounds BOTH dimension spans per partition") {
+    val parts = ZOrder.clustered(spark, sf("0.01"), 16)
+      .groupBy(spark_partition_id().as("p"))
+      .agg((max($"ub") - min($"ub")).as("ub_span"),
+        (max($"hb") - min($"hb")).as("hb_span"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(parts.length > 8)
+    val avgUb = parts.map(_.getLong(1)).sum.toDouble / parts.length
+    val avgHb = parts.map(_.getLong(2)).sum.toDouble / parts.length
+    // unclustered, every partition spans ~the full 0-255 of both dims;
+    // z-clustered ranges must shrink substantially on average for both
+    assert(avgUb < 160, s"avg ub span $avgUb")
+    assert(avgHb < 160, s"avg hb span $avgHb")
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
