@@ -167,6 +167,10 @@ object SparkEntry {
     "q91_heavy_tokens" -> ((s, d) => HeavyHitters.heavyTokens(s, d)),
     // --- z-order clustering for multi-dim data skipping ---
     "q92_zorder" -> ((s, d) => ZOrder.eventZValues(s, d)),
+    // --- deterministic per-group reservoir + token entropy + FK audit ---
+    "q93_group_sample" -> ((s, d) => Analytics.groupSample(s, d)),
+    "q94_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "q95_fk_audit" -> ((s, d) => Joins.fkAudit(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1132,5 +1136,46 @@ object SparkEntry {
          |FROM (SELECT event_id, user_id % 256 AS ub,
          |  (epoch_us(ts) // 3600000000) % 256 AS hb FROM events)""".stripMargin
     },
+    "q93_group_sample" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id, user_id,
+        |    ((((event_id % 1048576) + 1048576) % 1048576) * 2654435761)
+        |      % 1048576 AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, user_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id)
+        |      AS rk
+        |  FROM h WHERE h < 52428)
+        |SELECT event_type, rk, event_id, user_id FROM r WHERE rk <= 5""".stripMargin,
+    "q94_token_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, t, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) GROUP BY doc_id, t),
+        |p AS (
+        |  SELECT doc_id, cnt,
+        |    SUM(cnt) OVER (PARTITION BY doc_id) AS n,
+        |    CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS p
+        |  FROM c)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  ROUND(CAST(SUM(CAST(ROUND(-p * log2(p), 9) AS DECIMAL(18,9)))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM p GROUP BY doc_id""".stripMargin,
+    "q95_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS edge,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  AS n_orphan_keys
+        |UNION ALL SELECT 'orders.o_custkey->customer',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'customer.c_nationkey->nation',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer)
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |UNION ALL SELECT 'lineitem.l_partkey->part',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin,
   )
 }

@@ -121,6 +121,31 @@ object Analytics {
           .otherwise("test").as("split"))
   }
 
+  /** Deterministic per-group reservoir: the k events per type with the
+    * smallest Knuth-multiplicative hash of `event_id` (ties broken by
+    * id). Unlike `TABLESAMPLE`/`rand()`, re-running or re-partitioning
+    * can never change the sample — the "reservoir" is a pure function
+    * of the keys. The scale path is the pre-filter: only rows whose
+    * hash falls in the smallest `preKeep` fraction ever reach the
+    * per-group window, so the ranked data is a sliver of the fact
+    * table; the spec asserts the filter is invisible to the result
+    * (it keeps ≫ k rows per group at any tested sf). */
+  def groupSample(spark: SparkSession, sfDir: String, k: Int = 5,
+                  preKeep: Double = 0.05): DataFrame = {
+    val M = 1048576L
+    val h = pmod(pmod(col("event_id"), lit(M)) * lit(2654435761L), lit(M))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+      .withColumn("h", h)
+      .filter(col("h") < lit((M * preKeep).toLong))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("event_id"), col("user_id"))
+  }
+
   /** Explicit GROUPING SETS — the third member of the grouping-sets
     * family next to ROLLUP ([[Relational.revenueRollup]]) and CUBE
     * ([[revenueCube]]): only the granularities the report needs, so the

@@ -99,6 +99,36 @@ object Joins {
     * keyed row_number — the Spark shape for "replay the file, then keep
     * consuming the topic". Live updates are derived deterministically:
     * every 10th order re-arrives with status 'X' and a higher lsn. */
+  /** Referential-integrity audit over the FK edges a warehouse load
+    * must hold: one anti-join per edge (child keys with no parent),
+    * counted. Every branch is a left-anti equi-join — Spark plans the
+    * small parent side as a broadcast, so the audit reads each fact
+    * once and shuffles nothing. The `distinct` child-key counts make
+    * the rows meaningful at any scale (orphan KEYS, not orphan rows).
+    */
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def orphans(edge: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey)).distinct()
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"))
+        .withColumn("edge", lit(edge))
+    orphans("lineitem.l_orderkey->orders",
+        Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey")
+      .unionByName(orphans("orders.o_custkey->customer",
+        Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"))
+      .unionByName(orphans("customer.c_nationkey->nation",
+        Tables.customer(spark, sfDir), "c_nationkey",
+        Tables.nation(spark, sfDir), "n_nationkey"))
+      .unionByName(orphans("lineitem.l_partkey->part",
+        Tables.lineitem(spark, sfDir), "l_partkey",
+        Tables.part(spark, sfDir), "p_partkey"))
+      .select(col("edge"), col("n_orphan_keys"))
+  }
+
   def hybridLatestImage(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val history = o.select(col("o_orderkey"), col("o_orderstatus"),

