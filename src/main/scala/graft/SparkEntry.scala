@@ -171,6 +171,8 @@ object SparkEntry {
     "q93_group_sample" -> ((s, d) => Analytics.groupSample(s, d)),
     "q94_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
     "q95_fk_audit" -> ((s, d) => Joins.fkAudit(s, d)),
+    // --- int8 embedding quantization (ANN memory-scale path) ---
+    "q96_int8_quant" -> ((s, d) => Similarity.int8Quantize(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1177,5 +1179,24 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem.l_partkey->part',
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
         |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin,
+    "q96_int8_quant" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |stats AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, x.i,
+        |    floor((v - mn) * 255 / (mx - mn) + 0.5) AS code,
+        |    abs(v - (mn + floor((v - mn) * 255 / (mx - mn) + 0.5)
+        |      * (mx - mn) / 255)) AS err
+        |  FROM x JOIN stats ON x.i = stats.i)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN i = 1 THEN code END) AS BIGINT) AS code0,
+        |  CAST(MAX(CASE WHEN i = 2 THEN code END) AS BIGINT) AS code1,
+        |  CAST(MAX(CASE WHEN i = 3 THEN code END) AS BIGINT) AS code2,
+        |  CAST(MAX(CASE WHEN i = 4 THEN code END) AS BIGINT) AS code3,
+        |  ROUND(MAX(err), 6) AS max_abs_err
+        |FROM q GROUP BY vec_id""".stripMargin,
   )
 }

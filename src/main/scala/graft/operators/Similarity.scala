@@ -96,6 +96,44 @@ object Similarity {
     * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
     * is the bucket id so no pair of non-colliding vectors is ever
     * materialized. */
+  /** Scalar int8 quantization of the embedding column — the 4× memory
+    * shrink that lets an ANN index at 100 TB stay in executor RAM:
+    * per-dimension (min, max) over the corpus, then
+    * `code = floor((v-mn)·255/(mx-mn) + 0.5)`. Two-pass, both cheap at
+    * scale: the stats pass explodes but map-side-combines down to one
+    * row per DIMENSION before the shuffle (64 groups, not 64×rows);
+    * the quantize pass is map-only — the per-dim arrays ride in as one
+    * broadcast row and a `transform` lambda does the elementwise math
+    * inside codegen. Reports the first 4 codes and the per-vector
+    * reconstruction error (order-independent max, engine-portable). */
+  def int8Quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos"), col("vf").cast("double").as("v"))
+    val statsRow = x.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(statsRow))
+      .withColumn("codes", expr(
+        """transform(embedding, (vf, i) ->
+          |  floor((CAST(vf AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5))"""
+          .stripMargin))
+      .withColumn("errs", expr(
+        """transform(embedding, (vf, i) ->
+          |  abs(CAST(vf AS DOUBLE) - (mns[i] +
+          |    floor((CAST(vf AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+          |      * (mxs[i] - mns[i]) / 255)))""".stripMargin))
+      .select(col("vec_id"),
+        col("codes")(0).as("code0"), col("codes")(1).as("code1"),
+        col("codes")(2).as("code2"), col("codes")(3).as("code3"),
+        round(array_max(col("errs")), 6).as("max_abs_err"))
+  }
+
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
     val e = spread(Tables.embeddings(spark, sfDir))

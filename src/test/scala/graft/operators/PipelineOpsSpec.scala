@@ -162,6 +162,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clean.filter($"n_orphan_keys" =!= 0L).count() == 0)
   }
 
+  test("int8 quantization error is bounded by half a quantization step") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(explode($"embedding").as("vf"))
+      .select($"vf".cast("double").as("v"))
+    val Seq(mn, mx) = emb.agg(min($"v"), max($"v")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double])
+    // worst per-dim step can't exceed the global range / 255
+    val bound = (mx - mn) / 255 / 2 + 1e-9
+    val worst = Similarity.int8Quantize(spark, sf("0.001"))
+      .agg(max($"max_abs_err")).as[Double].head()
+    assert(worst <= bound, s"$worst > $bound")
+    // codes are genuine int8 range
+    val codes = Similarity.int8Quantize(spark, sf("0.001"))
+      .agg(min(least($"code0", $"code1", $"code2", $"code3")),
+        max(greatest($"code0", $"code1", $"code2", $"code3")))
+      .as[(Long, Long)].head()
+    assert(codes._1 >= 0L && codes._2 <= 255L)
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
