@@ -173,6 +173,9 @@ object SparkEntry {
     "q95_fk_audit" -> ((s, d) => Joins.fkAudit(s, d)),
     // --- int8 embedding quantization (ANN memory-scale path) ---
     "q96_int8_quant" -> ((s, d) => Similarity.int8Quantize(s, d)),
+    // --- mixture-weighted sampling + unigram surprisal scoring ---
+    "q97_mixture_sample" -> ((s, d) => TextOps.mixtureSample(s, d)),
+    "q98_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1198,5 +1201,39 @@ object SparkEntry {
         |  CAST(MAX(CASE WHEN i = 4 THEN code END) AS BIGINT) AS code3,
         |  ROUND(MAX(err), 6) AS max_abs_err
         |FROM q GROUP BY vec_id""".stripMargin,
+    "q97_mixture_sample" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM p),
+        |s AS (
+        |  SELECT lang,
+        |    ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share,
+        |    sqrt(ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6)) AS w_raw
+        |  FROM p, t),
+        |w AS (SELECT SUM(w_raw) AS w_sum FROM s),
+        |r AS (
+        |  SELECT lang,
+        |    LEAST(1.0, ROUND(w_raw / w_sum / token_share, 6)) AS rate
+        |  FROM s, w),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+        |      % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, d.lang, ROUND(u, 6) AS u, rate
+        |FROM d JOIN r ON d.lang = r.lang
+        |WHERE u < rate""".stripMargin,
+    "q98_unigram_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, COUNT(*) AS ctf FROM tok GROUP BY t),
+        |n AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_corpus FROM tf)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(-log2(CAST(ctf AS DOUBLE) / n_corpus), 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS mean_surprisal
+        |FROM tok JOIN tf USING (t), n
+        |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -225,6 +225,51 @@ object TextOps {
         round(col("w_raw") / col("w_sum") / col("token_share"), 6).as("oversample"))
   }
 
+  /** Mixture-weighted corpus sampling — the execution of
+    * [[mixtureWeights]]' plan: each language keeps documents at rate
+    * `min(1, oversample)` (under-represented languages keep all,
+    * over-represented ones thin), decided by the same deterministic
+    * Knuth-hash uniform as [[Analytics.splitAssign]] so the sample is a
+    * pure function of doc ids. Map-only over documents after a 5-row
+    * broadcast of the weights. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val M = 1048576L
+    val u = pmod(pmod(col("doc_id"), lit(M)) * lit(2654435761L), lit(M)) /
+      lit(1048576.0)
+    val rates = mixtureWeights(spark, sfDir)
+      .select(col("lang"), least(lit(1.0), col("oversample")).as("rate"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates), "lang")
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"),
+        col("rate"))
+  }
+
+  /** Per-document mean unigram surprisal — the cheap stand-in for
+    * perplexity filtering (CCNet-style): score each token by
+    * -log2 of its CORPUS frequency, average per document. High scores
+    * flag documents full of rare tokens (gibberish/noise), low scores
+    * flag templated text. Same engine-portable discipline as
+    * [[tokenEntropy]]: 9dp-rounded decimal terms so the sum is
+    * order-independent. The token join is keyed on the term (vocab-
+    * bounded); everything after is one doc-keyed aggregation. */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("t"))
+    val tf = tok.groupBy(col("t")).agg(count(lit(1)).as("ctf"))
+    val n = tf.agg(sum(col("ctf")).as("n_corpus"))
+    tok.join(tf, "t").crossJoin(broadcast(n))
+      .withColumn("s",
+        round(-log2(col("ctf").cast("double") / col("n_corpus")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+          .as("mean_surprisal"))
+  }
+
   /** CONTAINMENT (asymmetric Jaccard) near-dup join: `|A∩B| / |A|` —
     * the direction-sensitive overlap that catches a document EMBEDDED
     * in a longer one, which symmetric Jaccard dilutes below threshold.

@@ -181,6 +181,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(codes._1 >= 0L && codes._2 <= 255L)
   }
 
+  test("mixture sample keeps ~rate of each language and is deterministic") {
+    val kept = TextOps.mixtureSample(spark, sf("0.01"))
+    val docs = spark.read.parquet(sf("0.01") + "/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val byLang = kept.groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), first($"rate").as("rate"))
+      .join(docs, "lang")
+      .select($"lang", $"n_kept", $"n_docs", $"rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, nKept, nDocs, rate) =>
+      val frac = nKept.toDouble / nDocs
+      assert(math.abs(frac - rate) < 0.15, s"$lang kept $frac vs rate $rate")
+    }
+    // determinism: same ids regardless of partitioning
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextOps.mixtureSample(spark, sf("0.01"))
+      .repartition(7).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("unigram surprisal is positive and bounded by log2(corpus size)") {
+    val df = TextOps.unigramSurprisal(spark, sf("0.001"))
+    val nCorpus = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).count()
+    val bound = math.log(nCorpus.toDouble) / math.log(2.0) + 1e-6
+    val (mn, mx) = df.agg(min($"mean_surprisal"), max($"mean_surprisal"))
+      .as[(Double, Double)].head()
+    assert(mn > 0.0, s"min $mn")
+    assert(mx <= bound, s"max $mx > $bound")
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
