@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming forms of the event-analytics operators: session windows and
@@ -39,6 +40,33 @@ object EventStreams {
     * property that makes the join runnable indefinitely. Expects
     * columns `p_event_id, p_user, p_ts` / `v_event_id, v_user, v_ts,
     * v_value`. */
+  /** Streaming twin of [[graft.operators.Analytics.transitionMatrix]]:
+    * per-user keyed state holds only the LAST event, each batch sorts
+    * its (bounded) per-user slice by (ts, id) and emits the consecutive
+    * pairs, bridging across batches through the state — so the full
+    * pair stream equals the batch lead-window result when each user's
+    * feed is in order (the Kafka-partition-per-key delivery the
+    * reference relies on; out-of-order handling belongs to an upstream
+    * watermark sort, not this operator). State is one tuple per user —
+    * bounded by key cardinality, not stream length. */
+  def transitionPairs(events: Dataset[EvIn]): Dataset[Trans] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvIn],
+         state: org.apache.spark.sql.streaming.GroupState[LastSeenEv]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val chain = state.getOption
+            .map(p => EvIn(uid, p.event_id, p.ts_us, p.event_type)).toSeq ++ sorted
+          val out = chain.sliding(2).collect {
+            case Seq(a, b) => Trans(uid, a.event_type, b.event_type)
+          }.toSeq
+          sorted.lastOption.foreach(l =>
+            state.update(LastSeenEv(l.ts_us, l.event_id, l.event_type)))
+          out.iterator
+      }
+  }
+
   def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame,
                                watermarkDelay: String = "10 seconds"): DataFrame =
     purchases.withWatermark("p_ts", watermarkDelay)
@@ -47,3 +75,15 @@ object EventStreams {
       .select(col("p_event_id").as("event_id"), col("p_user").as("user_id"),
         col("v_event_id").as("view_id"), col("v_value").as("view_value"))
 }
+
+/** One event as [[EventStreams.transitionPairs]] sees it. Top-level:
+  * encoder codegen for state/stream classes requires non-nested case
+  * classes. */
+case class EvIn(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+
+/** An emitted consecutive-event transition for one user. */
+case class Trans(user_id: Long, from_type: String, to_type: String)
+
+/** Keyed state for [[EventStreams.transitionPairs]]: the user's last
+  * event only. */
+case class LastSeenEv(ts_us: Long, event_id: Long, event_type: String)

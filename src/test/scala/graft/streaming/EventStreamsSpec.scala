@@ -62,6 +62,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs equal the batch lead-window result") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      EvIn(1L, 1L, 1000L, "view"), EvIn(1L, 2L, 2000L, "click"),
+      EvIn(2L, 3L, 1500L, "view"),
+      EvIn(1L, 4L, 3000L, "purchase"),          // arrives in batch 2
+      EvIn(2L, 5L, 2500L, "error"), EvIn(2L, 6L, 2600L, "view"),
+      EvIn(3L, 7L, 100L, "signup"))             // single event: no pair
+    val mem = MemoryStream[EvIn]
+    val q = EventStreams.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*)   // splits user 1 across batches
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val batch = rows.toDF()
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type").collect().map(_.toSeq).toSeq
+
+      assert(streamed == batch && streamed.nonEmpty,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Long, String)]
