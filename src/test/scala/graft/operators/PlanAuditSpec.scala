@@ -70,6 +70,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("srp_sig_portable"), s"portable signature missing:\n$p")
   }
 
+  test("bloom join: catalyst might_contain probe on the fact side, pre-join") {
+    val p = plan(BloomPrune.urgentRevenueByMonth(spark, sf()))
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"probe fell back to a UDF:\n$p")
+    // the probe must sit BEFORE the join in the plan text (deeper =
+    // later in the string for the fact branch; cheap structural check:
+    // the filter appears in a Filter node, not post-aggregation)
+    assert(p.indexOf("might_contain") > p.indexOf("HashAggregate"),
+      s"probe not below the aggregation:\n$p")
+  }
+
+  test("group sample: hash pre-filter runs under the ranking window") {
+    val p = plan(Analytics.groupSample(spark, sf()))
+    // the 5% pre-filter must appear below the window (Filter before
+    // Window in execution order), so ranked rows are the sliver
+    val iw = p.indexOf("Window")
+    val ifi = p.lastIndexOf("pmod")
+    assert(iw >= 0 && ifi > iw, s"pre-filter not under the window:\n$p")
+  }
+
+  test("int8 quantize: map-only second pass (stats broadcast, no re-shuffle)") {
+    val p = plan(Similarity.int8Quantize(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+    // exactly one Exchange may appear on the embeddings->stats branch;
+    // the quantize branch itself must not shuffle the corpus
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(p).length
+    assert(exchanges <= 1, s"quantize pass shuffles the corpus ($exchanges):\n$p")
+  }
+
+  test("mixture sample: weights broadcast, corpus side map-only") {
+    val p = plan(TextOps.mixtureSample(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a 5-row dim:\n$p")
+  }
+
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
     val p = plan(TextOps.decontamination(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
