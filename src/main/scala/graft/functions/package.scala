@@ -35,6 +35,12 @@ package object functions {
     * tokens). */
   def wordShingles(c: Column, n: Int): Column = wrap(WordShingles(ex(c), n))
 
+  /** Morton (z-order) interleave of the low `bits` bits of two long
+    * columns (codegen'd single loop; declarative fold twin in
+    * [[graft.operators.ZOrder.interleave]]). */
+  def zorder2(x: Column, y: Column, bits: Int): Column =
+    wrap(ZOrderInterleave(ex(x), ex(y), bits))
+
   /** Indices of the `nProbe` nearest centroids (squared L2) against a
     * plan-time k×d row-major centroid matrix (IVF assignment/probe). */
   def nearestCentroids(c: Column, centroids: Array[Double], nCentroids: Int,
@@ -68,6 +74,7 @@ package object functions {
     "srp_bucket" -> (exprs => SrpBucket(exprs.head, intArg(exprs(1)))),
     "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs(1)))),
+    "zorder2" -> (exprs => ZOrderInterleave(exprs.head, exprs(1), intArg(exprs(2)))),
   )
 
   /** Register SQL-callable names for ALL custom expressions on an

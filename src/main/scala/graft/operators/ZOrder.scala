@@ -20,7 +20,8 @@ object ZOrder {
   /** Morton-interleave the low `bits` bits of two non-negative longs:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Built by
     * folding shift/mask columns — stays inside whole-stage codegen, no
-    * UDF. */
+    * UDF. Kept as the declarative SPEC ORACLE for the native
+    * [[graft.functions.ZOrderInterleave]] used on the query path. */
   def interleave(x: Column, y: Column, bits: Int): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
@@ -36,7 +37,7 @@ object ZOrder {
       .select(col("event_id"),
         expr("user_id % 256").as("ub"),
         expr("(ts_us div 3600000000) % 256").as("hb"))
-      .withColumn("z", interleave(col("ub"), col("hb"), 8))
+      .withColumn("z", graft.functions.zorder2(col("ub"), col("hb"), 8))
 
   /** The clustered layout: range-partition by z. Each partition then
     * spans a bounded rectangle in (ub, hb) — the spec measures the

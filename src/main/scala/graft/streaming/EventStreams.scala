@@ -67,6 +67,42 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Analytics.funnel]]: per-user
+    * keyed state tracks the first qualifying timestamp of each stage
+    * (view → click-after-view → purchase-after-click) and emits one
+    * [[FunnelHit]] the moment a user first reaches a stage — so
+    * `groupBy(stage).count` over the emitted stream equals the batch
+    * funnel at any point where the feed is in per-user order. State is
+    * three longs per user; no event retention. */
+  def funnelStages(events: Dataset[EvIn]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvIn],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelHit]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.viewUs < 0 =>
+                st = st.copy(viewUs = e.ts_us)
+                out += FunnelHit(uid, "1_view")
+              case "click" if st.viewUs >= 0 && st.clickUs < 0 &&
+                  e.ts_us > st.viewUs =>
+                st = st.copy(clickUs = e.ts_us)
+                out += FunnelHit(uid, "2_click")
+              case "purchase" if st.clickUs >= 0 && st.purchaseUs < 0 &&
+                  e.ts_us > st.clickUs =>
+                st = st.copy(purchaseUs = e.ts_us)
+                out += FunnelHit(uid, "3_purchase")
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame,
                                watermarkDelay: String = "10 seconds"): DataFrame =
     purchases.withWatermark("p_ts", watermarkDelay)
@@ -87,3 +123,10 @@ case class Trans(user_id: Long, from_type: String, to_type: String)
 /** Keyed state for [[EventStreams.transitionPairs]]: the user's last
   * event only. */
 case class LastSeenEv(ts_us: Long, event_id: Long, event_type: String)
+
+/** A user first reaching a funnel stage ([[EventStreams.funnelStages]]). */
+case class FunnelHit(user_id: Long, stage: String)
+
+/** Keyed funnel state: first qualifying timestamp per stage, -1 =
+  * not reached. */
+case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)

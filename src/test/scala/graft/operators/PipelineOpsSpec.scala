@@ -71,6 +71,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"missing: ${trueHH -- cand}; candidates=${cand.size}")
   }
 
+  test("Misra-Gries superset guarantee holds on seeded random skewed streams") {
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(seed)
+      val nItems = 3 + r.nextInt(40)
+      val k = 4 + r.nextInt(24)
+      // zipf-ish: item i gets weight ~ 1/(i+1)
+      val stream = (0 until 20000).map { _ =>
+        val u = r.nextDouble()
+        val i = math.min(nItems - 1, (1.0 / (u + 0.02) - 1.0).toInt)
+        s"it$i"
+      }
+      val ds = stream.toDS().repartition(1 + r.nextInt(8))
+      val cand = HeavyHitters.candidates(ds, 4 * k).collect().toSet
+      val trueHH = stream.groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 * k > stream.size).keys.toSet
+      assert(trueHH.subsetOf(cand),
+        s"seed=$seed k=$k missing ${trueHH -- cand}")
+    }
+  }
+
   test("heavyTokens equals the exact HAVING computation") {
     val sketched = HeavyHitters.heavyTokens(spark, sf("0.001"), k = 50)
       .orderBy("token").collect().toSeq
@@ -107,6 +127,30 @@ class PipelineOpsSpec extends SparkSpec {
     val one = spark.range(1).select(
       ZOrder.interleave(lit(5L), lit(3L), 8).as("z")).as[Long].head()
     assert(one == 27L)
+  }
+
+  test("native zorder2 matches the declarative fold on the full grid") {
+    val grid = spark.range(256 * 256).select(
+      ($"id" % 256).as("x"), ($"id" / 256).cast("long").as("y"))
+    val mismatches = grid.select(
+      graft.functions.zorder2($"x", $"y", 8).as("zn"),
+      ZOrder.interleave($"x", $"y", 8).as("zd"))
+      .filter($"zn" =!= $"zd").count()
+    assert(mismatches == 0)
+    // SQL name registered and identical to the column API
+    graft.functions.registerAll(spark)
+    grid.createOrReplaceTempView("zgrid")
+    val sqlMismatches = spark.sql(
+      "SELECT count(*) AS n FROM zgrid WHERE zorder2(x, y, 8) IS DISTINCT FROM " +
+        "((x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)" +
+        " | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5)" +
+        " | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7)" +
+        " | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9)" +
+        " | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11)" +
+        " | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13)" +
+        " | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15))")
+      .collect()(0).getLong(0)
+    assert(sqlMismatches == 0)
   }
 
   test("z-clustering bounds BOTH dimension spans per partition") {

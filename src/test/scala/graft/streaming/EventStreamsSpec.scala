@@ -97,6 +97,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stage counts equal the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: full funnel, split across batches
+      EvIn(1L, 1L, 1000L, "view"), EvIn(1L, 2L, 2000L, "click"),
+      EvIn(1L, 3L, 3000L, "purchase"),
+      // user 2: click BEFORE any view (ignored), then view + later click
+      EvIn(2L, 4L, 500L, "click"), EvIn(2L, 5L, 1000L, "view"),
+      EvIn(2L, 6L, 1500L, "click"),
+      // user 3: view only; user 4: purchase with no click (ignored)
+      EvIn(3L, 7L, 100L, "view"), EvIn(4L, 8L, 100L, "purchase"))
+    val mem = MemoryStream[EvIn]
+    val q = EventStreams.funnelStages(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*) // user 1 split mid-funnel
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out")
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage").as[(String, Long)].collect().toSeq
+
+      // batch reference: the q86 shape on the same rows
+      val ev = rows.toDF()
+      val view = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("view_us"))
+      val click = ev.filter($"event_type" === "click").join(view, "user_id")
+        .filter($"ts_us" > $"view_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("click_us"))
+      val purchase = ev.filter($"event_type" === "purchase").join(click, "user_id")
+        .filter($"ts_us" > $"click_us")
+        .groupBy($"user_id").agg(min($"ts_us").as("purchase_us"))
+      val batch = Seq(
+        ("1_view", view.count()), ("2_click", click.count()),
+        ("3_purchase", purchase.count()))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.map(_._2) == Seq(3L, 2L, 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Long, String)]
