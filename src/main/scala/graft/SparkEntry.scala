@@ -176,6 +176,12 @@ object SparkEntry {
     // --- mixture-weighted sampling + unigram surprisal scoring ---
     "q97_mixture_sample" -> ((s, d) => TextOps.mixtureSample(s, d)),
     "q98_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
+    // --- NDCG@k ranking quality (q76 companion) ---
+    "q99_policy_ndcg" -> ((s, d) => graft.ml.PolicyEval.ndcgMetrics(s, d)),
+    // rows-only: count-min buckets come from xxhash64, engine-specific;
+    // guarantees (est ≥ exact, bounded overestimate, merge invariance)
+    // are spec-asserted
+    "q100_cms_estimates" -> ((s, d) => HeavyHitters.heavyTokenEstimates(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -202,6 +208,7 @@ object SparkEntry {
     "q77_text_embedding_hashed" -> 400L, // one row per document
     "q84_approx_distinct" -> 1L, // single global KPI row
     "q85_approx_percentiles" -> 5L, // one row per event type
+    "q100_cms_estimates" -> 25L, // one row per heavy token (30 at sf0.01)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -1235,5 +1242,41 @@ object SparkEntry {
         |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS mean_surprisal
         |FROM tok JOIN tf USING (t), n
         |GROUP BY doc_id""".stripMargin,
+    "q99_policy_ndcg" ->
+      """WITH fb AS (
+        |  SELECT l_orderkey AS group_id, l_linenumber AS line_no, p_brand AS arm,
+        |    CASE WHEN l_quantity * 0.012 + l_discount * 4.0 > 0.5 THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST((l_orderkey * 131 + l_linenumber) % 10007 AS DOUBLE) AS rnd_score
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pop AS (SELECT arm, ROUND(AVG(y), 6) AS pop_score FROM fb GROUP BY 1),
+        |j AS (SELECT fb.*, pop_score FROM fb JOIN pop USING (arm)),
+        |melted AS (
+        |  SELECT group_id, line_no, arm, y, 'popularity' AS policy, pop_score AS s FROM j
+        |  UNION ALL
+        |  SELECT group_id, line_no, arm, y, 'random', rnd_score FROM j),
+        |ranked AS (
+        |  SELECT policy, group_id, y,
+        |    ROW_NUMBER() OVER (PARTITION BY policy, group_id
+        |      ORDER BY s DESC, arm, line_no, y DESC) AS rn
+        |  FROM melted),
+        |pg AS (
+        |  SELECT policy, group_id,
+        |    SUM(CASE WHEN rn <= 3
+        |      THEN CAST(ROUND(y / log2(rn + 1), 12) AS DECIMAL(18,12))
+        |      ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg,
+        |    SUM(y) AS tot
+        |  FROM ranked GROUP BY 1, 2),
+        |ng AS (
+        |  SELECT policy,
+        |    CAST(ROUND(CAST(dcg AS DOUBLE) /
+        |      (ROUND(1.0 / log2(2.0), 12)
+        |       + CASE WHEN tot >= 2 THEN ROUND(1.0 / log2(3.0), 12) ELSE 0.0 END
+        |       + CASE WHEN tot >= 3 THEN ROUND(1.0 / log2(4.0), 12) ELSE 0.0 END),
+        |      12) AS DECIMAL(18,12)) AS ndcg_g
+        |  FROM pg WHERE tot > 0)
+        |SELECT policy,
+        |  ROUND(CAST(SUM(ndcg_g) AS DOUBLE) / COUNT(*), 6) AS ndcg_at_3,
+        |  COUNT(*) AS n_groups_judged
+        |FROM ng GROUP BY policy""".stripMargin,
   )
 }

@@ -217,7 +217,11 @@ object PolicyEval {
     * (per-group recall rounded to 12 dp before the sum), so the result
     * hash-matches an external engine. The ranking window partitions by
     * (policy, group) — millions of small partitions, no global sort. */
-  def rankingMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+  /** Shared ranked-list build for the ranking metrics (q76 precision/
+    * recall, q99 NDCG): per-interaction-group arms scored by the
+    * popularity and hash-random policies, melted to one row per
+    * (policy, group, arm). */
+  private def meltedScores(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = graft.Tables.lineitem(spark, sfDir)
       .join(broadcast(graft.Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
@@ -229,15 +233,22 @@ object PolicyEval {
           .otherwise(0.0).as("y"),
         pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(10007))
           .cast("double").as("rnd_score"))
-    val scored = fb.join(
+    fb.join(
       broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
-    val melted = scored.selectExpr("group_id", "line_no", "arm", "y",
-      "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)")
-    // (group, line_no) is NOT unique in the synthetic lineitem table, so
-    // y joins the tie-break: rows that still tie after it carry equal y
-    // and cannot change the hit count whichever order they land in.
-    val w = Window.partitionBy(col("policy"), col("group_id"))
+      .selectExpr("group_id", "line_no", "arm", "y",
+        "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)")
+  }
+
+  // (group, line_no) is NOT unique in the synthetic lineitem table, so
+  // y joins the tie-break: rows that still tie after it carry equal y
+  // and cannot change hit counts or gains whichever order they land in.
+  private def rankWindow =
+    Window.partitionBy(col("policy"), col("group_id"))
       .orderBy(desc("s"), asc("arm"), asc("line_no"), desc("y"))
+
+  def rankingMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val melted = meltedScores(spark, sfDir)
+    val w = rankWindow
     val perGroup = melted.withColumn("rn", row_number().over(w))
       .groupBy(col("policy"), col("group_id"))
       .agg(sum(when(col("rn") <= k, col("y")).otherwise(0.0)).as("hits"),
@@ -250,6 +261,39 @@ object PolicyEval {
           .cast(org.apache.spark.sql.types.DecimalType(18, 12)))).cast("double") /
           sum(when(col("tot") > 0, 1L).otherwise(0L)), 6).as("r_macro"),
       count(lit(1)).as("n_groups"))
+  }
+
+  /** NDCG@k for the same two SQL-expressible policies: binary gains, so
+    * `DCG = Σ_{rank≤k, hit} 1/log2(rank+1)` and the ideal DCG depends
+    * only on `min(k, #hits)`. Engine-portable fp discipline: each gain
+    * term is 12dp-rounded DECIMAL before summing (order-independent),
+    * and the per-group NDCG ratio is re-rounded before the cross-group
+    * decimal mean — the same trick as [[rankingMetrics]]' macro recall.
+    */
+  def ndcgMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    require(k == 3, "oracle is written for k=3")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+    val melted = meltedScores(spark, sfDir)
+    val perGroup = melted.withColumn("rn", row_number().over(rankWindow))
+      .groupBy(col("policy"), col("group_id"))
+      .agg(
+        sum(when(col("rn") <= k,
+          round(col("y") / log2(col("rn") + 1), 12).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dcg"),
+        sum(col("y")).as("tot"))
+    // ideal DCG: constants folded at plan time, fixed 3-term order so
+    // both engines produce bit-identical doubles
+    val idcg = round(lit(1.0) / log2(lit(2.0)), 12) +
+      when(col("tot") >= 2, round(lit(1.0) / log2(lit(3.0)), 12)).otherwise(0.0) +
+      when(col("tot") >= 3, round(lit(1.0) / log2(lit(4.0)), 12)).otherwise(0.0)
+    perGroup.filter(col("tot") > 0)
+      .withColumn("ndcg_g",
+        round(col("dcg").cast("double") / idcg, 12).cast(dec))
+      .groupBy(col("policy"))
+      .agg(
+        round(sum(col("ndcg_g")).cast("double") / count(lit(1)), 6)
+          .as("ndcg_at_3"),
+        count(lit(1)).as("n_groups_judged"))
   }
 
   private[ml] val Epsilon = 0.1

@@ -44,6 +44,29 @@ object HeavyHitters {
     }
   }
 
+  /** Count-min point estimates for the heavy tokens, next to their
+    * exact counts: one sketch pass over the token stream (a single
+    * 4×width long array crossing the wire per partition), then the
+    * estimate is a pure column expression over the broadcast sketch —
+    * the frequency-oracle pattern that answers "how often does X
+    * occur" at 100 TB without a per-key shuffle. Rows-only for the
+    * driver (xxhash64 buckets are engine-specific); the spec asserts
+    * the CM guarantees: estimate ≥ exact always, bounded overestimate,
+    * and partitioning-invariance of the sketch. */
+  def heavyTokenEstimates(spark: SparkSession, sfDir: String,
+                          k: Int = 50, width: Int = 1024): DataFrame = {
+    def toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val sketch = toks.agg(graft.functions.Cms.sketchAgg(col("t"), width)
+      .as("sketch"))
+    heavyTokens(spark, sfDir, k)
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), col("cnt").as("exact_cnt"),
+        graft.functions.Cms.estimate(col("sketch"), col("token"), width)
+          .as("cms_est"))
+      .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+  }
+
   /** Corpus tokens with count·k > n (frequency above 1/k): MG candidate
     * pass → broadcast semi-join → exact count over candidates only. */
   def heavyTokens(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {

@@ -257,6 +257,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mx <= bound, s"max $mx > $bound")
   }
 
+  test("NDCG@3 is a valid normalized gain: (0,1], same judged groups per policy") {
+    val rows = graft.ml.PolicyEval.ndcgMetrics(spark, sf("0.001"))
+      .as[(String, Double, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("popularity", "random"))
+    rows.foreach { case (p, v, n) =>
+      assert(v > 0.0 && v <= 1.0, s"$p ndcg=$v out of range")
+      assert(n > 0)
+    }
+    assert(rows.map(_._3).distinct.length == 1) // identical denominator
+  }
+
+  test("count-min: never underestimates, bounded overestimate, merge-invariant") {
+    val width = 1024
+    val est = HeavyHitters.heavyTokenEstimates(spark, sf("0.01"), width = width)
+      .select("token", "exact_cnt", "cms_est")
+      .as[(String, Long, Long)].collect()
+    assert(est.length >= 25)
+    val n = spark.read.parquet(sf("0.01") + "/documents.parquet")
+      .select(explode(split($"text", " ")).as("t")).count()
+    est.foreach { case (tok, exact, cms) =>
+      assert(cms >= exact, s"$tok underestimated: $cms < $exact")
+      // classic bound e·n/width holds w.h.p. per row; min over 4 rows
+      // on a fixed fixture sits far inside it
+      assert(cms - exact <= math.ceil(math.E * n / width).toLong,
+        s"$tok overestimate ${cms - exact}")
+    }
+    // the sketch itself is identical under any partitioning
+    def sketchOf(parts: Int) = {
+      val toks = spark.read.parquet(sf("0.001") + "/documents.parquet")
+        .select(explode(split($"text", " ")).as("t")).repartition(parts)
+      toks.agg(graft.functions.Cms.sketchAgg($"t", width).as("s"))
+        .as[Array[Long]].head().toSeq
+    }
+    assert(sketchOf(1) == sketchOf(13))
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
