@@ -139,6 +139,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-min sketch as streaming state equals the batch sketch") {
+    // Cms.sketchAgg is a plain Aggregator, so it runs unchanged as a
+    // streaming global aggregate (complete mode): the sketch IS the
+    // state, and elementwise-add merges make every micro-batch path
+    // produce the same array as one batch pass.
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq("a", "b", "a", "c", "a", "b", "d", "a", "e", "b")
+    val mem = MemoryStream[String]
+    val q = mem.toDS().toDF("t")
+      .agg(graft.functions.Cms.sketchAgg($"t", 64).as("sketch"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(words.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(words.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .select("sketch").as[Array[Long]].head().toSeq
+      val batch = words.toDF("t")
+        .agg(graft.functions.Cms.sketchAgg($"t", 64).as("sketch"))
+        .as[Array[Long]].head().toSeq
+      assert(streamed == batch)
+      // and the estimate expression reads the streamed sketch correctly
+      val est = spark.table("cms_out")
+        .select(graft.functions.Cms.estimate($"sketch", lit("a"), 64))
+        .as[Long].head()
+      assert(est >= 4L && est <= words.size.toLong)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join and expires state") {
     implicit val sqlCtx = spark.sqlContext
     val pMem = MemoryStream[(Long, Long, String)]
