@@ -182,6 +182,9 @@ object SparkEntry {
     // guarantees (est ≥ exact, bounded overestimate, merge invariance)
     // are spec-asserted
     "q100_cms_estimates" -> ((s, d) => HeavyHitters.heavyTokenEstimates(s, d)),
+    // --- SCD-2 history from CDC + hourly volume anomaly flags ---
+    "q101_scd2_history" -> ((s, d) => Cdc.scd2History(s, d)),
+    "q102_hourly_anomalies" -> ((s, d) => Analytics.hourlyAnomalies(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1278,5 +1281,51 @@ object SparkEntry {
         |  ROUND(CAST(SUM(ndcg_g) AS DOUBLE) / COUNT(*), 6) AS ndcg_at_3,
         |  COUNT(*) AS n_groups_judged
         |FROM ng GROUP BY policy""".stripMargin,
+    "q101_scd2_history" ->
+      """WITH ranked AS (
+        |  SELECT *, ((l_orderkey * 31 + l_linenumber) % 10) AS h,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_partkey, l_quantity, l_extendedprice) AS r
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT *, (l_orderkey * 10 + l_linenumber) * 1000 + (r - 1) * 4 AS key_lsn
+        |  FROM ranked),
+        |v AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |    l_partkey AS part_id, CAST(l_quantity AS DOUBLE) AS quantity,
+        |    l_extendedprice AS price, 'c' AS op, key_lsn AS lsn FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |    CAST(l_quantity + 1 AS DOUBLE), l_extendedprice, 'u', key_lsn + 1
+        |  FROM base WHERE h >= 4
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, NULL, NULL, NULL, 'd', key_lsn + 2
+        |  FROM base WHERE h >= 8),
+        |w AS (
+        |  SELECT *, LEAD(lsn) OVER (PARTITION BY order_id, line_no
+        |    ORDER BY lsn) AS valid_to_lsn
+        |  FROM v)
+        |SELECT order_id, line_no, part_id, quantity, price,
+        |  lsn AS valid_from_lsn, valid_to_lsn,
+        |  (valid_to_lsn IS NULL) AS is_current
+        |FROM w WHERE op <> 'd'""".stripMargin,
+    "q102_hourly_anomalies" ->
+      """WITH hc AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS sn,
+        |    CAST(SUM(n * n) AS BIGINT) AS sn2, COUNT(*) AS cnt
+        |  FROM hc GROUP BY 1),
+        |j AS (
+        |  SELECT hc.event_type, epoch_us(h) AS hour_us, n,
+        |    CAST(sn AS DOUBLE) / cnt AS mean,
+        |    GREATEST((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / cnt)
+        |      / (cnt - 1), 1e-12) AS variance
+        |  FROM hc JOIN st ON hc.event_type = st.event_type)
+        |SELECT event_type, hour_us, n,
+        |  ROUND((n - mean) / sqrt(variance), 4) AS z,
+        |  (abs(ROUND((n - mean) / sqrt(variance), 4)) > 3.0) AS is_anomaly
+        |FROM j""".stripMargin,
   )
 }

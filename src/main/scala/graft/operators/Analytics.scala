@@ -339,6 +339,32 @@ object Analytics {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Hourly volume anomaly flags per event type: z-score of each hour's
+    * count against the type's own distribution, |z| > 3 flagged. The
+    * mean/variance come from INTEGER power sums (Σn, Σn², count) so the
+    * moments are exact and engine-portable — a naive `stddev` would
+    * inherit each engine's partial-aggregation order. Two aggregations
+    * (hour counts, then 5-row type stats broadcast back); no window. */
+  def hourlyAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val hc = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hc.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("sn"), sum(col("n") * col("n")).as("sn2"),
+        count(lit(1)).as("cnt"))
+    hc.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sn").cast("double") / col("cnt"))
+      .withColumn("variance",
+        greatest((col("sn2").cast("double") -
+          col("sn").cast("double") * col("sn") / col("cnt")) /
+          (col("cnt") - 1), lit(1e-12)))
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        col("n"),
+        round((col("n") - col("mean")) / sqrt(col("variance")), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+  }
+
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the
     * explode → groupBy shape whose shuffle carries (bigram, partial
     * count) — map-side combine keeps it narrow at corpus scale. */

@@ -167,6 +167,29 @@ object Cdc {
           col("v.lsn"))).as("value"))
   }
 
+  /** SCD-2 history from the changelog: decode the wire envelope, order
+    * each key's versions by lsn, and close every version with its
+    * successor's lsn (`valid_to_lsn`, null = still open). Deletes close
+    * the last image and contribute no row of their own — the standard
+    * slowly-changing-dimension type-2 build, as one PK-partitioned
+    * window over the decoded stream (same single keyed shuffle as
+    * [[materializeLatest]]; the history keeps ALL versions instead of
+    * row 1). */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("order_id"), col("line_no"))
+      .orderBy(col("lsn"))
+    versionedEnvelope(spark, sfDir)
+      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
+      .select(col("p.*"))
+      .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(byKey))
+      .filter(col("op") =!= "d")
+      .select(col("order_id"), col("line_no"), col("part_id"),
+        col("quantity"), col("price"),
+        col("lsn").as("valid_from_lsn"), col("valid_to_lsn"),
+        col("valid_to_lsn").isNull.as("is_current"))
+  }
+
   /** Materialize the table from the changelog: decode the wire envelope,
     * keep the max-lsn image per key (one hash-partitioned window — the
     * shuffle is on the PK, exactly the partitioning the downstream

@@ -293,6 +293,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sketchOf(1) == sketchOf(13))
   }
 
+  test("SCD-2 current rows equal the materialized latest image") {
+    val hist = Cdc.scd2History(spark, sf("0.001"))
+    val current = hist.filter($"is_current")
+      .select($"order_id", $"line_no", $"part_id", $"quantity", $"price")
+      .collect().map(_.toSeq).toSet
+    val latest = Cdc.materializeLatest(spark, sf("0.001"))
+      .collect().map(_.toSeq).toSet
+    assert(current == latest && current.nonEmpty)
+    // intervals never overlap: each version closes at or before the
+    // next one opens (a delete between versions leaves a legitimate
+    // gap — the key did not exist there), and every closed interval is
+    // non-empty
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("order_id", "line_no").orderBy("valid_from_lsn")
+    val checked = hist
+      .withColumn("next_from", lead($"valid_from_lsn", 1).over(w))
+    assert(checked.filter($"next_from".isNotNull &&
+      ($"valid_to_lsn".isNull || $"valid_to_lsn" > $"next_from")).count() == 0)
+    assert(checked.filter($"valid_to_lsn".isNotNull &&
+      $"valid_to_lsn" <= $"valid_from_lsn").count() == 0)
+  }
+
+  test("hourly anomaly z-scores are standardized per type") {
+    val df = Analytics.hourlyAnomalies(spark, sf("0.01"))
+    val perType = df.groupBy("event_type")
+      .agg(avg($"z").as("mz"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+    assert(perType.length == 5)
+    perType.foreach { case (t, mz, n) =>
+      assert(math.abs(mz) < 0.05, s"$t mean z $mz") // ~0 by construction
+      assert(n > 100)
+    }
+    // flags exist only where |z| really exceeds 3
+    assert(df.filter($"is_anomaly" && abs($"z") <= 3.0).count() == 0)
+  }
+
   test("transition shares sum to ~1 per from_type") {
     val sums = Analytics.transitionMatrix(spark, sf("0.001"))
       .groupBy("from_type").agg(sum("p_trans").as("s"))
