@@ -185,6 +185,10 @@ object SparkEntry {
     // --- SCD-2 history from CDC + hourly volume anomaly flags ---
     "q101_scd2_history" -> ((s, d) => Cdc.scd2History(s, d)),
     "q102_hourly_anomalies" -> ((s, d) => Analytics.hourlyAnomalies(s, d)),
+    // --- fuzzy entity blocking + unpivot + full-outer reconciliation ---
+    "q103_fuzzy_names" -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
+    "q104_feature_melt" -> ((s, d) => Analytics.customerFeatureMelt(s, d)),
+    "q105_reconciliation" -> ((s, d) => Joins.activityReconciliation(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1327,5 +1331,33 @@ object SparkEntry {
         |  ROUND((n - mean) / sqrt(variance), 4) AS z,
         |  (abs(ROUND((n - mean) / sqrt(variance), 4)) > 3.0) AS is_anomaly
         |FROM j""".stripMargin,
+    "q103_fuzzy_names" ->
+      """WITH n AS (
+        |  SELECT p_name, COUNT(*) AS n_parts, split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "q104_feature_melt" ->
+      """WITH w AS (
+        |  SELECT c_custkey, c_acctbal AS acctbal,
+        |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1.0 ELSE 0.0 END AS seg_auto,
+        |    CAST(c_nationkey AS DOUBLE) AS nation_key
+        |  FROM customer)
+        |SELECT c_custkey, 'acctbal' AS feature, acctbal AS value FROM w
+        |UNION ALL SELECT c_custkey, 'seg_auto', seg_auto FROM w
+        |UNION ALL SELECT c_custkey, 'nation_key', nation_key FROM w""".stripMargin,
+    "q105_reconciliation" ->
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(o_custkey, user_id) AS entity_key,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  CASE WHEN o_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
+        |       WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |       ELSE 'events_only' END AS status
+        |FROM o FULL JOIN e ON o_custkey = user_id""".stripMargin,
   )
 }

@@ -339,6 +339,21 @@ object Analytics {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** UNPIVOT/melt — the inverse of [[hourlyTypePivot]]: wide per-entity
+    * columns to long (entity, feature, value) rows, the layout feature
+    * stores and ML trainers ingest. Spark's native `unpivot` keeps it
+    * map-only (one generator row per cell, no shuffle). */
+  def customerFeatureMelt(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        col("c_acctbal").as("acctbal"),
+        when(col("c_mktsegment") === "AUTOMOBILE", 1.0).otherwise(0.0)
+          .as("seg_auto"),
+        col("c_nationkey").cast("double").as("nation_key"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("seg_auto"), col("nation_key")),
+        "feature", "value")
+
   /** Hourly volume anomaly flags per event type: z-score of each hour's
     * count against the type's own distribution, |z| > 3 flagged. The
     * mean/variance come from INTEGER power sums (Σn, Σn², count) so the

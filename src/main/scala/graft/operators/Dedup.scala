@@ -225,6 +225,29 @@ object Dedup {
     * recall oracle for [[embeddingPairsBucketed]], quadratic by
     * construction — never the queries-map entry (a cartesian product
     * dies at corpus scale). */
+  /** Fuzzy entity matching with blocking — the edit-distance member of
+    * the dedup family (catalogue/entity-resolution shape): dedupe to
+    * DISTINCT names first (vocabulary-bounded, not row-bounded), block
+    * on the first token, and run `levenshtein` only inside blocks — so
+    * the pair space is Σ|block|², never |names|², and row multiplicity
+    * rides along as counts instead of exploding the join. */
+  def fuzzyNamePairs(spark: SparkSession, sfDir: String,
+                     maxDist: Int = 3): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("p_name"), " ")(0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
   def embeddingPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
     val e = Similarity.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"),

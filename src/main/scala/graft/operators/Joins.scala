@@ -129,6 +129,27 @@ object Joins {
       .select(col("edge"), col("n_orphan_keys"))
   }
 
+  /** FULL OUTER reconciliation of two activity ledgers (orders vs
+    * events per customer key): presence on each side, zero-filled
+    * counts, and a status label — the audit query that closes the join
+    * family (inner/semi/anti/asof/range/full). Both sides pre-aggregate
+    * to one row per key BEFORE the join, so the full-outer exchange
+    * carries key cardinality, not fact rows. */
+  def activityReconciliation(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    o.join(e, col("o_custkey") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("user_id")).as("entity_key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("o_custkey").isNotNull && col("user_id").isNotNull, "both")
+          .when(col("o_custkey").isNotNull, "orders_only")
+          .otherwise("events_only").as("status"))
+  }
+
   def hybridLatestImage(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val history = o.select(col("o_orderkey"), col("o_orderstatus"),

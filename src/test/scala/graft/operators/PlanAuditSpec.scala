@@ -106,6 +106,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for a 5-row dim:\n$p")
   }
 
+  test("fuzzy name pairs: equi-join on the block key, never all-pairs") {
+    val p = plan(Dedup.fuzzyNamePairs(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy match degenerated to all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"edit distance missing:\n$p")
+  }
+
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
     val p = plan(TextOps.decontamination(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
