@@ -189,6 +189,9 @@ object SparkEntry {
     "q103_fuzzy_names" -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
     "q104_feature_melt" -> ((s, d) => Analytics.customerFeatureMelt(s, d)),
     "q105_reconciliation" -> ((s, d) => Joins.activityReconciliation(s, d)),
+    // --- window-free per-group extremes + numeric column profiling ---
+    "q106_segment_extremes" -> ((s, d) => Analytics.segmentExtremes(s, d)),
+    "q107_column_profile" -> ((s, d) => Analytics.profileCustomerNumeric(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1359,5 +1362,37 @@ object SparkEntry {
         |       WHEN o_custkey IS NOT NULL THEN 'orders_only'
         |       ELSE 'events_only' END AS status
         |FROM o FULL JOIN e ON o_custkey = user_id""".stripMargin,
+    "q106_segment_extremes" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment AS segment, c_acctbal, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM customer)
+        |SELECT segment,
+        |  MAX(CASE WHEN rmax = 1 THEN c_acctbal END) AS top_bal,
+        |  MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS top_cust,
+        |  MAX(CASE WHEN rmin = 1 THEN c_acctbal END) AS low_bal,
+        |  MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS low_cust,
+        |  COUNT(*) AS n_customers
+        |FROM r GROUP BY segment""".stripMargin,
+    "q107_column_profile" ->
+      """SELECT 'c_custkey' AS column_name,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(MIN(c_custkey) AS DOUBLE) AS min_val,
+        |  CAST(MAX(c_custkey) AS DOUBLE) AS max_val
+        |FROM customer
+        |UNION ALL SELECT 'c_nationkey',
+        |  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey),
+        |  CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE)
+        |FROM customer
+        |UNION ALL SELECT 'c_acctbal',
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT c_acctbal),
+        |  CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE)
+        |FROM customer""".stripMargin,
   )
 }

@@ -339,6 +339,46 @@ object Analytics {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Per-group argmax/argmin WITHOUT a window: `max(struct(ord, key))`
+    * is a single-value aggregation state (constant memory per group,
+    * partial-merges map-side), unlike row_number which sorts every
+    * group — the scale path for top-1-per-group at 100 TB. The struct
+    * ordering is lexicographic (balance, then custkey), so ties are
+    * deterministic. */
+  def segmentExtremes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("mx"),
+        min(struct(col("c_acctbal"), col("c_custkey"))).as("mn"),
+        count(lit(1)).as("n_customers"))
+      .select(col("segment"),
+        col("mx.c_acctbal").as("top_bal"), col("mx.c_custkey").as("top_cust"),
+        col("mn.c_acctbal").as("low_bal"), col("mn.c_custkey").as("low_cust"),
+        col("n_customers"))
+
+  /** Numeric column profiling — the data-quality report a 100 TB load
+    * runs before anything else: null count, exact distinct, min/max per
+    * column, one output row per column. One aggregation pass computes
+    * every column's stats; the melt to long form happens on the 1-row
+    * result, so the table is scanned exactly once. */
+  def profileCustomerNumeric(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))
+    }
+    val wide = Tables.customer(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stacked) " +
+        "AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
   /** UNPIVOT/melt — the inverse of [[hourlyTypePivot]]: wide per-entity
     * columns to long (entity, feature, value) rows, the layout feature
     * stores and ML trainers ingest. Spark's native `unpivot` keeps it
