@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * iteration (not UTF-16 units) keeps multi-byte text (`zh` docs)
   * consistent with engines that index by codepoint. */
 case class PolyHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -34,6 +33,30 @@ case class PolyHash64(child: Expression)
     }
     h
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // same codepoint loop as nullSafeEval, emitted into whole-stage
+      // codegen; freshName so multiple calls can share a method
+      val s = ctx.freshName("phStr")
+      val h = ctx.freshName("phH")
+      val i = ctx.freshName("phI")
+      val cp = ctx.freshName("phCp")
+      s"""
+         |String $s = $c.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
     copy(child = newChild)
