@@ -192,6 +192,8 @@ object SparkEntry {
     // --- window-free per-group extremes + numeric column profiling ---
     "q106_segment_extremes" -> ((s, d) => Analytics.segmentExtremes(s, d)),
     "q107_column_profile" -> ((s, d) => Analytics.profileCustomerNumeric(s, d)),
+    // --- ABC/Pareto revenue classification (decimal-exact shares) ---
+    "q108_revenue_abc" -> ((s, d) => Analytics.revenueAbc(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1394,5 +1396,25 @@ object SparkEntry {
         |  COUNT(DISTINCT c_acctbal),
         |  CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE)
         |FROM customer""".stripMargin,
+    "q108_revenue_abc" ->
+      s"""WITH pr AS (
+         |  SELECT l_partkey AS part_id,
+         |    ROUND(SUM($rev), 2) AS rev_d
+         |  FROM lineitem GROUP BY 1),
+         |c AS (
+         |  SELECT part_id, rev_d,
+         |    SUM(rev_d) OVER (
+         |      ORDER BY rev_d DESC, part_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    (SELECT SUM(rev_d) FROM pr) AS total
+         |  FROM pr)
+         |SELECT part_id, CAST(rev_d AS DOUBLE) AS revenue,
+         |  ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+         |  CASE WHEN ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.80
+         |         THEN 'A'
+         |       WHEN ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) <= 0.95
+         |         THEN 'B'
+         |       ELSE 'C' END AS abc_class
+         |FROM c""".stripMargin,
   )
 }

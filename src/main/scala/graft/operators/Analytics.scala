@@ -339,6 +339,37 @@ object Analytics {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** ABC / Pareto classification of parts by revenue: cumulative
+    * revenue share in descending order → A (first 80%), B (to 95%),
+    * C (tail). Both the running and the grand total accumulate as
+    * DECIMAL, so the shares — and therefore the class boundaries — are
+    * exact and engine-identical, immune to fp summation order. The one
+    * ordered window runs over the AGGREGATED per-part rows (domain-
+    * bounded, like [[acctbalDecileBins]]), not the fact table. */
+  def revenueAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ExactNum._
+    // round to cents with ROUND in DECIMAL space: double-then-round
+    // diverges between engines at .xx5 boundaries, and a decimal
+    // scale-down CAST truncates in DuckDB while Spark rounds — only
+    // the explicit decimal ROUND agrees everywhere
+    val pr = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+        .as("rev_d"))
+    val w = Window.orderBy(desc("rev_d"), asc("part_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pr.agg(sum(col("rev_d")).as("total"))
+    pr.withColumn("cum", sum(col("rev_d")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share",
+        round(col("cum").cast("double") / col("total").cast("double"), 6))
+      .select(col("part_id"), col("rev_d").cast("double").as("revenue"),
+        col("cum_share"),
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** Per-group argmax/argmin WITHOUT a window: `max(struct(ord, key))`
     * is a single-value aggregation state (constant memory per group,
     * partial-merges map-side), unlike row_number which sorts every
