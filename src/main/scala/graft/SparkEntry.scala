@@ -194,6 +194,9 @@ object SparkEntry {
     "q107_column_profile" -> ((s, d) => Analytics.profileCustomerNumeric(s, d)),
     // --- ABC/Pareto revenue classification (decimal-exact shares) ---
     "q108_revenue_abc" -> ((s, d) => Analytics.revenueAbc(s, d)),
+    // --- cohort retention triangle + behavioral trigram mining ---
+    "q109_retention_triangle" -> ((s, d) => Analytics.retentionTriangle(s, d)),
+    "q110_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1416,5 +1419,28 @@ object SparkEntry {
          |         THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM c""".stripMargin,
+    "q109_retention_triangle" ->
+      """WITH o AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mi
+        |  FROM orders),
+        |c AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY 1)
+        |SELECT CAST(cohort_mi // 12 AS BIGINT) AS cohort_year,
+        |  CAST(cohort_mi % 12 + 1 AS BIGINT) AS cohort_month,
+        |  CAST(mi - cohort_mi AS BIGINT) AS month_offset,
+        |  COUNT(DISTINCT o.o_custkey) AS n_active
+        |FROM o JOIN c ON o.o_custkey = c.o_custkey
+        |GROUP BY cohort_mi, mi - cohort_mi""".stripMargin,
+    "q110_event_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT t1, t2, t3, COUNT(*) AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
   )
 }

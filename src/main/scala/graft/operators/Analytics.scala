@@ -339,6 +339,46 @@ object Analytics {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Cohort retention triangle: customers grouped by first-order month,
+    * activity counted per months-since-cohort offset — the classic
+    * retention matrix, in pure integer month arithmetic
+    * (`year·12 + month`) so offsets are exact on any engine. Two
+    * aggregations on the customer key plus one on the (cohort, offset)
+    * pair; the fact table is read once. */
+  def retentionTriangle(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("mi"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("cohort_mi"))
+    o.distinct()
+      .join(cohort, "o_custkey")
+      .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi")).as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .select(
+        expr("cohort_mi div 12").cast("long").as("cohort_year"),
+        (pmod(col("cohort_mi"), lit(12)) + 1).cast("long").as("cohort_month"),
+        col("month_offset").cast("long").as("month_offset"),
+        col("n_active"))
+  }
+
+  /** Per-user event-type trigram mining (behavioral patterns): two
+    * leads over the per-user order, one groupBy over the 5³ trigram
+    * space — the same single keyed window as [[transitionMatrix]],
+    * pattern length notwithstanding. */
+  def eventTrigrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("t1"), asc("t2"), asc("t3"))
+      .limit(k)
+  }
+
   /** ABC / Pareto classification of parts by revenue: cumulative
     * revenue share in descending order → A (first 80%), B (to 95%),
     * C (tail). Both the running and the grand total accumulate as
