@@ -113,6 +113,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("levenshtein"), s"edit distance missing:\n$p")
   }
 
+  test("revenue ABC: the ordered window runs over the aggregated part domain") {
+    val df = Analytics.revenueAbc(spark, sf())
+    val p = plan(df)
+    // partial+final aggregation must complete BEFORE the Window node —
+    // the cumulative pass sorts |parts| rows, never the fact table
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val win = p.indexOf("Window")
+    assert(win >= 0 && lastAgg > win,
+      s"window not over the aggregated domain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ABC degenerated:\n$p")
+  }
+
+  test("retention triangle: distinct + two aggregations, no cartesian") {
+    val p = plan(Analytics.retentionTriangle(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"cohort join degenerated:\n$p")
+    val n = "HashAggregate".r.findAllIn(p).length
+    assert(n >= 4, s"expected partial+final aggregation levels, got $n:\n$p")
+  }
+
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
     val p = plan(TextOps.decontamination(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
