@@ -1190,20 +1190,24 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CAST(ROUND(-p * log2(p), 9) AS DECIMAL(18,9)))
         |    AS DOUBLE), 6) AS entropy
         |FROM p GROUP BY doc_id""".stripMargin,
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
+    // NOT IN returns zero rows whenever the parent set contains a NULL
+    // while the anti join counts NULL child keys as orphans — NOT EXISTS
+    // matches anti-join semantics exactly for any future NULL keys.
     "q95_fk_audit" ->
       """SELECT 'lineitem.l_orderkey->orders' AS edge,
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey))
         |  AS n_orphan_keys
         |UNION ALL SELECT 'orders.o_custkey->customer',
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders)
-        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
         |UNION ALL SELECT 'customer.c_nationkey->nation',
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer)
-        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+        |   WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey))
         |UNION ALL SELECT 'lineitem.l_partkey->part',
-        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
-        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))""".stripMargin,
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))""".stripMargin,
     "q96_int8_quant" ->
       """WITH x AS (
         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
@@ -1212,8 +1216,8 @@ object SparkEntry {
         |stats AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i),
         |q AS (
         |  SELECT vec_id, x.i,
-        |    floor((v - mn) * 255 / (mx - mn) + 0.5) AS code,
-        |    abs(v - (mn + floor((v - mn) * 255 / (mx - mn) + 0.5)
+        |    floor((v - mn) * 255 / GREATEST(mx - mn, 1e-12) + 0.5) AS code,
+        |    abs(v - (mn + floor((v - mn) * 255 / GREATEST(mx - mn, 1e-12) + 0.5)
         |      * (mx - mn) / 255)) AS err
         |  FROM x JOIN stats ON x.i = stats.i)
         |SELECT vec_id,
@@ -1332,8 +1336,9 @@ object SparkEntry {
         |j AS (
         |  SELECT hc.event_type, epoch_us(h) AS hour_us, n,
         |    CAST(sn AS DOUBLE) / cnt AS mean,
-        |    GREATEST((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / cnt)
-        |      / (cnt - 1), 1e-12) AS variance
+        |    CASE WHEN cnt > 1 THEN
+        |      GREATEST((CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE) * sn / cnt)
+        |        / (cnt - 1), 1e-12) END AS variance
         |  FROM hc JOIN st ON hc.event_type = st.event_type)
         |SELECT event_type, hour_us, n,
         |  ROUND((n - mean) / sqrt(variance), 4) AS z,

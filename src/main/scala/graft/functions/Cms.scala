@@ -30,10 +30,15 @@ object Cms {
       extends Aggregator[String, Array[Long], Array[Long]] {
     override def zero: Array[Long] = new Array[Long](Depth * width)
     override def reduce(buf: Array[Long], s: String): Array[Long] = {
-      var i = 0
-      while (i < Depth) {
-        buf(i * width + Cms.bucket(s, i, width)) += 1L
-        i += 1
+      // nulls are skipped like SQL aggregates skip them — the public
+      // column-level API must not NPE inside UTF8String/xxhash on a
+      // null input string
+      if (s != null) {
+        var i = 0
+        while (i < Depth) {
+          buf(i * width + Cms.bucket(s, i, width)) += 1L
+          i += 1
+        }
       }
       buf
     }

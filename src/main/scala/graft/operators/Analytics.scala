@@ -481,10 +481,15 @@ object Analytics {
         count(lit(1)).as("cnt"))
     hc.join(broadcast(stats), "event_type")
       .withColumn("mean", col("sn").cast("double") / col("cnt"))
+      // cnt == 1 would divide 0/0 → NaN, and Spark's NaN ordering makes
+      // abs(NaN) > 3 TRUE while other engines' division-by-zero differs —
+      // a type with a single hour bucket has no variance estimate, so z
+      // is null there (mirrored in the oracle's CASE WHEN cnt > 1)
       .withColumn("variance",
-        greatest((col("sn2").cast("double") -
-          col("sn").cast("double") * col("sn") / col("cnt")) /
-          (col("cnt") - 1), lit(1e-12)))
+        when(col("cnt") > 1,
+          greatest((col("sn2").cast("double") -
+            col("sn").cast("double") * col("sn") / col("cnt")) /
+            (col("cnt") - 1), lit(1e-12))))
       .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
         col("n"),
         round((col("n") - col("mean")) / sqrt(col("variance")), 4).as("z"))

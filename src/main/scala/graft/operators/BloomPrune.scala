@@ -33,12 +33,21 @@ import graft.functions.ExactNum._
 object BloomPrune {
 
   /** `fact` rows whose `factKey` might be in `dim`'s `dimKey` set.
-    * Key columns must be integral (probed as long). */
+    * Key columns must be integral (probed as long).
+    *
+    * `expectedItems <= 0` (the default) sizes the filter from
+    * `dim.count()` — one cheap action over the already-filtered dim
+    * side. A fixed capacity would silently saturate at larger scale
+    * factors (fpp degrades toward 1 and the pruning claim evaporates,
+    * even though the exact join keeps the RESULT correct); callers that
+    * know a tight upper bound can pass it to skip the count. */
   def prunedFact(fact: DataFrame, factKey: String,
                  dim: DataFrame, dimKey: String,
-                 expectedItems: Long = 1L << 17,
+                 expectedItems: Long = -1L,
                  fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val expected =
+      if (expectedItems > 0) expectedItems else math.max(dim.count(), 1L)
+    val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     val mightContain: Column = GraftShims.column(BloomFilterMightContain(

@@ -119,14 +119,20 @@ object Similarity {
           .as("mxs"))
     Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(statsRow))
+      // greatest(mx-mn, 1e-12): a CONSTANT dimension (mx == mn) would
+      // divide by zero → NaN codes with engine-divergent semantics; the
+      // clamp maps it to code 0 / err 0 identically everywhere (the
+      // oracle mirrors the same GREATEST)
       .withColumn("codes", expr(
         """transform(embedding, (vf, i) ->
-          |  floor((CAST(vf AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5))"""
+          |  floor((CAST(vf AS DOUBLE) - mns[i]) * 255
+          |    / greatest(mxs[i] - mns[i], 1e-12) + 0.5))"""
           .stripMargin))
       .withColumn("errs", expr(
         """transform(embedding, (vf, i) ->
           |  abs(CAST(vf AS DOUBLE) - (mns[i] +
-          |    floor((CAST(vf AS DOUBLE) - mns[i]) * 255 / (mxs[i] - mns[i]) + 0.5)
+          |    floor((CAST(vf AS DOUBLE) - mns[i]) * 255
+          |      / greatest(mxs[i] - mns[i], 1e-12) + 0.5)
           |      * (mxs[i] - mns[i]) / 255)))""".stripMargin))
       .select(col("vec_id"),
         col("codes")(0).as("code0"), col("codes")(1).as("code1"),
