@@ -47,6 +47,23 @@ package object functions {
                        nProbe: Int): Column =
     wrap(NearestCentroids(ex(c), centroids, nCentroids, nProbe))
 
+  /** LinUCB serving score `x·θ + α·√(xᵀA⁻¹x)` (codegen'd; arrays of
+    * double, α fixed at plan time). */
+  def linucbScore(x: Column, aInv: Column, b: Column, alpha: Double): Column =
+    wrap(LinUcbScore(ex(x), ex(aInv), ex(b), alpha))
+
+  /** Deterministic LinTS score `x·θ + ν·x·(L z(seed))` (codegen'd). */
+  def linTsScore(x: Column, theta: Column, lchol: Column, seed: Column,
+                 nu: Double): Column =
+    wrap(LinTsScore(ex(x), ex(theta), ex(lchol), ex(seed), nu))
+
+  /** First splitmix64 U(0,1] of a bigint seed column (codegen'd). */
+  def seededUniform(seed: Column): Column = wrap(SeededUniformExpr(ex(seed)))
+
+  /** First splitmix64/Box-Muller standard normal of a bigint seed
+    * column (codegen'd). */
+  def seededNormal(seed: Column): Column = wrap(SeededNormalExpr(ex(seed)))
+
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"expected an integer literal argument, got non-literal ${e.sql}")
@@ -75,6 +92,8 @@ package object functions {
     "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)))),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs(1)))),
     "zorder2" -> (exprs => ZOrderInterleave(exprs.head, exprs(1), intArg(exprs(2)))),
+    "seeded_uniform" -> (exprs => SeededUniformExpr(exprs.head)),
+    "seeded_normal" -> (exprs => SeededNormalExpr(exprs.head)),
   )
 
   /** Register SQL-callable names for ALL custom expressions on an

@@ -200,11 +200,10 @@ object LinUCB {
   def topK(contexts: DataFrame, models: Dataset[Model], alpha: Double, k: Int)
           (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val scoreUdf = udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
-      score(x.toArray, Model("", aInv.toArray, b.toArray, d, 0L), alpha))
     val m = models.select($"productId", $"aInv", $"b", $"d")
     val scored = contexts.join(broadcast(m))
-      .withColumn("score", round(scoreUdf(col("x"), col("aInv"), col("b"), col("d")), 6))
+      .withColumn("score",
+        round(graft.functions.linucbScore(col("x"), col("aInv"), col("b"), alpha), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ctx_id")).orderBy(desc("score"), asc("productId"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -161,40 +161,38 @@ object PolicyEval {
       .map(m => (m.productId, m.aInv, m.b, m.d,
         LinUCB.thetaOf(m), LinAlg.choleskyLower(m.aInv, m.d)))
       .toDF("productId", "aInv", "b", "d", "theta", "lchol")
-    def scoreUdf(alpha: Double) =
-      udf((x: Seq[Double], aInv: Seq[Double], b: Seq[Double], d: Int) =>
-        LinUCB.score(x.toArray, LinUCB.Model("", aInv.toArray, b.toArray, d, 0L), alpha))
-    val tsUdf = udf((x: Seq[Double], theta: Seq[Double], lchol: Seq[Double],
-                     d: Int, seed: Long) =>
-      LinUCB.scoreTSPre(x.toArray, theta.toArray, lchol.toArray, d,
-        nu = 0.05, seed = seed))
-    val epsUdf = udf((greedy: Double, seed: Long) => {
-      // ε-greedy: the first uniform decides explore-vs-exploit; the
-      // exploration branch re-seeds so the drawn score is independent
-      // of the decision variable
-      if (seededUniform(seed) < Epsilon) seededUniform(seed ^ EpsDrawSalt)
-      else greedy
-    })
+    // Native codegen'd scoring ([[graft.functions.LinUcbScore]] /
+    // [[graft.functions.LinTsScore]] / the seeded-draw expressions) —
+    // the round-5 Scala UDFs cost a serde round-trip per row and broke
+    // whole-stage codegen on the scoring subtree (q41 was the slowest
+    // query in the bench). Identical arithmetic, loop order and all, so
+    // the scores are bit-for-bit unchanged (spec-asserted vs the UDF
+    // form's own helpers).
+    import graft.functions.{linucbScore, linTsScore, seededUniform => su, seededNormal => sn}
     val cts = clustersTs(spark, seeded)
-    val ctsUdf = udf((mean: Double, sd: Double, seed: Long) =>
-      mean + sd * seededNormal(seed))
+    val epsSeed = xxhash64(col("productId"), col("x"), lit("eps"))
     val scored = fb.toDF()
       .join(broadcast(models), "productId")
       .join(broadcast(cts), "productId")
       .withColumn("s_ucb",
-        round(scoreUdf(0.1)(col("x"), col("aInv"), col("b"), col("d")), 9))
+        round(linucbScore(col("x"), col("aInv"), col("b"), 0.1), 9))
       .withColumn("s_greedy",
-        round(scoreUdf(0.0)(col("x"), col("aInv"), col("b"), col("d")), 9))
+        round(linucbScore(col("x"), col("aInv"), col("b"), 0.0), 9))
       // seed = content hash of (arm, context): deterministic across
       // runs and partitionings, unique per distinct interaction shape
       .withColumn("s_ts",
-        round(tsUdf(col("x"), col("theta"), col("lchol"), col("d"),
-          xxhash64(col("productId"), col("x"))), 9))
+        round(linTsScore(col("x"), col("theta"), col("lchol"),
+          xxhash64(col("productId"), col("x")), nu = 0.05), 9))
+      // ε-greedy: the first uniform decides explore-vs-exploit; the
+      // exploration branch re-seeds (xor salt) so the drawn score is
+      // independent of the decision variable
       .withColumn("s_eps",
-        round(epsUdf(col("s_greedy"), xxhash64(col("productId"), col("x"), lit("eps"))), 9))
+        round(when(su(epsSeed) < Epsilon,
+            su(epsSeed.bitwiseXOR(lit(EpsDrawSalt))))
+          .otherwise(col("s_greedy")), 9))
       .withColumn("s_cts",
-        round(ctsUdf(col("cl_mean"), col("cl_sd"),
-          xxhash64(col("productId"), col("x"), lit("cts"))), 9))
+        round(col("cl_mean") + col("cl_sd") *
+          sn(xxhash64(col("productId"), col("x"), lit("cts"))), 9))
     // melt to (policy, score) so ALL policies evaluate from one pass
     // over the scoring subtree (a per-policy union would re-run the
     // seed aggregation + scoring UDFs once per branch)
@@ -392,19 +390,12 @@ object PolicyEval {
   }
 
   /** First U(0,1] of the splitmix64 stream for `seed` — the same
-    * generator discipline as [[LinUCB.scoreTSPre]]. */
-  private[ml] def seededUniform(seed: Long): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    ((z >>> 11).toDouble + 1.0) / 9007199254740993.0
-  }
+    * generator discipline as [[LinUCB.scoreTSPre]]. One implementation:
+    * the native expression's static helper. */
+  private[ml] def seededUniform(seed: Long): Double =
+    graft.functions.PolicyMath.seededUniform(seed)
 
   /** First standard normal (Box-Muller over splitmix64) for `seed`. */
-  private[ml] def seededNormal(seed: Long): Double = {
-    val u1 = seededUniform(seed)
-    val u2 = seededUniform(seed + 0x9e3779b97f4a7c15L)
-    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-  }
+  private[ml] def seededNormal(seed: Long): Double =
+    graft.functions.PolicyMath.seededNormal(seed)
 }

@@ -182,4 +182,41 @@ class ExprParitySpec extends SparkSpec {
     val viaApi = e.select(srpSigPortable($"embedding", planes).as("s"))
     assert(viaSql.exceptAll(viaApi).count() == 0 && viaApi.exceptAll(viaSql).count() == 0)
   }
+
+  test("native policy scoring == the Scala helpers, bit-for-bit") {
+    // The de-UDF'd q41 path is only safe because the native expressions
+    // reproduce the helper arithmetic exactly (same loop order, same
+    // splitmix64 stream). Compare over real seeded models + contexts.
+    import graft.ml.{LinAlg, LinUCB}
+    val fb = LinUCB.feedbackFromLineitem(spark, sf("0.01")).limit(2000)
+    val seeded = LinUCB.seed(fb, LinUCB.Dim).collect()
+    val models = seeded.toSeq
+      .map(m => (m.productId, m.aInv, m.b,
+        LinUCB.thetaOf(m), LinAlg.choleskyLower(m.aInv, m.d)))
+      .toDF("productId", "aInv", "b", "theta", "lchol")
+    val byId = seeded.map(m => m.productId -> m).toMap
+    val scoreUdf = udf((pid: String, x: Seq[Double]) =>
+      LinUCB.score(x.toArray, byId(pid), 0.1))
+    val tsUdf = udf((pid: String, x: Seq[Double], seed: Long) =>
+      LinUCB.scoreTSPre(x.toArray, LinUCB.thetaOf(byId(pid)),
+        LinAlg.choleskyLower(byId(pid).aInv, byId(pid).d), byId(pid).d,
+        nu = 0.05, seed = seed))
+    val joined = fb.toDF().join(broadcast(models), "productId")
+      .withColumn("seed", xxhash64($"productId", $"x"))
+    val diff = joined.select(
+        linucbScore($"x", $"aInv", $"b", 0.1).as("n_ucb"),
+        scoreUdf($"productId", $"x").as("u_ucb"),
+        linTsScore($"x", $"theta", $"lchol", $"seed", nu = 0.05).as("n_ts"),
+        tsUdf($"productId", $"x", $"seed").as("u_ts"))
+      .filter($"n_ucb" =!= $"u_ucb" || $"n_ts" =!= $"u_ts")
+    assert(diff.count() == 0, "native scores diverge from the Scala helpers")
+    val draws = spark.range(1000).select(
+        seededUniform(xxhash64($"id")).as("nu"),
+        seededNormal(xxhash64($"id")).as("nn"),
+        xxhash64($"id").as("seed")).collect()
+    draws.foreach { r =>
+      assert(r.getAs[Double]("nu") == PolicyMath.seededUniform(r.getAs[Long]("seed")))
+      assert(r.getAs[Double]("nn") == PolicyMath.seededNormal(r.getAs[Long]("seed")))
+    }
+  }
 }
