@@ -102,7 +102,7 @@ object SparkEntry {
     "q59_top_bigrams" -> ((s, d) => Analytics.topBigrams(s, d)),
     // --- near-dup clustering (connected components) + the composed
     // corpus-filter pipeline ---
-    "q60_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q60_dedup_clusters" -> ((s, d) => Dedup.materializedClusters(s, d)),
     "q61_cluster_keep" -> ((s, d) => Dedup.clusterKeep(s, d)),
     "q62_corpus_filter" -> ((s, d) => TextOps.corpusFilter(s, d)),
     // --- portable fingerprint + vector normalization ---

@@ -75,20 +75,28 @@ object TextOps {
   /** The composed corpus filter — the end-to-end shape of a training-
     * data cleaning pass: keep documents that (a) pass the quality gate,
     * (b) classify as English, and (c) are the canonical representative
-    * of their near-dup cluster ([[Dedup.nearDupClusters]]). Three
-    * operators, one plan: the quality/lang predicates are map-side
-    * column math, so the only shuffles are the dedup-cluster join keys.
-    */
-  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    * of their near-dup cluster. Takes the cluster-label frame as INPUT
+    * — in a real pipeline the dedup labels are materialized once and
+    * every consumer reads them; re-running the shingle join + label
+    * propagation inside the filter (the round-5 shape) doubled the
+    * dedup cost. The quality/lang predicates are map-side column math,
+    * so the only shuffles are the label-join keys (plan-audited: zero
+    * shingle explodes in this operator's plan). */
+  def corpusFilter(spark: SparkSession, sfDir: String,
+                   clusters: DataFrame): DataFrame = {
     val quality = qualityScore(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("passes_quality"))
     val lang = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
-    val clusters = Dedup.nearDupClusters(spark, sfDir)
     quality.join(lang, "doc_id").join(clusters, "doc_id")
       .filter(col("passes_quality") && col("lang_pred") === "en" &&
         col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("n_tokens"))
   }
+
+  /** [[corpusFilter]] over the session's materialized label layer
+    * ([[Dedup.materializedClusters]]) — the query-surface form. */
+  def corpusFilter(spark: SparkSession, sfDir: String): DataFrame =
+    corpusFilter(spark, sfDir, Dedup.materializedClusters(spark, sfDir))
 
   /** Context-window chunking: split each document into fixed-size token
     * chunks (the pre-tokenization pass of sequence preparation). Pure
