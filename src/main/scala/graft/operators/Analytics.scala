@@ -383,11 +383,27 @@ object Analytics {
     * revenue share in descending order → A (first 80%), B (to 95%),
     * C (tail). Both the running and the grand total accumulate as
     * DECIMAL, so the shares — and therefore the class boundaries — are
-    * exact and engine-identical, immune to fp summation order. The one
-    * ordered window runs over the AGGREGATED per-part rows (domain-
-    * bounded, like [[acctbalDecileBins]]), not the fact table. */
+    * exact and engine-identical, immune to fp summation order (decimal
+    * addition is associative, which is also what makes the distributed
+    * prefix-scan below value-identical to a global ordered pass).
+    *
+    * SCALE SHAPE: the round-5 form ran ONE ordered window over the
+    * aggregated per-part rows — domain-bounded but still growing with
+    * the catalog. This form distributes the cumulative sum as a prefix
+    * scan (the same trick as [[SupplierStats.tagLate]]):
+    *   1. range-partition the per-part frame by the output order
+    *      (rev desc, part asc) and PIN the layout with one
+    *      localCheckpoint — the frame is catalog-sized, never
+    *      fact-sized, and pinning makes the two passes see identical
+    *      partition ids despite range-sampling nondeterminism;
+    *   2. per-partition decimal totals → driver (numPartitions values),
+    *      exclusive-prefix-summed with BigDecimal (exact);
+    *   3. cumulative = broadcast offset + partition-local ordered
+    *      window — every sort is bounded by catalog/numPartitions rows,
+    *      no SinglePartition exchange anywhere (plan-audited). */
   def revenueAbc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.ExactNum._
+    import org.apache.spark.sql.types.DecimalType
     // round to cents with ROUND in DECIMAL space: double-then-round
     // diverges between engines at .xx5 boundaries, and a decimal
     // scale-down CAST truncates in DuckDB while Spark rounds — only
@@ -396,11 +412,31 @@ object Analytics {
       .groupBy(col("l_partkey").as("part_id"))
       .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
         .as("rev_d"))
-    val w = Window.orderBy(desc("rev_d"), asc("part_id"))
+    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = pr
+      .repartitionByRange(nParts, desc("rev_d"), asc("part_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = ranged.groupBy(col("pid"))
+      .agg(sum(col("rev_d")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
+    val zero = java.math.BigDecimal.ZERO
+    val scanned = perPart.scanLeft((-1, zero)) {
+      case ((_, acc), (p, s)) => (p, acc.add(s))
+    }
+    val total = scanned.last._2
+    val offsets = scanned.sliding(2)
+      .collect { case Array((_, prev), (p, _)) => (p, prev, total) }.toSeq
+    import spark.implicits._
+    val dec = DecimalType(38, 2)
+    val offDf = offsets.toDF("pid", "off", "total")
+      .select(col("pid"), col("off").cast(dec).as("off"),
+        col("total").cast(dec).as("total"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(desc("rev_d"), asc("part_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = pr.agg(sum(col("rev_d")).as("total"))
-    pr.withColumn("cum", sum(col("rev_d")).over(w))
-      .crossJoin(broadcast(tot))
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col("rev_d").cast(dec)).over(w))
       .withColumn("cum_share",
         round(col("cum").cast("double") / col("total").cast("double"), 6))
       .select(col("part_id"), col("rev_d").cast("double").as("revenue"),

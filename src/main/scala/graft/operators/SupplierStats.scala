@@ -99,21 +99,49 @@ object SupplierStats {
 
   /** Batch analog of the tag step: arrival order = event_id, stream time =
     * running max of event time (inclusive — a record can never make itself
-    * late since windowEnd + grace > its own timestamp).
+    * late since windowEnd + grace > its own timestamp). Semantics match
+    * the reference's sequential fold (`LateRecordProcessor.kt:24-79`).
     *
-    * SCALE CONSTRAINT: the unpartitioned `Window.orderBy(event_id)` below
-    * is a single-partition global running max — inherent to the semantics
-    * (stream time is a sequential fold over ARRIVAL order; the reference's
-    * `LateRecordProcessor.kt:24-79` is the same single-threaded fold). This
-    * batch form exists to make the tag oracle-checkable; the 100 TB path is
-    * the streaming twin ([[graft.streaming.SupplierStatsStream.forkBatch]]),
-    * which tracks the same high-watermark incrementally per micro-batch and
-    * never sorts the history. */
-  def tagLate(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
-      .withColumn("stream_us", max(col("ts_us")).over(w))
+    * SCALE SHAPE: a naive `Window.orderBy(event_id)` running max is a
+    * single-partition global sort — the round-5 scale-killer. This form
+    * distributes the same sequential fold as a classic parallel
+    * prefix-scan over the dense arrival key:
+    *   1. bucket records by `event_id div width` (deterministic — no
+    *      range-sampling, so the two passes can never disagree);
+    *   2. one map-side-combined aggregation yields each bucket's max
+    *      event time — `buckets` rows to the driver;
+    *   3. the driver prefix-scans those `buckets` values into exclusive
+    *      offsets (the only sequential step, O(buckets) not O(rows));
+    *   4. the per-record running max is a window PARTITIONED by bucket
+    *      (parallel, each sort bounded by rows/buckets), combined with
+    *      the broadcast offset: `stream = max(bucket-local running max,
+    *      max of all earlier buckets)`.
+    * The streaming twin
+    * ([[graft.streaming.SupplierStatsStream.forkBatch]]) remains the
+    * incremental path; this batch form is now scale-safe on its own
+    * (plan-audited: no SinglePartition window). */
+  def tagLate(spark: SparkSession, sfDir: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val ev = Tables.events(spark, sfDir)
+    val maxId = Option(ev.agg(max(col("event_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val width = maxId / buckets + 1
+    val bucketed = ev.select(col("event_id"), col("ts_us"))
+      .withColumn("bkt", expr(s"event_id div $width"))
+    val bucketMax = bucketed.groupBy(col("bkt")).agg(max(col("ts_us")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix max: offset(b) = max over all buckets < b
+    val offsets = bucketMax.scanLeft((-1L, Long.MinValue)) {
+      case ((_, acc), (b, m)) => (b, math.max(acc, m))
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    import ev.sparkSession.implicits._
+    val offDf = offsets.toDF("bkt", "off")
+    bucketed
+      .join(broadcast(offDf), Seq("bkt"), "left")
+      .withColumn("run", max(col("ts_us")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stream_us", greatest(col("run"), coalesce(col("off"), col("run"))))
       .withColumn("window_end_us", windowEndUs(col("ts_us")))
       .withColumn("late", col("stream_us") > col("window_end_us") + graceUs)
       .select(col("event_id"), col("window_end_us"), col("late"))

@@ -113,15 +113,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("levenshtein"), s"edit distance missing:\n$p")
   }
 
-  test("revenue ABC: the ordered window runs over the aggregated part domain") {
+  test("revenue ABC: partitioned prefix-scan, no single-partition window") {
     val df = Analytics.revenueAbc(spark, sf())
     val p = plan(df)
-    // partial+final aggregation must complete BEFORE the Window node —
-    // the cumulative pass sorts |parts| rows, never the fact table
-    val lastAgg = p.lastIndexOf("HashAggregate")
-    val win = p.indexOf("Window")
-    assert(win >= 0 && lastAgg > win,
-      s"window not over the aggregated domain:\n$p")
+    // the cumulative pass is a window PARTITIONED by the range-bucket
+    // id over the checkpointed per-part frame + broadcast offsets — a
+    // SinglePartition exchange would mean the global ordered pass came
+    // back (the round-5 shape, catalog-growth-bound)
+    assert(p.contains("Window"), s"cumulative window lost:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"ABC collapsed to a single partition:\n$p")
     assert(!p.contains("CartesianProduct"), s"ABC degenerated:\n$p")
   }
 
@@ -131,6 +132,40 @@ class PlanAuditSpec extends SparkSpec {
       s"cohort join degenerated:\n$p")
     val n = "HashAggregate".r.findAllIn(p).length
     assert(n >= 4, s"expected partial+final aggregation levels, got $n:\n$p")
+  }
+
+  test("policy scoring runs through native expressions, no ScalaUDF") {
+    // q41's five policies and q31's serving top-k: the scoring subtree
+    // must stay inside whole-stage codegen (linucb_score / lints_score /
+    // seeded draws), never fall back to a per-row Scala UDF.
+    val q41 = plan(graft.ml.PolicyEval.evalLinUCB(spark, sf()))
+    assert(!q41.contains("ScalaUDF"), s"UDF in the q41 scoring path:\n$q41")
+    assert(q41.contains("linucb_score") && q41.contains("lints_score"),
+      s"native policy expressions missing:\n$q41")
+    val q31 = plan(graft.ml.LinUCB.topKQuery(spark, sf()))
+    assert(!q31.contains("ScalaUDF"), s"UDF in the q31 serving path:\n$q31")
+  }
+
+  test("late tag: prefix-scan form, no single-partition window") {
+    // q14's running max distributes as bucket-local windows + broadcast
+    // prefix offsets; a SinglePartition exchange feeding the Window
+    // would mean the global sort came back.
+    val p = plan(SupplierStats.tagLate(spark, sf()))
+    assert(p.contains("Window"), s"running max lost its window form:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"late tag collapsed to a single partition:\n$p")
+  }
+
+  test("corpus filter reads the materialized label layer, never re-clusters") {
+    // q62 consumes Dedup.materializedClusters: its plan must contain no
+    // shingle pipeline at all (round 5 re-ran the whole shingle join +
+    // label propagation inside the filter, doubling the dedup cost).
+    val p = plan(TextOps.corpusFilter(spark, sf()))
+    assert(!p.contains("word_shingles"), s"q62 re-runs the shingle join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"corpus filter degenerated:\n$p")
+    val k = plan(Dedup.clusterKeep(spark, sf()))
+    assert(!k.contains("word_shingles"), s"q61 re-runs the shingle join:\n$k")
   }
 
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
