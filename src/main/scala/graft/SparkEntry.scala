@@ -215,7 +215,6 @@ object SparkEntry {
     // one row per document (500 at sf0.01; slack for future fixture trims)
     "q29_fingerprints" -> 400L,
     "q35_text_embedding" -> 400L,
-    "q38_media_features" -> 400L,
     "q30_linucb_seed" -> 25L,   // exactly one row per arm (25 brands)
     "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
@@ -573,11 +572,31 @@ object SparkEntry {
         |CROSS JOIN stats""".stripMargin,
     "q37_media_meta" ->
       """SELECT doc_id AS media_id,
-        |  ['jpeg', 'png', 'wav', 'mp4'][CAST(doc_id % 4 AS INT) + 1] AS format,
+        |  ['bmp', 'wav'][CAST(doc_id % 2 AS INT) + 1] AS format,
         |  doc_id % 8 * 160 + 320 AS width,
         |  doc_id % 8 * 90 + 180 AS height,
         |  doc_id % 30 + 1 AS n_frames,
-        |  octet_length(encode(text)) AS byte_len
+        |  octet_length(encode(text))
+        |    + CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END AS byte_len
+        |FROM documents""".stripMargin,
+    // the decode oracle: every header field the byte-level parser
+    // recovers is a deterministic function of the fixture columns
+    // (dimensions/rates from doc_id, data length from the text bytes)
+    "q38_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 * 160 + 320 END AS BIGINT) AS width_px,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 * 90 + 180 END AS BIGINT) AS height_px,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 END AS BIGINT) AS bits_per_px,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id // 2) % 2 + 1 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 4) * 4000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN
+        |    octet_length(encode(text)) * 1000
+        |      // ((8000 + (doc_id % 4) * 4000) * ((doc_id // 2) % 2 + 1) * 2)
+        |    END AS BIGINT) AS duration_ms,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+        |  CAST(octet_length(encode(text))
+        |    + CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END AS BIGINT) AS byte_len
         |FROM documents""".stripMargin,
     "q39_frame_sample" ->
       """SELECT doc_id AS media_id, unnest(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 8)) AS frame_no

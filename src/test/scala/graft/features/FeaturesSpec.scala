@@ -64,15 +64,44 @@ class FeaturesSpec extends SparkSpec {
       s"dup pairs mean dist $dupDist vs random $randDist")
   }
 
-  test("media decode stub preserves row contract and parallelism") {
+  test("media decode parses real BMP/WAV headers, partition-parallel") {
     val media = Multimodal.mediaTable(spark, sf()).repartition(4)
-    val feats = Multimodal.decodeStub(media).collect()
+    val feats = Multimodal.decode(media).collect()
     assert(feats.length == 500)
-    assert(feats.forall(f => f.byte_len > 0 && f.mean_byte > 0))
-    // checksum matches the registered fingerprint expression semantics
-    val one = Multimodal.mediaTable(spark, sf())
-      .filter($"media_id" === feats.head.media_id).collect()(0)
-    assert(feats.head.checksum == graft.functions.Fnv1a64.hash(one.payload))
+    // every fixture payload decodes to a known container; header fields
+    // round-trip the encoded metadata exactly
+    val metaById = Multimodal.mediaTable(spark, sf()).collect()
+      .map(r => r.media_id -> r).toMap
+    feats.foreach { f =>
+      val m = metaById(f.media_id)
+      assert(f.byte_len == m.payload.length.toLong)
+      if (f.container == "bmp") {
+        assert(f.width_px.contains(m.width.toLong) &&
+          f.height_px.contains(m.height.toLong) &&
+          f.bits_per_px.contains(24L) && f.channels.isEmpty)
+        assert(f.data_bytes == m.payload.length - graft.operators.MediaCodec.BmpHeaderLen)
+      } else {
+        assert(f.container == "wav" && f.width_px.isEmpty)
+        assert(f.sample_rate.exists(_ >= 8000L) && f.channels.exists(c => c == 1L || c == 2L))
+        assert(f.data_bytes == m.payload.length - graft.operators.MediaCodec.WavHeaderLen)
+      }
+    }
+  }
+
+  test("media codec: byte-level encode/decode round-trip + unknown magic quarantine") {
+    val img = graft.operators.MediaCodec.bmp(640, 360, Array[Byte](1, 2, 3, 4, 5))
+    val di = graft.operators.MediaCodec.decode(7L, img)
+    assert(di.container == "bmp" && di.width_px.contains(640L) &&
+      di.height_px.contains(360L) && di.data_bytes == 5L &&
+      di.byte_len == 59L)
+    val au = graft.operators.MediaCodec.wav(2, 16000, new Array[Byte](64000))
+    val da = graft.operators.MediaCodec.decode(8L, au)
+    assert(da.container == "wav" && da.channels.contains(2L) &&
+      da.sample_rate.contains(16000L) && da.data_bytes == 64000L &&
+      da.duration_ms.contains(1000L)) // 64000 bytes / (16000*2ch*2B) = 1 s
+    // stragglers survive as quarantine rows, they do not kill the task
+    val junk = graft.operators.MediaCodec.decode(9L, Array[Byte](0x42, 0x00, 0x01))
+    assert(junk.container == "unknown" && junk.byte_len == 3L)
   }
 
   test("frame sampling fans out ceil(n_frames/stride) rows per media") {
