@@ -112,6 +112,79 @@ object LinUCBStream {
     }
   }
 
+  /** [[Feedback]] with an event-time column — the input of the
+    * event-time trainer ([[trainEventTime]]). */
+  case class TimedFeedback(productId: String, x: Array[Double], reward: Double,
+                           ts: java.sql.Timestamp)
+
+  /** EVENT-time twin of [[updateArm]]: the arm's emission deadline is
+    * `first-pending event time + delayMs`, fired when the WATERMARK
+    * passes it — so emission content is a pure function of the event
+    * history, not of wall clock or micro-batch boundaries. Replaying
+    * the same events (any batching) converges to the same final model
+    * per arm — the determinism ProcessingTimeTimeout cannot give
+    * (spec-asserted: replayed stream ≡ batch seed). */
+  def updateArmEventTime(dim: Int, delayMs: Long)(
+      productId: String, events: Iterator[TimedFeedback],
+      state: GroupState[ArmState]): Iterator[Model] = {
+
+    def emit(s: ArmState): Model =
+      Model(productId, invertRowMajor(s.a, s.d), s.b.clone(), s.d, s.n)
+
+    if (state.hasTimedOut) {
+      val s = state.get
+      // deadline reached: emit the accumulation if anything is pending,
+      // then go quiet (next data arrival re-schedules)
+      state.update(s.copy(dirty = false, nextEmitMs = 0L))
+      if (s.dirty) Iterator.single(emit(s)) else Iterator.empty
+    } else {
+      val s = state.getOption.getOrElse(ArmState.zero(dim))
+      var n = s.n
+      var saw = false
+      var maxTsMs = Long.MinValue
+      events.foreach { f =>
+        outerAccum(s.a, f.x)
+        var i = 0
+        while (i < dim) { s.b(i) += f.reward * f.x(i); i += 1 }
+        n += 1
+        saw = true
+        maxTsMs = math.max(maxTsMs, f.ts.getTime)
+      }
+      // keep the EARLIEST pending deadline (a steady event flow must not
+      // slide emission forever — same discipline as the processing-time
+      // form's nextEmitMs)
+      val deadline =
+        if (s.nextEmitMs > 0) s.nextEmitMs
+        else if (saw) maxTsMs + delayMs
+        else 0L
+      state.update(ArmState(dim, s.a, s.b, n, s.dirty || saw, deadline))
+      if (deadline > 0) {
+        // event-time timers must sit strictly above the current watermark
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Event-time variant of [[train]]: watermark + EventTimeTimeout, so
+    * the training emissions replay deterministically from a checkpoint
+    * or a re-run (T11 discipline applied to the trainer). For
+    * production state volume, pair with the RocksDB state store:
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * (runtime-settable; exercised by the replay spec). */
+  def trainEventTime(feedback: Dataset[TimedFeedback], dim: Int,
+                     delay: String = "5 seconds",
+                     delayMs: Long = 5000L): Dataset[Model] = {
+    import feedback.sparkSession.implicits._
+    feedback.withWatermark("ts", delay)
+      .groupByKey(_.productId)
+      .flatMapGroupsWithState[ArmState, Model](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(
+        updateArmEventTime(dim, delayMs))
+  }
+
   /** Wire the stateful trainer onto a feedback stream. Output mode for
     * the query must be Update (state-emitting operator). */
   def train(feedback: Dataset[Feedback], dim: Int,

@@ -22,9 +22,24 @@ import graft.operators.SupplierStats
   * emits once per closed window (the Streams/suppress analog);
   * `OutputMode.Update` re-emits on late updates within the watermark
   * delay (the Flink allowed-lateness analog). Divergences from the
-  * reference, documented per SURVEY §7.3: no per-partition idleness
-  * (T3), watermark delay doubles as both out-of-orderness bound and
-  * allowed lateness (T5).
+  * reference, documented per SURVEY §7.3: watermark delay doubles as
+  * both out-of-orderness bound and allowed lateness (T5).
+  *
+  * T3 (idleness) operational note: Flink needs an idleness timeout
+  * (`SupplierWatermarkStrategy.kt:32`) because its watermark is the MIN
+  * over per-partition watermarks — one idle Kafka partition stalls the
+  * job. Structured Streaming computes the watermark from the max event
+  * time OBSERVED across all of a source's partitions, so an idle
+  * partition holds nothing back (spec: "idle sub-stream cannot stall
+  * the watermark") and no idleness knob is needed. The residual gap is
+  * a FULLY idle source: with no new rows the watermark freezes and the
+  * last open windows never emit in Append mode. Mitigations, in
+  * preference order: run such topics in Update mode (rows emit per
+  * trigger, finalization pending), or have the producer publish
+  * heartbeat records (the reference's datagen always ticks), keeping
+  * `spark.sql.streaming.noDataMicroBatches.enabled` at its `true`
+  * default so already-eligible timers/windows still finalize without
+  * fresh data.
   */
 object SupplierStatsStream {
 

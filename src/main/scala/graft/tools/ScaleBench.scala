@@ -1,0 +1,121 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation: replicate the sf0.1 FACT tables K× (keys
+  * shifted so every copy is disjoint — cross-copy near-dups are
+  * deliberately broken by token-prefixing document text and perturbing
+  * embeddings, because replicated identical rows would measure a
+  * dup-explosion artifact, not scaling), keep the dimension tables
+  * fixed, then time the audit set of most-expensive queries at both
+  * scales. The plan audits claim per-row cost stays flat under 10×
+  * growth; this main produces the one order-of-magnitude data point
+  * that backs it (`BENCH_sf1.json`).
+  *
+  * Usage: `runMain graft.tools.ScaleBench [k]` — generates
+  * `target/scale-sf1/` on first run (derived from the driver's own
+  * sf0.1 parquet, never synthesized from scratch), reuses it after.
+  */
+object ScaleBench {
+
+  val AuditQueries: Seq[String] = Seq(
+    "q23_embedding_pairs", "q30_linucb_seed", "q31_linucb_topk",
+    "q41_policy_eval_linucb", "q44_ann_ivf", "q46_cdc_changelog",
+    "q60_dedup_clusters", "q61_cluster_keep", "q62_corpus_filter",
+    "q67_cdc_materialize")
+
+  private def shiftBase(df: DataFrame, key: String): Long =
+    Option(df.agg(max(col(key))).head().get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+
+  /** Write the K×-replicated lake under `outDir`. Facts replicate with
+    * shifted keys; dims copy through unchanged. */
+  def generate(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val copies = spark.range(k).select(col("id").as("copy"))
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // dims: single copy
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(graft.Tables.read(spark, baseDir, t), t)
+    }
+    // orders/lineitem: shift the shared order key per copy
+    val orders = graft.Tables.read(spark, baseDir, "orders")
+    val oBase = shiftBase(orders, "o_orderkey")
+    write(orders.crossJoin(copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * oBase)
+      .drop("copy"), "orders")
+    val lineitem = graft.Tables.read(spark, baseDir, "lineitem")
+    write(lineitem.crossJoin(copies)
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * oBase)
+      .drop("copy"), "lineitem")
+    // events: shift the dense arrival key
+    val events = graft.Tables.read(spark, baseDir, "events")
+    val eBase = shiftBase(events, "event_id")
+    write(events.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("copy") * eBase)
+      .drop("copy"), "events")
+    // documents: shifted ids + per-copy token prefix (disjoint shingle
+    // spaces — copy 0 keeps the original text so its dup structure is
+    // exactly the base corpus's)
+    val docs = graft.Tables.read(spark, baseDir, "documents")
+    val dBase = shiftBase(docs, "doc_id")
+    write(docs.crossJoin(copies)
+      .withColumn("text",
+        when(col("copy") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit("c"), col("copy").cast("string"), t)), " ")))
+      .withColumn("doc_id", col("doc_id") + col("copy") * dBase)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("copy"), "documents")
+    // embeddings: shifted ids + per-copy slot-0 nudge (disjoint cosine
+    // neighborhoods across copies)
+    val emb = graft.Tables.read(spark, baseDir, "embeddings")
+    val vBase = shiftBase(emb, "vec_id")
+    write(emb.crossJoin(copies)
+      .withColumn("embedding", expr(
+        "transform(embedding, (v, j) -> CAST(CASE WHEN j = 0 " +
+          "THEN v + copy * 0.037 ELSE v END AS FLOAT))"))
+      .withColumn("vec_id", col("vec_id") + col("copy") * vBase)
+      .drop("copy"), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = "target/scale-sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!Files.exists(Paths.get(s"$outDir/lineitem.parquet"))) {
+      System.err.println(s"[scale] generating ${k}x lake under $outDir ...")
+      generate(spark, baseDir, outDir, k)
+    }
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup both lakes (page cache, codegen)
+    graft.Tables.names.foreach { n =>
+      graft.Tables.read(spark, baseDir, n).foreach(_ => ())
+      graft.Tables.read(spark, outDir, n).foreach(_ => ())
+    }
+    val rows = AuditQueries.map { q =>
+      val base = time(baseDir, q)
+      val scaled = time(outDir, q)
+      val ratio = scaled / math.max(base, 1e-9)
+      System.err.println(f"[scale] $q%-24s base $base%7.2f s  ${k}x $scaled%7.2f s  ratio $ratio%5.2f")
+      s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":$ratio}"""
+    }
+    val json = s"""{"k":$k,"base":"$baseDir","queries":{${rows.mkString(",")}},""" +
+      s""""note":"ratio <= $k means per-row cost did not grow; audits claim <= 2x per-row, i.e. ratio <= ${2 * k}"}"""
+    println(json)
+    Files.write(Paths.get("BENCH_sf1.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -62,6 +62,39 @@ class SupplierStatsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle sub-stream cannot stall the watermark: its windows still close (T3)") {
+    // Flink needs per-partition idleness (SupplierWatermarkStrategy.kt:32)
+    // because its watermark is the MIN across partitions — one idle
+    // partition stalls everything. Structured Streaming computes the
+    // watermark from the max event time OBSERVED across the whole
+    // source set, so an idle sub-stream holds nothing back; only a
+    // fully idle source freezes the watermark. Demonstrated here: the
+    // idle stream's early window closes on the strength of the ACTIVE
+    // stream's progress alone.
+    implicit val sqlCtx = spark.sqlContext
+    val idle = MemoryStream[String]
+    val active = MemoryStream[String]
+    val parsed = SupplierStatsStream.parseOrders(
+      idle.toDF().select(col("value"))
+        .unionByName(active.toDF().select(col("value"))))
+    val q = SupplierStatsStream.stats(parsed)
+      .writeStream.format("memory").queryName("stats_idle")
+      .outputMode("append").start()
+    try {
+      idle.addData(orderJson("i1", "2024-01-01 00:00:01", 3.00, "Idle"))
+      q.processAllAvailable()
+      // idle stream goes quiet; only the active stream advances
+      active.addData(orderJson("a1", "2024-01-01 00:00:30", 1.00, "Act"))
+      q.processAllAvailable()
+      active.addData(orderJson("a2", "2024-01-01 00:01:00", 1.00, "Act"))
+      q.processAllAvailable()
+      val closed = spark.table("stats_idle")
+        .filter(col("supplier") === "Idle").collect()
+      assert(closed.length == 1 && closed(0).getAs[Double]("total_price") == 3.0,
+        "idle sub-stream's window must close from the active stream's watermark")
+    } finally q.stop()
+  }
+
   test("update mode re-emits a window when in-grace data arrives late (T5)") {
     // Flink's allowed-lateness "update the already-emitted window"
     // behavior maps to OutputMode.Update: the window's row appears
