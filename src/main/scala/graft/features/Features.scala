@@ -99,20 +99,34 @@ object Features {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
   }
 
-  /** Dense TF-IDF vector per doc over the full (sorted) vocabulary.
-    * Works because the synthetic corpus has a small closed vocabulary;
-    * with an open vocabulary this would be the hashed variant. */
-  private def tfidfVectors(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+  /** Dense TF-IDF vector per doc over a BOUNDED (sorted) vocabulary:
+    * the `maxVocab` highest-document-frequency terms (ties → term asc),
+    * selected with a distributed top-k (TakeOrdered — never a global
+    * sort materialization) so the driver collect and the V×V gram
+    * eigensolve are `maxVocab`-bounded BY CONSTRUCTION at any corpus
+    * size — out-of-vocabulary tail terms simply contribute no
+    * coordinates, the standard truncated-vocabulary TF-IDF semantics.
+    * (The synthetic corpus vocabulary is far below the default cap, so
+    * the cap is invisible at test scale.) The open-vocabulary scale
+    * twin remains [[textEmbeddingHashed]] (q77), which needs no
+    * vocabulary at all. */
+  private def tfidfVectors(spark: SparkSession, sfDir: String,
+                           maxVocab: Int = 2048): (DataFrame, Int) = {
     val scores = tfidf(spark, sfDir).cache()
-    val vocab = scores.select("term").distinct()
-      .orderBy("term").collect().map(_.getString(0))
+    val vocab = scores.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(maxVocab)
+      .select("term").collect().map(_.getString(0)).sorted
     val vIndex = vocab.zipWithIndex.toMap
     val bIndex = spark.sparkContext.broadcast(vIndex)
     val v = vocab.length
     val toVec = udf((terms: Seq[String], vals: Seq[Double]) => {
       val arr = new Array[Double](v)
       var i = 0
-      while (i < terms.length) { arr(bIndex.value(terms(i))) = vals(i); i += 1 }
+      while (i < terms.length) {
+        // out-of-vocabulary tail terms contribute no coordinate
+        bIndex.value.get(terms(i)).foreach(j => arr(j) = vals(i))
+        i += 1
+      }
       arr
     })
     val vecs = scores.groupBy("doc_id")

@@ -64,6 +64,20 @@ package object functions {
     * column (codegen'd). */
   def seededNormal(seed: Column): Column = wrap(SeededNormalExpr(ex(seed)))
 
+  private def doubleArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected a numeric literal argument, got non-literal ${e.sql}")
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal argument, got $other")
+    }
+  }
+
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"expected an integer literal argument, got non-literal ${e.sql}")
@@ -94,6 +108,10 @@ package object functions {
     "zorder2" -> (exprs => ZOrderInterleave(exprs.head, exprs(1), intArg(exprs(2)))),
     "seeded_uniform" -> (exprs => SeededUniformExpr(exprs.head)),
     "seeded_normal" -> (exprs => SeededNormalExpr(exprs.head)),
+    "linucb_score" -> (exprs =>
+      LinUcbScore(exprs.head, exprs(1), exprs(2), doubleArg(exprs(3)))),
+    "lints_score" -> (exprs =>
+      LinTsScore(exprs.head, exprs(1), exprs(2), exprs(3), doubleArg(exprs(4)))),
   )
 
   /** Register SQL-callable names for ALL custom expressions on an
