@@ -191,21 +191,24 @@ object Cdc {
   }
 
   /** Materialize the table from the changelog: decode the wire envelope,
-    * keep the max-lsn image per key (one hash-partitioned window — the
-    * shuffle is on the PK, exactly the partitioning the downstream
-    * storage wants), drop keys whose final image is a delete. This is
-    * the batch twin of the streaming upsert view
-    * ([[graft.streaming.CdcMaterialize]]); the two agree by spec. */
-  def materializeLatest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byKey = Window.partitionBy(col("order_id"), col("line_no"))
-      .orderBy(col("lsn").desc)
+    * keep the max-lsn image per key as a `max_by` AGGREGATION (lsn is
+    * unique per key by construction), drop keys whose final image is a
+    * delete. max_by beats the row_number-window form at scale: the
+    * aggregate carries ONE struct per key of constant size, partially
+    * merged map-side, so the PK shuffle moves ~|keys| rows instead of
+    * every version, and no per-key sort runs at all — exactly the shape
+    * a 100 TB changelog compaction wants. This is the batch twin of the
+    * streaming upsert view ([[graft.streaming.CdcMaterialize]]); the
+    * two agree by spec. */
+  def materializeLatest(spark: SparkSession, sfDir: String): DataFrame =
     versionedEnvelope(spark, sfDir)
       .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
       .select(col("p.*"))
-      .withColumn("rn", row_number().over(byKey))
-      .filter(col("rn") === 1 && col("op") =!= "d")
-      .select(col("order_id"), col("line_no"), col("part_id"),
-        col("quantity"), col("price"))
-  }
+      .groupBy(col("order_id"), col("line_no"))
+      .agg(max_by(
+        struct(col("part_id"), col("quantity"), col("price"), col("op")),
+        col("lsn")).as("last"))
+      .filter(col("last.op") =!= "d")
+      .select(col("order_id"), col("line_no"), col("last.part_id").as("part_id"),
+        col("last.quantity").as("quantity"), col("last.price").as("price"))
 }

@@ -147,6 +147,10 @@ object Relational {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
       .agg(round(moneySum(col("value")), 2).as("revenue"), count(lit(1)).as("n_events"))
+    // The unpartitioned lag window runs AFTER the hourly aggregation —
+    // its input is one row per hour of history (8 760/year), bounded by
+    // the time span, never the fact row count; same discipline as the
+    // value-domain window in Analytics.acctbalDecileBins.
     val w = Window.orderBy(col("hour_start"))
     hourly
       .withColumn("revenue_delta", round(col("revenue") - lag(col("revenue"), 1).over(w), 2))

@@ -146,6 +146,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q31.contains("ScalaUDF"), s"UDF in the q31 serving path:\n$q31")
   }
 
+  test("CDC materialize: max_by aggregation, no per-key sort window") {
+    // q67 compacts the changelog with one partially-aggregated max_by
+    // per PK — a Window here would mean the per-key version sort came
+    // back (shuffling every version instead of one struct per key).
+    val p = plan(Cdc.materializeLatest(spark, sf()))
+    assert(p.contains("partial_max_by"),
+      s"q67 lost its map-side-combined max_by form:\n$p")
+    // exactly ONE window may appear: the changelog fixture's own lsn
+    // synthesis inside versionedEnvelope (PK-partitioned); the
+    // compaction itself must not add a ranking window
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 1, s"q67 compaction regressed to a ranking window:\n$p")
+    assert(!p.contains("SinglePartition"), s"q67 single-partition node:\n$p")
+  }
+
   test("late tag: prefix-scan form, no single-partition window") {
     // q14's running max distributes as bucket-local windows + broadcast
     // prefix offsets; a SinglePartition exchange feeding the Window

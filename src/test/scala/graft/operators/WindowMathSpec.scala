@@ -45,4 +45,29 @@ class WindowMathSpec extends SparkSpec {
       .select($"late").as[Boolean].collect()(0)
     assert(!headLate)
   }
+
+  test("tagLate prefix scan is bucket-count invariant (incl. degenerate 1)") {
+    // The distributed running max must be a pure function of the data —
+    // identical under one bucket (the naive sequential fold), a prime
+    // bucket count (uneven ranges), and the default.
+    def run(b: Int) = SupplierStats.tagLate(spark, sf(), buckets = b)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val base = run(1)
+    assert(run(7) == base, "7 buckets diverged from the sequential fold")
+    assert(run(256) == base, "256 buckets diverged from the sequential fold")
+  }
+
+  test("revenue ABC prefix scan is shuffle-partition invariant") {
+    // Same discipline for the range-partitioned cumulative share: the
+    // decimal prefix offsets must make the result independent of how
+    // many range partitions the per-part frame lands in.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run() = Analytics.revenueAbc(spark, sf())
+      .orderBy("part_id").collect().map(_.toSeq).toSeq
+    val base = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(run() == base, "3 range partitions changed the ABC classes")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
