@@ -109,6 +109,21 @@ object LinUCB {
       .map { case (pid, m) => m.copy(productId = pid) }
   }
 
+  /** The MATERIALIZED model layer over the driver testdata: the seed
+    * aggregation runs once per (session, sfDir) and the arm-bounded
+    * model table (catalog-sized, never corpus-sized) is kept on the
+    * driver — exactly what [[ModelStore]] does durably in production
+    * (seed once, publish, every consumer reads the store). q30/q31/q41
+    * all consume this layer instead of re-running the corpus seed pass
+    * each, the same materialization discipline as
+    * [[graft.operators.Dedup.materializedClusters]]. */
+  def seededModels(spark: SparkSession, sfDir: String): Array[Model] =
+    modelCache.computeIfAbsent((spark, sfDir),
+      _ => seed(feedbackFromLineitem(spark, sfDir), Dim).collect())
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Model]]()
+
   /** Serving-side score for one (context, model) pair:
     * `x·θ + α·√(xᵀA⁻¹x)`, `θ = A⁻¹b` (`eda_recommender.py:78-92`). */
   def score(x: Array[Double], m: Model, alpha: Double): Double = {
@@ -279,7 +294,7 @@ object LinUCB {
     * doubles so the parquet dump is flat and comparable run-to-run. */
   def seedQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    seed(feedbackFromLineitem(spark, sfDir), Dim)
+    spark.createDataset(seededModels(spark, sfDir).toIndexedSeq)
       .select($"productId".as("product_id"), $"n",
         round(element_at($"aInv", 1), 9).as("ainv_00"),
         round(element_at($"aInv", Dim * Dim), 9).as(f"ainv_${Dim - 1}${Dim - 1}"),
@@ -290,7 +305,7 @@ object LinUCB {
   /** Rows-only query surface: top-3 arms for 20 synthetic contexts. */
   def topKQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val models = seed(feedbackFromLineitem(spark, sfDir), Dim)
+    val models = spark.createDataset(seededModels(spark, sfDir).toIndexedSeq)
     val contexts = spark.range(20).select(
       col("id").as("ctx_id"),
       array(lit(1.0),

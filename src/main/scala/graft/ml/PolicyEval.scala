@@ -149,11 +149,11 @@ object PolicyEval {
   private[ml] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
-    // ONE corpus-scan seed aggregation; the arm-bounded model table is
-    // collected once and re-entered as a local frame, so the ClustersTS
-    // fit below adds no further pass over fb (it reads the sufficient
-    // statistics already inside the models — see [[clustersTs]]).
-    val seeded = LinUCB.seed(fb, LinUCB.Dim).collect()
+    // Models come from the session's materialized layer (seeded once,
+    // [[LinUCB.seededModels]]) and re-enter as a local frame, so the
+    // ClustersTS fit below adds no further pass over fb (it reads the
+    // sufficient statistics already inside the models — [[clustersTs]]).
+    val seeded = LinUCB.seededModels(spark, sfDir)
     // hoist the per-ARM factors (θ, chol(A⁻¹)) out of the per-row UDFs:
     // O(d³) work happens once per model on the broadcast side, the row
     // path only draws z and takes dot products

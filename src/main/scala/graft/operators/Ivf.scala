@@ -71,11 +71,24 @@ object Ivf {
     centroids
   }
 
+  /** The materialized INDEX layer: an IVF index is built once and every
+    * query probes it — the centroid matrix (k×d, catalog-bounded) is
+    * fitted once per (session, sfDir, k, iters), the same layer
+    * discipline as [[Dedup.materializedClusters]] and
+    * [[graft.ml.LinUCB.seededModels]]. */
+  def fittedCentroids(spark: SparkSession, sfDir: String, k: Int,
+                      iters: Int): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((spark, sfDir, k, iters),
+      _ => fitCentroids(spark, sfDir, k, iters))
+
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), Array[Array[Double]]]()
+
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */
   def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,
            kClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = fitCentroids(spark, sfDir, kClusters, iters)
+    val centroids = fittedCentroids(spark, sfDir, kClusters, iters)
     val e = withNorm(Similarity.spread(Tables.embeddings(spark, sfDir)))
       .withColumn("cluster", assignExpr(centroids)(col("embedding")))
     val q = e.filter(col("vec_id") < nQueries)
