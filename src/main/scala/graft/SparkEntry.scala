@@ -197,6 +197,9 @@ object SparkEntry {
     // --- cohort retention triangle + behavioral trigram mining ---
     "q109_retention_triangle" -> ((s, d) => Analytics.retentionTriangle(s, d)),
     "q110_event_trigrams" -> ((s, d) => Analytics.eventTrigrams(s, d)),
+    // rows-only: IRLS-fitted logistic weights are not SQL-expressible;
+    // determinism + calibration are spec-asserted (QualityLRSpec)
+    "q111_quality_model" -> ((s, d) => graft.ml.QualityLR.scoreDocs(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -223,6 +226,7 @@ object SparkEntry {
     "q84_approx_distinct" -> 1L, // single global KPI row
     "q85_approx_percentiles" -> 5L, // one row per event type
     "q100_cms_estimates" -> 25L, // one row per heavy token (30 at sf0.01)
+    "q111_quality_model" -> 400L, // one row per document
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.TextOps
+
+/** Model-based corpus quality scoring — the classifier step of a
+  * training-data pipeline (the fastText/logistic quality filter of the
+  * C4/CCNet lineage): distill the cheap heuristic gate
+  * ([[TextOps.qualityScore]] `passes_quality`) into a CALIBRATED
+  * logistic scorer, then score every document with a probability
+  * instead of a hard boolean — the form downstream mixture/threshold
+  * decisions actually want.
+  *
+  * Training is Newton/IRLS over a fixed 5-feature design: per
+  * iteration ONE corpus pass aggregates the Hessian `Σ w·xxᵀ` (d×d,
+  * d = 5) and gradient `Σ (y−p)·x` as DECIMAL sums of 12dp-rounded
+  * terms — order-independent, so the fitted weights are bit-identical
+  * under any partitioning (spec: retrain under a different shuffle
+  * layout ⇒ identical weights; and ≡ a driver-side reference fold with
+  * the same rounding). The d×d solve happens on the driver
+  * ([[LinAlg.invertRowMajor]]) — constant-size work, like the LinUCB
+  * finalize. Scoring is a pure column expression (weights enter as
+  * literals): map-only, codegen'd, no UDF.
+  *
+  * The weight vector is materialized once per (session, sfDir) — the
+  * same layer discipline as [[LinUCB.seededModels]].
+  */
+object QualityLR {
+
+  val Dim = 5
+
+  /** Fixed design matrix over the quality stats: bias, log-length,
+    * mean token length (scaled), stopword ratio, type-token ratio —
+    * one row per document with the heuristic gate as the weak label. */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.qualityScore(spark, sfDir).select(
+      col("doc_id"),
+      lit(1.0).as("x0"),
+      log(col("n_chars").cast("double") + 1.0).as("x1"),
+      (col("mean_token_len") / 10.0).as("x2"),
+      col("stopword_ratio").as("x3"),
+      col("type_token_ratio").as("x4"),
+      col("passes_quality").cast("double").as("y"))
+
+  private def xCols = (0 until Dim).map(i => col(s"x$i"))
+
+  private def dot(beta: Array[Double]): org.apache.spark.sql.Column =
+    xCols.zip(beta).map { case (c, b) => c * lit(b) }.reduce(_ + _)
+
+  /** One Newton step's sufficient statistics, decimal-exact: each term
+    * is rounded to 12dp BEFORE the sum, so the aggregate (and hence the
+    * whole training trajectory) is independent of partitioning. */
+  private def newtonStep(feats: DataFrame, beta: Array[Double],
+                         ridge: Double): Array[Double] = {
+    val dec = DecimalType(38, 12)
+    val p = lit(1.0) / (lit(1.0) + exp(-dot(beta)))
+    val w = p * (lit(1.0) - p)
+    val aggs =
+      (for (i <- 0 until Dim; j <- i until Dim)
+        yield sum(round(w * xCols(i) * xCols(j), 12).cast(dec))
+          .cast("double").as(s"h_${i}_$j")) ++
+      (0 until Dim).map(i =>
+        sum(round((col("y") - p) * xCols(i), 12).cast(dec))
+          .cast("double").as(s"g_$i"))
+    val row = feats.agg(aggs.head, aggs.tail: _*).head()
+    val h = new Array[Double](Dim * Dim)
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val v = row.getAs[Double](s"h_${i}_$j")
+      h(i * Dim + j) = v
+      h(j * Dim + i) = v
+    }
+    var i = 0
+    while (i < Dim) { h(i * Dim + i) += ridge; i += 1 }
+    val hInv = LinAlg.invertRowMajor(h, Dim)
+    val g = (0 until Dim).map(i => row.getAs[Double](s"g_$i")).toArray
+    val next = beta.clone()
+    for (i <- 0 until Dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < Dim) { acc += hInv(i * Dim + j) * g(j); j += 1 }
+      next(i) += acc
+    }
+    next
+  }
+
+  /** IRLS training: `iters` Newton steps from β = 0, one corpus pass
+    * each. Deterministic by the decimal-term construction. */
+  def train(feats: DataFrame, iters: Int = 4,
+            ridge: Double = 1e-3): Array[Double] = {
+    var beta = new Array[Double](Dim)
+    var it = 0
+    while (it < iters) { beta = newtonStep(feats, beta, ridge); it += 1 }
+    beta
+  }
+
+  /** Fitted weights, materialized once per (session, sfDir). */
+  def fittedWeights(spark: SparkSession, sfDir: String): Array[Double] =
+    weightCache.computeIfAbsent((spark, sfDir),
+      _ => train(features(spark, sfDir)))
+
+  private val weightCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Double]]()
+
+  /** q111 surface: every document scored with the calibrated quality
+    * probability — map-only column math over the broadcast weights (the
+    * heuristic gate rides along for threshold calibration readouts). */
+  def scoreDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val beta = fittedWeights(spark, sfDir)
+    features(spark, sfDir).select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-dot(beta))), 6).as("quality_prob"),
+      col("y").cast("boolean").as("heuristic_gate"))
+  }
+}
