@@ -200,6 +200,10 @@ object SparkEntry {
     // rows-only: IRLS-fitted logistic weights are not SQL-expressible;
     // determinism + calibration are spec-asserted (QualityLRSpec)
     "q111_quality_model" -> ((s, d) => graft.ml.QualityLR.scoreDocs(s, d)),
+    // incremental (new-batch-vs-existing-corpus) near-dup dedup
+    "q112_incremental_dedup" -> ((s, d) => Dedup.incrementalNew(s, d)),
+    // PSI distribution drift between time-split populations
+    "q113_value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1447,6 +1451,58 @@ object SparkEntry {
          |         THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM c""".stripMargin,
+    "q112_incremental_dedup" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_e, b.doc_id AS doc_i, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.s = b.s
+         |    AND a.doc_id < 250 AND b.doc_id >= 250
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT doc_i FROM inter
+         |  JOIN sz ne ON doc_e = ne.doc_id JOIN sz ni ON doc_i = ni.doc_id
+         |  WHERE ROUND(CAST(c AS DOUBLE) / (ne.n + ni.n - c), 4) >= 0.5)
+         |SELECT doc_id, n_chars FROM documents d
+         |WHERE doc_id >= 250
+         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)""".stripMargin,
+    "q113_value_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN hour(ts) < 12 THEN 'a' ELSE 'b' END AS side
+        |  FROM events),
+        |rng AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |        FROM ev GROUP BY 1),
+        |binned AS (
+        |  SELECT ev.event_type, side,
+        |    CAST(LEAST(floor((value - lo) * 10 / GREATEST(hi - lo, 1e-12)), 9)
+        |      AS INT) AS bin,
+        |    COUNT(*) AS n
+        |  FROM ev JOIN rng ON ev.event_type = rng.event_type
+        |  GROUP BY 1, 2, 3),
+        |shares AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN side = 'a' THEN n ELSE 0 END) AS na,
+        |    SUM(CASE WHEN side = 'b' THEN n ELSE 0 END) AS nb
+        |  FROM binned GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN side = 'a' THEN n ELSE 0 END) AS ta,
+        |    SUM(CASE WHEN side = 'b' THEN n ELSE 0 END) AS tb
+        |  FROM binned GROUP BY 1),
+        |terms AS (
+        |  SELECT s.event_type,
+        |    GREATEST(CAST(na AS DOUBLE) / ta, 1e-6) AS pa,
+        |    GREATEST(CAST(nb AS DOUBLE) / tb, 1e-6) AS pb, ta, tb
+        |  FROM shares s JOIN tots t ON s.event_type = t.event_type),
+        |agg AS (
+        |  SELECT event_type,
+        |    ROUND(CAST(SUM(CAST(ROUND((pa - pb) * ln(pa / pb), 9)
+        |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+        |    CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b
+        |  FROM terms GROUP BY 1)
+        |SELECT event_type, psi, n_a, n_b, psi > 0.1 AS drifted FROM agg""".stripMargin,
     "q109_retention_triangle" ->
       """WITH o AS (
         |  SELECT DISTINCT o_custkey,

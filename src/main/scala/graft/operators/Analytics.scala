@@ -532,6 +532,53 @@ object Analytics {
       .withColumn("is_anomaly", abs(col("z")) > 3.0)
   }
 
+  /** Distribution-drift monitor (PSI) between two time-split
+    * populations of each event type — the data-quality check a
+    * snapshot/crawl pipeline runs before accepting a new batch:
+    * morning (hour < 12) vs afternoon event values binned into 10
+    * fixed-width cells over the TYPE's own [min, max], then
+    * `PSI = Σ (pA − pB)·ln(pA/pB)` with ε-clamped shares. Engine-
+    * portable fp discipline: bin assignment is the int8-quantize
+    * formula (clamped denominator), each PSI term is 9dp-rounded
+    * DECIMAL before the sum (order-independent), shares are exact
+    * integer-count divisions. Shape: one min/max aggregation broadcast
+    * back, one (type, side, bin) counting aggregation, one type-level
+    * fold — all map-side-combined, no window, no per-row state. */
+  def valueDrift(spark: SparkSession, sfDir: String,
+                 bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        when(hour(col("ts")) < 12, "a").otherwise("b").as("side"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev.join(broadcast(rng), "event_type")
+      .withColumn("bin", least(
+        floor((col("value") - col("lo")) * bins /
+          greatest(col("hi") - col("lo"), lit(1e-12))),
+        lit(bins - 1)).cast("int"))
+      .groupBy(col("event_type"), col("side"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val shares = binned
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("side") === "a", col("n")).otherwise(0L)).as("na"),
+        sum(when(col("side") === "b", col("n")).otherwise(0L)).as("nb"))
+      .join(broadcast(binned.groupBy(col("event_type"))
+        .agg(sum(when(col("side") === "a", col("n")).otherwise(0L)).as("ta"),
+          sum(when(col("side") === "b", col("n")).otherwise(0L)).as("tb"))),
+        "event_type")
+      .withColumn("pa", greatest(col("na").cast("double") / col("ta"), lit(eps)))
+      .withColumn("pb", greatest(col("nb").cast("double") / col("tb"), lit(eps)))
+    shares
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .withColumn("drifted", col("psi") > 0.1)
+  }
+
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the
     * explode → groupBy shape whose shuffle carries (bigram, partial
     * count) — map-side combine keeps it narrow at corpus scale. */

@@ -226,6 +226,42 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL near-dup dedup — the nightly-crawl shape: a new batch
+    * arrives and must be deduplicated against the EXISTING corpus, not
+    * against itself (intra-batch dups are a separate [[clusterKeep]]
+    * pass). Keeps each incoming document unless it near-dups (Jaccard ≥
+    * threshold) some existing document.
+    *
+    * Scale shape: the same shingle inverted index as [[jaccardPairs]],
+    * but the self-join is REPLACED by an existing×incoming cross join
+    * on the shingle key — candidate fan-in still bounded by true
+    * co-occurrence, and the incoming side is batch-sized, not
+    * corpus-sized. Documents too short to shingle cannot collide and
+    * pass straight through (the left-anti keeps them — no explode for
+    * them at all). At 100 TB the existing side's postings come from the
+    * materialized shingle index a production pipeline maintains; here
+    * both sides derive from the same table split on doc_id. */
+  def incrementalNew(spark: SparkSession, sfDir: String,
+                     splitId: Long = 250, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val dupIncoming = tok.as("e").filter(col("e.doc_id") < splitId)
+      .join(tok.as("i").filter(col("i.doc_id") >= splitId),
+        col("e.s") === col("i.s"))
+      .groupBy(col("e.doc_id").as("doc_e"), col("i.doc_id").as("doc_i"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("ne"), col("doc_e") === col("ne.doc_id"))
+      .join(sizes.as("ni"), col("doc_i") === col("ni.doc_id"))
+      .filter(round(col("c").cast("double") /
+        (col("ne.n") + col("ni.n") - col("c")), 4) >= threshold)
+      .select(col("doc_i").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= splitId)
+      .join(dupIncoming, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Keep-one-per-cluster summary: the canonical doc and how many it
     * absorbs — the materialized form a dedup pass writes. Reads the
     * [[materializedClusters]] layer: a cluster with n >= 2 members

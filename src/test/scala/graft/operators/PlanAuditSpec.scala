@@ -171,6 +171,13 @@ class PlanAuditSpec extends SparkSpec {
       s"late tag collapsed to a single partition:\n$p")
   }
 
+  test("incremental dedup: shingle-keyed cross join + anti join, no all-pairs") {
+    val p = plan(Dedup.incrementalNew(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"incremental dedup degenerated to all-pairs:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor anti-join missing:\n$p")
+  }
+
   test("corpus filter reads the materialized label layer, never re-clusters") {
     // q62 consumes Dedup.materializedClusters: its plan must contain no
     // shingle pipeline at all (round 5 re-ran the whole shingle join +
