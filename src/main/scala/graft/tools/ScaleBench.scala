@@ -25,7 +25,10 @@ object ScaleBench {
     "q23_embedding_pairs", "q30_linucb_seed", "q31_linucb_topk",
     "q41_policy_eval_linucb", "q44_ann_ivf", "q46_cdc_changelog",
     "q60_dedup_clusters", "q61_cluster_keep", "q62_corpus_filter",
-    "q67_cdc_materialize")
+    "q67_cdc_materialize",
+    // round-6 additions: model-based quality filter, incremental dedup,
+    // drift monitor — first-class scale citizens like the rest
+    "q111_quality_model", "q112_incremental_dedup", "q113_value_drift")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
