@@ -118,11 +118,11 @@ object LinUCB {
     * each, the same materialization discipline as
     * [[graft.operators.Dedup.materializedClusters]]. */
   def seededModels(spark: SparkSession, sfDir: String): Array[Model] =
-    modelCache.computeIfAbsent((spark, sfDir),
-      _ => seed(feedbackFromLineitem(spark, sfDir), Dim).collect())
+    modelCache.getOrCompute(spark, sfDir) {
+      seed(feedbackFromLineitem(spark, sfDir), Dim).collect()
+    }
 
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Model]]()
+  private val modelCache = new graft.SessionCache[String, Array[Model]]()
 
   /** Serving-side score for one (context, model) pair:
     * `x·θ + α·√(xᵀA⁻¹x)`, `θ = A⁻¹b` (`eda_recommender.py:78-92`). */

@@ -98,11 +98,9 @@ object QualityLR {
 
   /** Fitted weights, materialized once per (session, sfDir). */
   def fittedWeights(spark: SparkSession, sfDir: String): Array[Double] =
-    weightCache.computeIfAbsent((spark, sfDir),
-      _ => train(features(spark, sfDir)))
+    weightCache.getOrCompute(spark, sfDir) { train(features(spark, sfDir)) }
 
-  private val weightCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Double]]()
+  private val weightCache = new graft.SessionCache[String, Array[Double]]()
 
   /** q111 surface: every document scored with the calibrated quality
     * probability — map-only column math over the broadcast weights (the

@@ -402,6 +402,20 @@ object Analytics {
     *      window — every sort is bounded by catalog/numPartitions rows,
     *      no SinglePartition exchange anywhere (plan-audited). */
   def revenueAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    // construction runs eager jobs (per-partition totals + the pinned
+    // checkpoint), so the finished frame is memoized per (sfDir,
+    // partition count) — repeat callers reuse one checkpoint instead of
+    // re-materializing the pipeline each time
+    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    abcCache.getOrCompute(spark, (sfDir, nParts)) {
+      buildRevenueAbc(spark, sfDir, nParts)
+    }
+  }
+
+  private val abcCache = new graft.SessionCache[(String, Int), DataFrame]()
+
+  private def buildRevenueAbc(spark: SparkSession, sfDir: String,
+                              nParts: Int): DataFrame = {
     import graft.functions.ExactNum._
     import org.apache.spark.sql.types.DecimalType
     // round to cents with ROUND in DECIMAL space: double-then-round
@@ -412,7 +426,6 @@ object Analytics {
       .groupBy(col("l_partkey").as("part_id"))
       .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
         .as("rev_d"))
-    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = pr
       .repartitionByRange(nParts, desc("rev_d"), asc("part_id"))
       .withColumn("pid", spark_partition_id())

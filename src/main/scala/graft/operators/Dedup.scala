@@ -166,11 +166,11 @@ object Dedup {
     * their plans contain ZERO shingle explodes (plan-audited). */
   def materializedClusters(spark: SparkSession, sfDir: String,
                            threshold: Double = 0.5): DataFrame =
-    clusterCache.computeIfAbsent((spark, sfDir, threshold),
-      _ => nearDupClusters(spark, sfDir, threshold).localCheckpoint())
+    clusterCache.getOrCompute(spark, (sfDir, threshold)) {
+      nearDupClusters(spark, sfDir, threshold).localCheckpoint()
+    }
 
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+  private val clusterCache = new graft.SessionCache[(String, Double), DataFrame]()
 
   /** Component labels for the edge-endpoint set only (every doc that
     * appears in some near-dup pair); singletons are absent — the caller

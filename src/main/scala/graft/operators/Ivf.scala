@@ -78,11 +78,12 @@ object Ivf {
     * [[graft.ml.LinUCB.seededModels]]. */
   def fittedCentroids(spark: SparkSession, sfDir: String, k: Int,
                       iters: Int): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((spark, sfDir, k, iters),
-      _ => fitCentroids(spark, sfDir, k, iters))
+    centroidCache.getOrCompute(spark, (sfDir, k, iters)) {
+      fitCentroids(spark, sfDir, k, iters)
+    }
 
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), Array[Array[Double]]]()
+  private val centroidCache =
+    new graft.SessionCache[(String, Int, Int), Array[Array[Double]]]()
 
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */

@@ -219,13 +219,16 @@ object MediaCodec {
       val rate = rd32(bytes, 24)
       val dataLen = rd32(bytes, 40).toLong
       // 16-bit PCM: duration = samples / rate, integer ms (exact — the
-      // oracle reproduces it with integer division)
-      val durMs = dataLen * 1000L / (rate.toLong * channels * 2L)
+      // oracle reproduces it with integer division). A corrupt fmt
+      // chunk (rate or channels 0/negative) must NOT divide by zero —
+      // the quarantine contract says stragglers survive as rows, they
+      // do not kill the task; duration is simply unknown for them.
+      val denom = rate.toLong * channels.toLong * 2L
       Multimodal.MediaDecoded(mediaId, "wav",
         width_px = None, height_px = None, bits_per_px = None,
         channels = Some(channels.toLong),
         sample_rate = Some(rate.toLong),
-        duration_ms = Some(durMs),
+        duration_ms = if (denom > 0) Some(dataLen * 1000L / denom) else None,
         data_bytes = dataLen, byte_len = bytes.length.toLong)
     } else {
       Multimodal.MediaDecoded(mediaId, "unknown",

@@ -122,6 +122,18 @@ object SupplierStats {
     * (plan-audited: no SinglePartition window). */
   def tagLate(spark: SparkSession, sfDir: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // construction runs two small eager jobs (max id, per-bucket maxes)
+    // — memoize the finished frame so repeat callers (q14 + q15 share
+    // it) don't re-run them
+    tagCache.getOrCompute(spark, (sfDir, buckets)) {
+      buildTagLate(spark, sfDir, buckets)
+    }
+  }
+
+  private val tagCache = new graft.SessionCache[(String, Int), DataFrame]()
+
+  private def buildTagLate(spark: SparkSession, sfDir: String,
+                           buckets: Int): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val maxId = Option(ev.agg(max(col("event_id"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)

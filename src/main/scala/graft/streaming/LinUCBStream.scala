@@ -141,21 +141,23 @@ object LinUCBStream {
       val s = state.getOption.getOrElse(ArmState.zero(dim))
       var n = s.n
       var saw = false
-      var maxTsMs = Long.MinValue
+      var minTsMs = Long.MaxValue
       events.foreach { f =>
         outerAccum(s.a, f.x)
         var i = 0
         while (i < dim) { s.b(i) += f.reward * f.x(i); i += 1 }
         n += 1
         saw = true
-        maxTsMs = math.max(maxTsMs, f.ts.getTime)
+        minTsMs = math.min(minTsMs, f.ts.getTime)
       }
       // keep the EARLIEST pending deadline (a steady event flow must not
       // slide emission forever — same discipline as the processing-time
-      // form's nextEmitMs)
+      // form's nextEmitMs). Fresh arming uses the batch's MIN event time
+      // so the deadline really is "first pending event + delay" — a
+      // batch-max deadline would shift with micro-batch groupings.
       val deadline =
         if (s.nextEmitMs > 0) s.nextEmitMs
-        else if (saw) maxTsMs + delayMs
+        else if (saw) minTsMs + delayMs
         else 0L
       state.update(ArmState(dim, s.a, s.b, n, s.dirty || saw, deadline))
       if (deadline > 0) {
@@ -175,10 +177,13 @@ object LinUCBStream {
     * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
     * (runtime-settable; exercised by the replay spec). */
   def trainEventTime(feedback: Dataset[TimedFeedback], dim: Int,
-                     delay: String = "5 seconds",
                      delayMs: Long = 5000L): Dataset[Model] = {
     import feedback.sparkSession.implicits._
-    feedback.withWatermark("ts", delay)
+    // ONE knob: the watermark delay derives from the same delayMs as
+    // the emission deadlines — two independently-passed parameters
+    // silently disagreeing (watermark 60 s, deadlines +5 s) would clamp
+    // every deadline to watermark+1 and emit on every trigger.
+    feedback.withWatermark("ts", s"$delayMs milliseconds")
       .groupByKey(_.productId)
       .flatMapGroupsWithState[ArmState, Model](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(

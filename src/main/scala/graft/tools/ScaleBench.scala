@@ -93,9 +93,18 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!Files.exists(Paths.get(s"$outDir/lineitem.parquet"))) {
+    // a marker written only AFTER a full successful generate pins the
+    // replication factor to the data: a stale lake from a different k,
+    // or a partial generate that crashed mid-way, regenerates instead
+    // of silently producing a mislabeled BENCH_sf1.json
+    val marker = Paths.get(s"$outDir/_SCALE_META")
+    val want = s"k=$k base=$baseDir"
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == want
+    if (!fresh) {
       System.err.println(s"[scale] generating ${k}x lake under $outDir ...")
       generate(spark, baseDir, outDir, k)
+      Files.write(marker, (want + "\n").getBytes)
     }
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -102,6 +102,12 @@ class FeaturesSpec extends SparkSpec {
     // stragglers survive as quarantine rows, they do not kill the task
     val junk = graft.operators.MediaCodec.decode(9L, Array[Byte](0x42, 0x00, 0x01))
     assert(junk.container == "unknown" && junk.byte_len == 3L)
+    // corrupt fmt chunk (zeroed rate/channels): no division by zero —
+    // the row survives with an unknown duration
+    val corrupt = graft.operators.MediaCodec.decode(10L,
+      graft.operators.MediaCodec.wav(0, 0, Array[Byte](1, 2)))
+    assert(corrupt.container == "wav" && corrupt.duration_ms.isEmpty &&
+      corrupt.data_bytes == 2L)
   }
 
   test("frame sampling fans out ceil(n_frames/stride) rows per media") {
