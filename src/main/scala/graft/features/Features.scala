@@ -116,22 +116,19 @@ object Features {
     val vocab = scores.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("term")).limit(maxVocab)
       .select("term").collect().map(_.getString(0)).sorted
-    val vIndex = vocab.zipWithIndex.toMap
-    val bIndex = spark.sparkContext.broadcast(vIndex)
     val v = vocab.length
-    val toVec = udf((terms: Seq[String], vals: Seq[Double]) => {
-      val arr = new Array[Double](v)
-      var i = 0
-      while (i < terms.length) {
-        // out-of-vocabulary tail terms contribute no coordinate
-        bIndex.value.get(terms(i)).foreach(j => arr(j) = vals(i))
-        i += 1
-      }
-      arr
-    })
-    val vecs = scores.groupBy("doc_id")
-      .agg(collect_list(col("term")).as("terms"), collect_list(col("tfidf")).as("vals"))
-      .select(col("doc_id"), toVec(col("terms"), col("vals")).as("vec"))
+    // vocab index as a broadcast dimension join (out-of-vocabulary tail
+    // terms drop at the join — no coordinate, as before), then the
+    // native scatter expression assembles the dense vector — no Scala
+    // UDF anywhere in the pipeline
+    import spark.implicits._
+    val vocabIdx = vocab.zipWithIndex.toSeq.toDF("term", "vocab_idx")
+    val vecs = scores.join(broadcast(vocabIdx), "term")
+      .groupBy("doc_id")
+      .agg(collect_list(col("vocab_idx")).as("idxs"),
+        collect_list(col("tfidf")).as("vals"))
+      .select(col("doc_id"),
+        graft.functions.scatterDense(col("idxs"), col("vals"), v).as("vec"))
     (vecs, v)
   }
 
@@ -190,22 +187,10 @@ object Features {
       while (i < v) { proj(i * k + j) = eigVecs(i * v + j) * sign; i += 1 }
       j += 1
     }
-    val bProj = spark.sparkContext.broadcast(proj)
-    val embed = udf((x: Seq[Double]) => {
-      val p = bProj.value
-      val out = new Array[Double](k)
-      var i = 0
-      while (i < v) {
-        val xi = x(i)
-        if (xi != 0.0) {
-          var c = 0
-          while (c < k) { out(c) += xi * p(i * k + c); c += 1 }
-        }
-        i += 1
-      }
-      out.map(d => math.rint(d * 1e6) / 1e6)
-    })
-    vecs.select(col("doc_id"), embed(col("vec")).as("embedding"))
+    // native projection expression: the V×k matrix rides into codegen
+    // as a reference object, the per-row fold is one static JVM call
+    vecs.select(col("doc_id"),
+      graft.functions.matVecProject(col("vec"), proj, v, k).as("embedding"))
   }
 
   /** Flat query surface for the embedding (first 4 dims as columns). */
@@ -234,12 +219,6 @@ object Features {
     val bucket = pmod(xxhash64(col("term")), lit(dim)).cast("int")
     val sign = when(pmod(xxhash64(col("term"), lit(1)), lit(2)) === 0, 1.0)
       .otherwise(-1.0)
-    val toVec = udf((buckets: Seq[Int], vals: Seq[Double]) => {
-      val arr = new Array[Double](dim)
-      var i = 0
-      while (i < buckets.length) { arr(buckets(i)) = vals(i); i += 1 }
-      arr
-    })
     scores
       .withColumn("bucket", bucket)
       .withColumn("sv", (col("tfidf") * sign)
@@ -248,7 +227,8 @@ object Features {
       .agg(sum(col("sv")).cast("double").as("v"))
       .groupBy(col("doc_id"))
       .agg(collect_list(col("bucket")).as("buckets"), collect_list(col("v")).as("vals"))
-      .select(col("doc_id"), toVec(col("buckets"), col("vals")).as("vec"))
+      .select(col("doc_id"),
+        graft.functions.scatterDense(col("buckets"), col("vals"), dim).as("vec"))
   }
 
   /** [[textEmbedding]] over the feature-hashed space: the same SVD

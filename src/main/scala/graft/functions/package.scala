@@ -64,6 +64,16 @@ package object functions {
     * column (codegen'd). */
   def seededNormal(seed: Column): Column = wrap(SeededNormalExpr(ex(seed)))
 
+  /** Scatter sparse (indices, values) into a `size`-wide dense
+    * `array<double>` (codegen'd). */
+  def scatterDense(idx: Column, vals: Column, size: Int): Column =
+    wrap(ScatterDense(ex(idx), ex(vals), size))
+
+  /** Project an `array<double>` through a plan-time v×k row-major
+    * matrix, 6dp-rounded (codegen'd). */
+  def matVecProject(x: Column, proj: Array[Double], v: Int, k: Int): Column =
+    wrap(MatVecProject(ex(x), proj, v, k))
+
   private def doubleArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Double = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"expected a numeric literal argument, got non-literal ${e.sql}")

@@ -190,6 +190,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!k.contains("word_shingles"), s"q61 re-runs the shingle join:\n$k")
   }
 
+  test("embedding pipelines assemble/project through native expressions, no UDF") {
+    // the last Scala UDFs in the engine died here: dense assembly is
+    // scatter_dense, the SVD projection is mat_vec_project — both
+    // codegen'd with plan-time state as reference objects
+    val denseDf = graft.features.Features.textEmbeddingQuery(spark, sf())
+    val dense = plan(denseDf)
+    assert(!dense.contains("ScalaUDF"), s"UDF in the dense embedding path:\n$dense")
+    // the expressions fuse into the aggregate's result projection in the
+    // physical string — assert their presence on the analyzed plan
+    val analyzed = denseDf.queryExecution.analyzed.toString
+    assert(analyzed.contains("scatter_dense") && analyzed.contains("mat_vec_project"),
+      s"native assembly/projection missing:\n$analyzed")
+    val hashed = plan(graft.features.Features.textEmbeddingHashed(spark, sf()))
+    assert(!hashed.contains("ScalaUDF"), s"UDF in the hashed embedding path:\n$hashed")
+  }
+
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
     val p = plan(TextOps.decontamination(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
