@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.SparkSpec
+
+/** Property-style hardening of the round-6 native expressions and the
+  * media codec: seeded random inputs exercise shapes the fixtures never
+  * produce (degenerate sizes, out-of-range indices, extreme header
+  * values), asserting each static helper against a naive reference
+  * implementation. These run WITHOUT Spark plans (the helpers are the
+  * exact code both interpreted eval and codegen call), which is what
+  * makes thousands of cases cheap. */
+class NativeExprPropSpec extends SparkSpec {
+
+  private def arr(xs: Array[Double]) = new GenericArrayData(xs)
+
+  test("DenseOps.scatter == naive scatter on random (idx, vals), incl. out-of-range") {
+    val r = new scala.util.Random(20260813L)
+    for (_ <- 1 to 500) {
+      val size = r.nextInt(40)
+      val n = r.nextInt(30)
+      // indices deliberately range over [-5, size+5): out-of-range must
+      // be skipped, never thrown
+      val idx = Array.fill(n)(r.nextInt(size + 10) - 5)
+      val vals = Array.fill(n)(r.nextDouble() * 100 - 50)
+      val got = DenseOps.scatter(
+        new GenericArrayData(idx), arr(vals), size).toDoubleArray()
+      val want = new Array[Double](size)
+      for (i <- 0 until n if idx(i) >= 0 && idx(i) < size) want(idx(i)) = vals(i)
+      assert(got.sameElements(want))
+    }
+  }
+
+  test("DenseOps.matVec == naive matrix fold on random vectors/matrices") {
+    val r = new scala.util.Random(42L)
+    for (_ <- 1 to 300) {
+      val v = 1 + r.nextInt(20)
+      val k = 1 + r.nextInt(8)
+      val proj = Array.fill(v * k)(r.nextDouble() * 2 - 1)
+      val x = Array.fill(v)(if (r.nextInt(3) == 0) 0.0 else r.nextDouble() * 4 - 2)
+      val got = DenseOps.matVec(arr(x), proj, v, k).toDoubleArray()
+      val want = new Array[Double](k)
+      for (i <- 0 until v; c <- 0 until k) want(c) += x(i) * proj(i * k + c)
+      for (c <- 0 until k) want(c) = math.rint(want(c) * 1e6) / 1e6
+      assert(got.sameElements(want))
+    }
+  }
+
+  test("PolicyMath draws are in range and deterministic across calls") {
+    val r = new scala.util.Random(7L)
+    for (_ <- 1 to 2000) {
+      val seed = r.nextLong()
+      val u = PolicyMath.seededUniform(seed)
+      assert(u > 0.0 && u <= 1.0, s"uniform $u out of (0,1] for seed $seed")
+      assert(u == PolicyMath.seededUniform(seed))
+      val z = PolicyMath.seededNormal(seed)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(z == PolicyMath.seededNormal(seed))
+    }
+  }
+
+  test("MediaCodec wav/bmp round-trip on random dimensions and payloads") {
+    import graft.operators.MediaCodec
+    val r = new scala.util.Random(99L)
+    for (_ <- 1 to 300) {
+      val data = Array.fill(r.nextInt(200))(r.nextInt(256).toByte)
+      val w = 1 + r.nextInt(8192)
+      val h = 1 + r.nextInt(8192)
+      val di = MediaCodec.decode(1L, MediaCodec.bmp(w, h, data))
+      assert(di.container == "bmp" && di.width_px.contains(w.toLong) &&
+        di.height_px.contains(h.toLong) && di.data_bytes == data.length.toLong)
+      val ch = 1 + r.nextInt(8)
+      val rate = 1 + r.nextInt(192000)
+      val da = MediaCodec.decode(2L, MediaCodec.wav(ch, rate, data))
+      assert(da.container == "wav" && da.channels.contains(ch.toLong) &&
+        da.sample_rate.contains(rate.toLong) && da.data_bytes == data.length.toLong)
+      val wantMs = data.length.toLong * 1000L / (rate.toLong * ch * 2L)
+      assert(da.duration_ms.contains(wantMs))
+    }
+  }
+}
