@@ -167,21 +167,34 @@ object Cdc {
           col("v.lsn"))).as("value"))
   }
 
-  /** SCD-2 history from the changelog: decode the wire envelope, order
-    * each key's versions by lsn, and close every version with its
-    * successor's lsn (`valid_to_lsn`, null = still open). Deletes close
-    * the last image and contribute no row of their own — the standard
-    * slowly-changing-dimension type-2 build, as one PK-partitioned
-    * window over the decoded stream (same single keyed shuffle as
+  /** The DECODED changelog — the bronze→silver materialization every
+    * CDC pipeline performs exactly once: wire envelopes parsed to typed
+    * rows, pinned per (session, sfDir). Both changelog consumers (SCD-2
+    * history, latest-image compaction) read THIS layer, so the envelope
+    * synthesis + JSON round-trip runs once, not once per consumer. */
+  def decodedVersionedLog(spark: SparkSession, sfDir: String): DataFrame =
+    logCache.getOrCompute(spark, sfDir) {
+      versionedEnvelope(spark, sfDir)
+        .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
+        .select(col("p.*"))
+        .localCheckpoint()
+    }
+
+  private val logCache = new graft.SessionCache[String, DataFrame]()
+
+  /** SCD-2 history from the changelog: order each key's versions by
+    * lsn, and close every version with its successor's lsn
+    * (`valid_to_lsn`, null = still open). Deletes close the last image
+    * and contribute no row of their own — the standard slowly-changing-
+    * dimension type-2 build, as one PK-partitioned window over the
+    * decoded stream (same single keyed shuffle as
     * [[materializeLatest]]; the history keeps ALL versions instead of
     * row 1). */
   def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy(col("order_id"), col("line_no"))
       .orderBy(col("lsn"))
-    versionedEnvelope(spark, sfDir)
-      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
-      .select(col("p.*"))
+    decodedVersionedLog(spark, sfDir)
       .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(byKey))
       .filter(col("op") =!= "d")
       .select(col("order_id"), col("line_no"), col("part_id"),
@@ -201,9 +214,7 @@ object Cdc {
     * streaming upsert view ([[graft.streaming.CdcMaterialize]]); the
     * two agree by spec. */
   def materializeLatest(spark: SparkSession, sfDir: String): DataFrame =
-    versionedEnvelope(spark, sfDir)
-      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
-      .select(col("p.*"))
+    decodedVersionedLog(spark, sfDir)
       .groupBy(col("order_id"), col("line_no"))
       .agg(max_by(
         struct(col("part_id"), col("quantity"), col("price"), col("op")),
