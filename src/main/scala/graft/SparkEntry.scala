@@ -204,6 +204,9 @@ object SparkEntry {
     "q112_incremental_dedup" -> ((s, d) => Dedup.incrementalNew(s, d)),
     // PSI distribution drift between time-split populations
     "q113_value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
+    // rows-only: deterministic datagen twins of the reference producer
+    // (seeded UUID + regexify — splitmix64 streams, not SQL-expressible)
+    "q114_synthetic_orders" -> ((s, d) => graft.sources.Sources.syntheticOrders(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -231,6 +234,7 @@ object SparkEntry {
     "q85_approx_percentiles" -> 5L, // one row per event type
     "q100_cms_estimates" -> 25L, // one row per heavy token (30 at sf0.01)
     "q111_quality_model" -> 400L, // one row per document
+    "q114_synthetic_orders" -> 9000L, // one row per event (10k at sf0.01)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -64,6 +64,15 @@ package object functions {
     * column (codegen'd). */
   def seededNormal(seed: Column): Column = wrap(SeededNormalExpr(ex(seed)))
 
+  /** Deterministic v4-format UUID of a bigint seed column (codegen'd). */
+  def seededUuid(seed: Column): Column = wrap(SeededUuid(ex(seed)))
+
+  /** Deterministic regexify over the supported subset (alternations,
+    * char classes, `\d`/`\w`, `{n}` quantifiers) — plan-time pattern,
+    * per-row seed (codegen'd). */
+  def regexGen(pattern: String, seed: Column): Column =
+    wrap(RegexGen(ex(seed), pattern))
+
   /** Scatter sparse (indices, values) into a `size`-wide dense
     * `array<double>` (codegen'd). */
   def scatterDense(idx: Column, vals: Column, size: Int): Column =
@@ -122,7 +131,20 @@ package object functions {
       LinUcbScore(exprs.head, exprs(1), exprs(2), doubleArg(exprs(3)))),
     "lints_score" -> (exprs =>
       LinTsScore(exprs.head, exprs(1), exprs(2), exprs(3), doubleArg(exprs(4)))),
+    "seeded_uuid" -> (exprs => SeededUuid(exprs.head)),
+    "regex_gen" -> (exprs => RegexGen(exprs(1), stringArg(exprs.head))),
   )
+
+  private def stringArg(e: org.apache.spark.sql.catalyst.expressions.Expression): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"expected a string literal argument, got non-literal ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"expected a string literal argument, got $other")
+    }
+  }
 
   /** Register SQL-callable names for ALL custom expressions on an
     * already-built session. */

@@ -61,4 +61,27 @@ object Sources {
     spark.read.schema(schema)
       .option("mode", "DROPMALFORMED")
       .json(path)
+
+  /** The reference's supplier alternation, verbatim
+    * (`orders-json-clients/.../ProducerApp.kt:51` `faker.regexify`). */
+  val SupplierPattern =
+    "(Alice|Bob|Carol|Dave|Eve|Frank|Grace|Heidi)"
+
+  /** F6/F11 as ENGINE operators: the reference's producer synthesizes
+    * each order with `UUID.randomUUID()` + `faker.regexify` from global
+    * RNGs (`ProducerApp.kt:47-53`) — irreproducible by design. The
+    * engine's twin derives both from a content seed, so a synthetic
+    * stream regenerates bit-identically on any run/partitioning/replay
+    * (spec-asserted); downstream joins on the generated keys are
+    * therefore stable. Map-only, codegen'd, no RNG state anywhere. */
+  def syntheticOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, sfDir).select(
+      col("event_id"),
+      graft.functions.seededUuid(xxhash64(col("event_id"), lit("oid")))
+        .as("order_id"),
+      graft.functions.regexGen(SupplierPattern,
+        xxhash64(col("event_id"), lit("sup"))).as("supplier"),
+      round(col("value"), 2).as("price"))
+  }
 }

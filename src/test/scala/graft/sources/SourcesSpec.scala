@@ -73,4 +73,31 @@ class SourcesSpec extends SparkSpec {
     val r = stats.collect()(0)
     assert(r.getAs[Double]("total_price") == 15.0 && r.getAs[Long]("cnt") == 2L)
   }
+
+  test("synthetic orders: seeded uuid/regexify are deterministic and well-formed") {
+    val suppliers = Set("Alice", "Bob", "Carol", "Dave", "Eve", "Frank",
+      "Grace", "Heidi")
+    val uuidRe =
+      "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    val run1 = Sources.syntheticOrders(spark, sf()).orderBy("event_id").collect()
+    val run2 = Sources.syntheticOrders(spark, sf()).repartition(7)
+      .orderBy("event_id").collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
+      "generation must be a pure function of the seed (partitioning-independent)")
+    run1.foreach { r =>
+      assert(uuidRe.matches(r.getAs[String]("order_id")),
+        s"malformed uuid ${r.getAs[String]("order_id")}")
+      assert(suppliers.contains(r.getAs[String]("supplier")))
+    }
+    // every alternation branch is reachable, ids don't collide
+    val seen = run1.map(_.getAs[String]("supplier")).toSet
+    assert(seen == suppliers, s"unreachable suppliers: ${suppliers -- seen}")
+    assert(run1.map(_.getAs[String]("order_id")).distinct.length == run1.length)
+    // SQL surface round-trip
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT seeded_uuid(42L) AS u, regex_gen('(x|y)\\\\d{3}', 7L) AS g").head()
+    assert(uuidRe.matches(viaSql.getAs[String]("u")))
+    assert(viaSql.getAs[String]("g").matches("[xy][0-9]{3}"))
+  }
 }
