@@ -26,6 +26,15 @@ final class SessionCache[K, V] {
         }
       })
     }
-    map.computeIfAbsent((spark, key), _ => f)
+    val v = map.computeIfAbsent((spark, key), _ => f)
+    // Eviction/insertion race: if the session stopped while f was
+    // computing (or was already stopped on entry, so the listener will
+    // never fire), the entry just inserted would be pinned forever —
+    // drop it; the caller still gets its value.
+    if (spark.sparkContext.isStopped) {
+      map.remove((spark, key))
+      hooked.remove(spark)
+    }
+    v
   }
 }

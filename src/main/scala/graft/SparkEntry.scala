@@ -234,7 +234,10 @@ object SparkEntry {
     "q85_approx_percentiles" -> 5L, // one row per event type
     "q100_cms_estimates" -> 25L, // one row per heavy token (30 at sf0.01)
     "q111_quality_model" -> 400L, // one row per document
-    "q114_synthetic_orders" -> 9000L, // one row per event (10k at sf0.01)
+    // one row per event; the smallest scale factor has 1 000 events, so
+    // the minimum must be scale-safe at sf0.001 too (the one
+    // events-proportional rows-only minimum)
+    "q114_synthetic_orders" -> 900L,
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

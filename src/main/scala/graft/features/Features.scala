@@ -117,18 +117,24 @@ object Features {
       .orderBy(desc("df"), asc("term")).limit(maxVocab)
       .select("term").collect().map(_.getString(0)).sorted
     val v = vocab.length
-    // vocab index as a broadcast dimension join (out-of-vocabulary tail
-    // terms drop at the join — no coordinate, as before), then the
-    // native scatter expression assembles the dense vector — no Scala
-    // UDF anywhere in the pipeline
+    // vocab index as a broadcast dimension join, then the native
+    // scatter expression assembles the dense vector — no Scala UDF
+    // anywhere in the pipeline. The join is LEFT and the in-vocab pairs
+    // are collected as structs: a document whose every term is
+    // out-of-vocabulary (possible once the cap binds at real corpus
+    // scale) must still emit its zero vector — an inner join would
+    // silently drop it, and independent collect_lists over a left join
+    // would misalign indices with values when nulls drop.
     import spark.implicits._
     val vocabIdx = vocab.zipWithIndex.toSeq.toDF("term", "vocab_idx")
-    val vecs = scores.join(broadcast(vocabIdx), "term")
+    val vecs = scores.join(broadcast(vocabIdx), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(collect_list(col("vocab_idx")).as("idxs"),
-        collect_list(col("tfidf")).as("vals"))
+      .agg(collect_list(when(col("vocab_idx").isNotNull,
+        struct(col("vocab_idx").as("i"), col("tfidf").as("t")))).as("pairs"))
       .select(col("doc_id"),
-        graft.functions.scatterDense(col("idxs"), col("vals"), v).as("vec"))
+        graft.functions.scatterDense(
+          expr("transform(pairs, p -> p.i)"),
+          expr("transform(pairs, p -> p.t)"), v).as("vec"))
     (vecs, v)
   }
 

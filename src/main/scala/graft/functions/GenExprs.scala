@@ -50,7 +50,7 @@ object GenOps {
 
   /** One parsed element of the supported pattern subset. */
   sealed trait Elem
-  final case class Alt(options: Array[String]) extends Elem
+  final case class Alt(options: Array[String], count: Int) extends Elem
   final case class Chars(set: Array[Char], count: Int) extends Elem
   final case class Lit(s: String) extends Elem
 
@@ -75,8 +75,12 @@ object GenOps {
         case '(' =>
           val close = pattern.indexOf(')', i)
           require(close > i, s"unclosed group in '$pattern'")
-          out += Alt(pattern.substring(i + 1, close).split('|'))
+          // limit -1 keeps EMPTY branches ("(a|)" really draws the
+          // empty string half the time); a following {n} repeats the
+          // whole alternation, each repetition drawn independently
+          val opts = pattern.substring(i + 1, close).split("\\|", -1)
           i = close + 1
+          out += Alt(opts, quant(1))
         case '[' =>
           val close = pattern.indexOf(']', i)
           require(close > i, s"unclosed class in '$pattern'")
@@ -90,6 +94,7 @@ object GenOps {
               j += 3
             } else { set += body(j); j += 1 }
           }
+          require(set.nonEmpty, s"empty character class in '$pattern'")
           i = close + 1
           out += Chars(set.toArray, quant(1))
         case '\\' =>
@@ -121,10 +126,13 @@ object GenOps {
     var state = seed
     def draw(bound: Int): Int = {
       state = next(state)
-      (((state >>> 1) % bound) + bound).toInt % bound
+      // state >>> 1 is non-negative, so one modulo suffices
+      ((state >>> 1) % bound).toInt
     }
     elems.foreach {
-      case Alt(opts) => s.append(opts(draw(opts.length)))
+      case Alt(opts, n) =>
+        var c = 0
+        while (c < n) { s.append(opts(draw(opts.length))); c += 1 }
       case Chars(set, n) =>
         var c = 0
         while (c < n) { s.append(set(draw(set.length))); c += 1 }

@@ -572,14 +572,17 @@ object Analytics {
         lit(bins - 1)).cast("int"))
       .groupBy(col("event_type"), col("side"), col("bin"))
       .agg(count(lit(1)).as("n"))
+    // per-type totals come from a WINDOW over the already-aggregated
+    // (type, bin) frame — types×bins rows, partitioned by type — so the
+    // events scan + range join + counting aggregation run exactly once
+    // (a second groupBy off `binned` would re-execute that subtree)
+    val byType = Window.partitionBy(col("event_type"))
     val shares = binned
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("side") === "a", col("n")).otherwise(0L)).as("na"),
         sum(when(col("side") === "b", col("n")).otherwise(0L)).as("nb"))
-      .join(broadcast(binned.groupBy(col("event_type"))
-        .agg(sum(when(col("side") === "a", col("n")).otherwise(0L)).as("ta"),
-          sum(when(col("side") === "b", col("n")).otherwise(0L)).as("tb"))),
-        "event_type")
+      .withColumn("ta", sum(col("na")).over(byType))
+      .withColumn("tb", sum(col("nb")).over(byType))
       .withColumn("pa", greatest(col("na").cast("double") / col("ta"), lit(eps)))
       .withColumn("pb", greatest(col("nb").cast("double") / col("tb"), lit(eps)))
     shares

@@ -60,6 +60,23 @@ class NativeExprPropSpec extends SparkSpec {
     }
   }
 
+  test("GenOps pattern subset: group quantifiers, empty branches, plan-time rejection") {
+    // (a|b){2}: the quantifier applies to the GROUP, drawn per repetition
+    val e = GenOps.parse("(a|b){2}")
+    for (seed <- 1L to 200L) {
+      val s = GenOps.gen(e, seed).toString
+      assert(s.length == 2 && s.forall(c => c == 'a' || c == 'b'), s)
+    }
+    // empty alternation branch is reachable
+    val e2 = GenOps.parse("(x|)")
+    val outs = (1L to 200L).map(s => GenOps.gen(e2, s).toString).toSet
+    assert(outs == Set("x", ""), s"empty branch unreachable: $outs")
+    // malformed patterns die at PLAN time, never per-row
+    intercept[IllegalArgumentException](GenOps.parse("[]{3}"))
+    intercept[IllegalArgumentException](GenOps.parse("(a|b"))
+    intercept[IllegalArgumentException](GenOps.parse("[z-a]"))
+  }
+
   test("MediaCodec wav/bmp round-trip on random dimensions and payloads") {
     import graft.operators.MediaCodec
     val r = new scala.util.Random(99L)
