@@ -171,6 +171,25 @@ class PlanAuditSpec extends SparkSpec {
       s"late tag collapsed to a single partition:\n$p")
   }
 
+  test("quality-model scoring is map-only: broadcast weights, zero exchanges") {
+    // q111's training happens once at layer-build; the SCORING plan the
+    // corpus actually runs must be a pure projection — any Exchange
+    // here would mean the classifier re-shuffles 100 TB to apply five
+    // multiplications per row.
+    val p = plan(graft.ml.QualityLR.scoreDocs(spark, sf()))
+    assert(!p.contains("Exchange"), s"quality scoring shuffles the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
+  }
+
+  test("drift monitor: range stats broadcast, totals from the aggregated domain") {
+    val p = plan(Analytics.valueDrift(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"per-type range not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against a types-sized dim:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"drift monitor collapsed to a single partition:\n$p")
+  }
+
   test("incremental dedup: shingle-keyed cross join + anti join, no all-pairs") {
     val p = plan(Dedup.incrementalNew(spark, sf()))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
