@@ -207,6 +207,8 @@ object SparkEntry {
     // rows-only: deterministic datagen twins of the reference producer
     // (seeded UUID + regexify — splitmix64 streams, not SQL-expressible)
     "q114_synthetic_orders" -> ((s, d) => graft.sources.Sources.syntheticOrders(s, d)),
+    // embedding-space drift between corpus splits (decimal-exact means)
+    "q115_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1474,6 +1476,31 @@ object SparkEntry {
          |SELECT doc_id, n_chars FROM documents d
          |WHERE doc_id >= 250
          |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)""".stripMargin,
+    "q115_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id % 2 AS side,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 7)
+        |      AS DECIMAL(28,7)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT pos,
+        |    CAST(SUM(CASE WHEN side = 0 THEN v END) AS DOUBLE)
+        |      / SUM(CASE WHEN side = 0 THEN 1 END) AS ma,
+        |    CAST(SUM(CASE WHEN side = 1 THEN v END) AS DOUBLE)
+        |      / SUM(CASE WHEN side = 1 THEN 1 END) AS mb
+        |  FROM x GROUP BY pos),
+        |s AS (
+        |  SELECT COUNT(*) AS n_dims,
+        |    CAST(SUM(CAST(ROUND(ma * mb, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sab,
+        |    CAST(SUM(CAST(ROUND(ma * ma, 9) AS DECIMAL(18,9))) AS DOUBLE) AS saa,
+        |    CAST(SUM(CAST(ROUND(mb * mb, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sbb
+        |  FROM d)
+        |SELECT n_dims,
+        |  ROUND(sab / (sqrt(saa) * sqrt(sbb)), 6) AS cos_mean_shift,
+        |  ROUND(sqrt(saa), 6) AS norm_mean_a,
+        |  ROUND(sqrt(sbb), 6) AS norm_mean_b
+        |FROM s""".stripMargin,
     "q113_value_drift" ->
       """WITH ev AS (
         |  SELECT event_type, value,

@@ -92,6 +92,44 @@ object Similarity {
         round(min(col("e0")), 6).as("e0_min"),
         round(max(col("e0")), 6).as("e0_max"))
 
+  /** EMBEDDING-space drift — q113's counterpart for vector columns: how
+    * far apart are the mean vectors of two corpus splits (here vec_id
+    * parity, standing in for crawl snapshots)? Reports the cosine of
+    * the two per-dimension mean vectors and their norms — cosine near 1
+    * means the new snapshot's embedding distribution centers where the
+    * old one did. Unlike [[labelStats]] (which deliberately avoids
+    * float sums), this IS hash-oracle-safe: every summed term is
+    * rounded to a fixed decimal scale before aggregation (the
+    * tokenEntropy discipline), so the sums — and hence the cosine — are
+    * exact and partitioning-independent. Shape: posexplode →
+    * map-side-combined per-dimension aggregation (dims rows, not
+    * corpus), then a 1-row fold. */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec7 = DecimalType(28, 7)
+    val dec9 = DecimalType(18, 9)
+    val x = Tables.embeddings(spark, sfDir)
+      .select(pmod(col("vec_id"), lit(2)).as("side"),
+        posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("side"), col("pos"),
+        round(col("vf").cast("double"), 7).cast(dec7).as("v"))
+    val dims = x.groupBy(col("pos")).agg(
+      (sum(when(col("side") === 0, col("v"))).cast("double") /
+        sum(when(col("side") === 0, 1L))).as("ma"),
+      (sum(when(col("side") === 1, col("v"))).cast("double") /
+        sum(when(col("side") === 1, 1L))).as("mb"))
+    dims.agg(
+      count(lit(1)).as("n_dims"),
+      sum(round(col("ma") * col("mb"), 9).cast(dec9)).cast("double").as("sab"),
+      sum(round(col("ma") * col("ma"), 9).cast(dec9)).cast("double").as("saa"),
+      sum(round(col("mb") * col("mb"), 9).cast(dec9)).cast("double").as("sbb"))
+      .select(col("n_dims"),
+        round(col("sab") / (sqrt(col("saa")) * sqrt(col("sbb"))), 6)
+          .as("cos_mean_shift"),
+        round(sqrt(col("saa")), 6).as("norm_mean_a"),
+        round(sqrt(col("sbb")), 6).as("norm_mean_b"))
+  }
+
   /** ANN via LSH buckets: join query→bucket→candidates, exact cosine
     * inside the bucket, top-k. Approximate (recall < 1); the shuffle key
     * is the bucket id so no pair of non-colliding vectors is ever
