@@ -209,6 +209,8 @@ object SparkEntry {
     "q114_synthetic_orders" -> ((s, d) => graft.sources.Sources.syntheticOrders(s, d)),
     // embedding-space drift between corpus splits (decimal-exact means)
     "q115_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
+    // per-segment z-score standardization (integer-cents exact moments)
+    "q116_segment_zscores" -> ((s, d) => graft.features.Features.segmentZScores(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1476,6 +1478,26 @@ object SparkEntry {
          |SELECT doc_id, n_chars FROM documents d
          |WHERE doc_id >= 250
          |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)""".stripMargin,
+    "q116_segment_zscores" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS c
+        |  FROM customer),
+        |st AS (
+        |  SELECT segment,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sn,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS sn2,
+        |    COUNT(*) AS cnt
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT b.c_custkey, b.segment, b.c_acctbal, b.c,
+        |    sn / cnt AS mean,
+        |    CASE WHEN cnt > 1 THEN
+        |      GREATEST((sn2 - sn * sn / cnt) / (cnt - 1), 1e-12) END AS variance
+        |  FROM b JOIN st ON b.segment = st.segment)
+        |SELECT c_custkey, segment, c_acctbal,
+        |  ROUND((c - mean) / sqrt(variance), 4) AS z
+        |FROM j""".stripMargin,
     "q115_embedding_drift" ->
       """WITH x AS (
         |  SELECT vec_id % 2 AS side,

@@ -46,6 +46,37 @@ object Features {
     }.drop(cols.flatMap(c => Seq(s"${c}_min", s"${c}_max")): _*)
   }
 
+  /** Per-GROUP z-score standardization — the third member of the
+    * scaling family (one-hot F12, min-max F13): each customer's balance
+    * standardized against its own segment's distribution. Moments come
+    * from INTEGER-CENTS power sums (Σc, Σc², n — the
+    * [[graft.operators.Analytics.hourlyAnomalies]] discipline), so mean
+    * and variance are exact integer arithmetic cast to double
+    * identically on any engine and partitioning — a float `stddev`
+    * would inherit partial-aggregation order. Shape: one
+    * map-side-combined aggregation to segment rows, broadcast back,
+    * map-only scoring. */
+  def segmentZScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val base = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        col("c_acctbal"), cents.as("c"))
+    val stats = base.groupBy(col("segment")).agg(
+      sum(col("c").cast(DecimalType(38, 0))).cast("double").as("sn"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast("double").as("sn2"),
+      count(lit(1)).as("cnt"))
+    base.join(broadcast(stats), "segment")
+      .withColumn("mean", col("sn") / col("cnt"))
+      // cnt == 1 → no variance estimate → null z (the q102 guard)
+      .withColumn("variance",
+        when(col("cnt") > 1,
+          greatest((col("sn2") - col("sn") * col("sn") / col("cnt")) /
+            (col("cnt") - 1), lit(1e-12))))
+      .select(col("c_custkey"), col("segment"), col("c_acctbal"),
+        round((col("c") - col("mean")) / sqrt(col("variance")), 4).as("z"))
+  }
+
   /** The reference's user-feature frame (`preprocessor.py:23-67`) mapped
     * onto `customer`: one-hot market segment + min-max-scaled account
     * balance. Fully SQL-expressible → oracle-checked. */
