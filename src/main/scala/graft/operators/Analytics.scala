@@ -554,22 +554,23 @@ object Analytics {
     * portable fp discipline: bin assignment is the int8-quantize
     * formula (clamped denominator), each PSI term is 9dp-rounded
     * DECIMAL before the sum (order-independent), shares are exact
-    * integer-count divisions. Shape: one min/max aggregation broadcast
+    * integer-count divisions. All drift arithmetic (bin formula, PSI
+    * term, alert threshold) is [[graft.functions.Drift]] — shared with
+    * the streaming monitor [[graft.streaming.DriftStream]] so the two
+    * cannot diverge. Shape: one min/max aggregation broadcast
     * back, one (type, side, bin) counting aggregation, one type-level
     * fold — all map-side-combined, no window, no per-row state. */
   def valueDrift(spark: SparkSession, sfDir: String,
-                 bins: Int = 10, eps: Double = 1e-6): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+                 bins: Int = graft.functions.Drift.Bins,
+                 eps: Double = graft.functions.Drift.Eps): DataFrame = {
+    import graft.functions.Drift
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("value"),
         when(hour(col("ts")) < 12, "a").otherwise("b").as("side"))
     val rng = ev.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
     val binned = ev.join(broadcast(rng), "event_type")
-      .withColumn("bin", least(
-        floor((col("value") - col("lo")) * bins /
-          greatest(col("hi") - col("lo"), lit(1e-12))),
-        lit(bins - 1)).cast("int"))
+      .withColumn("bin", Drift.binOf(col("value"), col("lo"), col("hi"), bins))
       .groupBy(col("event_type"), col("side"), col("bin"))
       .agg(count(lit(1)).as("n"))
     // per-type totals come from a WINDOW over the already-aggregated
@@ -586,13 +587,11 @@ object Analytics {
       .withColumn("pa", greatest(col("na").cast("double") / col("ta"), lit(eps)))
       .withColumn("pb", greatest(col("nb").cast("double") / col("tb"), lit(eps)))
     shares
-      .withColumn("term",
-        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
-          .cast(DecimalType(18, 9)))
+      .withColumn("term", Drift.psiTerm(col("pa"), col("pb")))
       .groupBy(col("event_type"))
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
         max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
-      .withColumn("drifted", col("psi") > 0.1)
+      .withColumn("drifted", col("psi") > Drift.Threshold)
   }
 
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the

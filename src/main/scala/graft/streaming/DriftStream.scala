@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.Drift
 
 /** CONTINUOUS drift monitoring — [[graft.operators.Analytics.valueDrift]]
   * as a streaming pipeline: a reference distribution is fitted once
@@ -16,14 +16,21 @@ import graft.Tables
   * heavy counting distributed and incremental, the tiny
   * windows×types×bins fold at the sink.
   *
-  * Engine-portable fp discipline as the batch twin: ε-clamped shares,
-  * 9dp-decimal PSI terms. Spec: the sink-side PSI over a replayed
-  * MemoryStream equals the batch PSI on the same rows.
+  * All drift arithmetic (bin assignment, ε clamp, 9dp-decimal PSI
+  * terms, the 0.1 alert threshold) is shared with the batch monitor
+  * via [[graft.functions.Drift]] — the two monitors cannot diverge on
+  * a constant. Live data the reference never saw stays visible: values
+  * below the fitted range clamp into bin 0 (down-shift reads as
+  * drift), and event types absent from the reference flow through as
+  * `bin = -1` and surface as `drifted = true` rows with a null PSI (a
+  * structurally new type IS drift, not something to drop). Spec: the
+  * sink-side PSI over a replayed MemoryStream equals the batch fold on
+  * the same rows; down-shift and unknown-type paths covered.
   */
 object DriftStream {
 
-  val Bins = 10
-  val Eps = 1e-6
+  val Bins: Int = Drift.Bins
+  val Eps: Double = Drift.Eps
 
   /** Reference distribution from a batch snapshot: per event type, the
     * value range (bin edges) and each bin's share. Types×bins rows —
@@ -36,10 +43,14 @@ object DriftStream {
     * ε mass. Without the fill, live data landing in an unseen bin would
     * silently drop out of the monitor's denominator. */
   def referenceShares(ev: DataFrame): DataFrame = {
+    // types-bounded; pinned once so the two references below (the
+    // broadcast into `observed` and the base of the bin skeleton)
+    // don't each re-run the full snapshot scan + min/max aggregation
     val rng = ev.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .localCheckpoint()
     val observed = ev.join(broadcast(rng), "event_type")
-      .withColumn("bin", binOf(col("value"), col("lo"), col("hi")))
+      .withColumn("bin", Drift.binOf(col("value"), col("lo"), col("hi")))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share",
@@ -55,22 +66,27 @@ object DriftStream {
         greatest(coalesce(col("share"), lit(0.0)), lit(Eps)).as("p_ref"))
   }
 
-  /** The shared bin assignment (identical to the batch monitor's). */
+  /** The shared bin assignment — delegates to [[Drift.binOf]] (clamped
+    * at both ends; see there for why the lower clamp matters here). */
   def binOf(value: Column, lo: Column, hi: Column): Column =
-    least(floor((value - lo) * Bins / greatest(hi - lo, lit(1e-12))),
-      lit(Bins - 1)).cast("int")
+    Drift.binOf(value, lo, hi)
 
   /** The STREAMING side: watermarked tumbling-window bin counts — a
     * single-level windowed aggregation (Append emits each closed
-    * window once), joined map-side against the broadcast reference
-    * edges. `events` needs (ts timestamp, event_type, value). */
+    * window once), left-joined map-side against the broadcast
+    * reference edges. Event types the reference never saw keep their
+    * rows with `bin = -1` (the stream-static LEFT join is what keeps
+    * a brand-new type — itself a drift signal — from being silently
+    * discarded). `events` needs (ts timestamp, event_type, value). */
   def windowedBinCounts(events: DataFrame, reference: DataFrame,
                         window: String = "1 hour",
                         watermarkDelay: String = "10 minutes"): DataFrame = {
     val edges = reference.select("event_type", "lo", "hi").distinct()
     events.withWatermark("ts", watermarkDelay)
-      .join(broadcast(edges), "event_type")
-      .withColumn("bin", binOf(col("value"), col("lo"), col("hi")))
+      .join(broadcast(edges), Seq("event_type"), "left")
+      .withColumn("bin",
+        when(col("lo").isNull, lit(-1))
+          .otherwise(Drift.binOf(col("value"), col("lo"), col("hi"))))
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
         col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -81,19 +97,28 @@ object DriftStream {
   /** The monitor-sink fold (run per micro-batch over the CLOSED-window
     * counts, or over any batch of them): PSI of each (window, type)
     * against the reference shares. Input is windows×types×bins rows —
-    * sink-sized, never stream-sized. */
+    * sink-sized, never stream-sized. Types the reference doesn't know
+    * (`bin = -1` from [[windowedBinCounts]]) have no defined PSI and
+    * emit `(psi = null, drifted = true)` — a new type is an alert. */
   def psiOfBinCounts(binCounts: DataFrame, reference: DataFrame): DataFrame = {
     val byWt = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window_start"), col("event_type"))
-    // every (window, type) carries ALL reference bins: a bin the window
-    // never hit still contributes its reference mass (p_cur = ε) —
-    // only joining observed bins would understate drift. The observed
+    val known = binCounts.filter(col("bin") >= 0)
+    val unknown = binCounts.filter(col("bin") < 0)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n_window"))
+      .select(col("window_start"), col("event_type"),
+        lit(null).cast("double").as("psi"), col("n_window"),
+        lit(true).as("drifted"))
+    // every known (window, type) carries ALL reference bins: a bin the
+    // window never hit still contributes its reference mass (p_cur = ε)
+    // — only joining observed bins would understate drift. The observed
     // side re-aliases every column (fresh attribute ids) because both
     // join inputs derive from the same binCounts plan.
-    val full = binCounts.select(col("window_start"), col("event_type")).distinct()
+    val full = known.select(col("window_start"), col("event_type")).distinct()
       .join(broadcast(reference.select("event_type", "bin", "p_ref")),
         Seq("event_type"))
-    val obs = binCounts.select(col("window_start").as("o_ws"),
+    val obs = known.select(col("window_start").as("o_ws"),
       col("event_type").as("o_et"), col("bin").as("o_bin"), col("n"))
     full.join(obs,
         col("window_start") === col("o_ws") && col("event_type") === col("o_et") &&
@@ -102,12 +127,11 @@ object DriftStream {
       .withColumn("p_cur",
         greatest(coalesce(col("n"), lit(0L)).cast("double") /
           sum(coalesce(col("n"), lit(0L))).over(byWt).cast("double"), lit(Eps)))
-      .withColumn("term",
-        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 9)
-          .cast(DecimalType(18, 9)))
+      .withColumn("term", Drift.psiTerm(col("p_cur"), col("p_ref")))
       .groupBy(col("window_start"), col("event_type"))
       .agg(round(sum(col("term")).cast("double"), 6).as("psi"),
         sum(coalesce(col("n"), lit(0L))).as("n_window"))
-      .withColumn("drifted", col("psi") > 0.25)
+      .withColumn("drifted", col("psi") > Drift.Threshold)
+      .unionByName(unknown)
   }
 }

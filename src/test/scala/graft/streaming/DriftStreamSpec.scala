@@ -40,8 +40,16 @@ class DriftStreamSpec extends SparkSpec {
       mem.addData(("a", 2.0, ts("2024-01-01 05:00:00")))
       q.processAllAvailable()
       val streamedCounts = spark.table("drift_counts")
-      // both closed hours must be present for both types
-      assert(streamedCounts.select("window_start").distinct().count() >= 2)
+      // the exact closed-window set: hours 0 and 1 for both types plus
+      // the watermark pusher's own [03:00, 04:00) window for type "a"
+      val closed = streamedCounts
+        .select("window_start", "event_type").distinct().collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"))).toSet
+      assert(closed == Set(
+        ("2024-01-01 00:00:00.0", "a"), ("2024-01-01 00:00:00.0", "b"),
+        ("2024-01-01 01:00:00.0", "a"), ("2024-01-01 01:00:00.0", "b"),
+        ("2024-01-01 03:00:00.0", "a")), s"unexpected closed windows: $closed")
 
       val streamPsi = DriftStream.psiOfBinCounts(streamedCounts, reference)
         .orderBy("window_start", "event_type").collect()
@@ -68,6 +76,51 @@ class DriftStreamSpec extends SparkSpec {
       val h0 = "2024-01-01 00:00:00.0"; val h1 = "2024-01-01 01:00:00.0"
       assert(psiOf((h1, "b")) > psiOf((h0, "b")),
         s"shifted type not flagged: $psiOf")
+    } finally q.stop()
+  }
+
+  test("down-shifted values clamp into bin 0 and unknown types flag drift") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference knows types a ∈ [1,3] and b ∈ [10,12] — NOT type c
+    val reference = DriftStream.referenceShares(
+      Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+        ("b", 10.0), ("b", 11.0), ("b", 12.0))
+        .toDF("event_type", "value")).cache()
+    val mem = MemoryStream[(String, Double, java.sql.Timestamp)]
+    val counts = DriftStream.windowedBinCounts(
+      mem.toDF().toDF("event_type", "value", "ts"), reference)
+    val q = counts.writeStream.format("memory").queryName("drift_edge")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // type b shifts BELOW its fitted range — must clamp to bin 0,
+        // not vanish into a negative bin id
+        ("b", 5.0, ts("2024-01-01 00:10:00")),
+        ("b", 5.5, ts("2024-01-01 00:20:00")),
+        // type c did not exist when the reference was fitted
+        ("c", 7.0, ts("2024-01-01 00:15:00")),
+        // watermark pusher
+        ("a", 2.0, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      mem.addData(("a", 2.0, ts("2024-01-01 05:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("drift_edge")
+      val h0 = "2024-01-01 00:00:00.0"
+      val binsOf = streamed.collect().map(r =>
+        (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[String]("event_type")) -> r.getAs[Int]("bin")).toMap
+      assert(binsOf((h0, "b")) == 0, s"down-shift not clamped to bin 0: $binsOf")
+      assert(binsOf((h0, "c")) == -1, s"unknown type not tagged bin -1: $binsOf")
+
+      val psi = DriftStream.psiOfBinCounts(streamed, reference)
+        .filter(col("window_start") === ts("2024-01-01 00:00:00")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (Option(r.getAs[java.lang.Double]("psi")), r.getAs[Boolean]("drifted"))).toMap
+      // all live mass in bin 0 where the reference holds ε — max drift
+      assert(psi("b")._2 && psi("b")._1.exists(_ > graft.functions.Drift.Threshold),
+        s"down-shift not flagged: $psi")
+      // a structurally new type is an alert with no defined PSI
+      assert(psi("c") == (None, true), s"unknown type not flagged: $psi")
     } finally q.stop()
   }
 }
