@@ -211,6 +211,10 @@ object SparkEntry {
     "q115_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // per-segment z-score standardization (integer-cents exact moments)
     "q116_segment_zscores" -> ((s, d) => graft.features.Features.segmentZScores(s, d)),
+    // kNN label propagation: majority label of 10 nearest labeled vectors
+    "q117_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
+    // per-source corpus report card: dup burden, length, language mix
+    "q118_source_profile" -> ((s, d) => TextOps.sourceProfile(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1498,6 +1502,61 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q118_source_profile" ->
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT text) AS n_unique,
+        |    ROUND(AVG(n_chars), 2) AS mean_chars
+        |  FROM documents GROUP BY 1),
+        |lg AS (
+        |  SELECT source, lang, COUNT(*) AS n,
+        |    CAST(COUNT(*) AS DOUBLE)
+        |      / SUM(COUNT(*)) OVER (PARTITION BY source) AS p,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY COUNT(*) DESC, lang) AS lrank
+        |  FROM documents GROUP BY source, lang),
+        |mix AS (
+        |  SELECT source,
+        |    ROUND(CAST(SUM(CAST(ROUND(-p * ln(p), 9) AS DECIMAL(18,9)))
+        |      AS DOUBLE), 6) AS lang_entropy,
+        |    MAX(CASE WHEN lrank = 1 THEN lang END) AS top_lang
+        |  FROM lg GROUP BY 1)
+        |SELECT src.source, n_docs, n_docs - n_unique AS n_exact_dups,
+        |  mean_chars, top_lang, lang_entropy
+        |FROM src JOIN mix ON src.source = mix.source""".stripMargin,
+    "q117_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+        |    label AS true_label
+        |  FROM e WHERE vec_id % 5 = 0),
+        |scored AS (
+        |  SELECT qid, true_label, e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM e JOIN q ON e.vec_id % 5 <> 0),
+        |nbrs AS (
+        |  SELECT qid, true_label, label, cos_sim FROM (
+        |    SELECT qid, true_label, label, cos_sim,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cos_sim DESC, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |votes AS (
+        |  SELECT qid, true_label, label, COUNT(*) AS votes,
+        |    CAST(SUM(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) AS sim_sum
+        |  FROM nbrs GROUP BY qid, true_label, label)
+        |SELECT qid AS vec_id, label AS predicted_label, votes, sim_sum,
+        |  true_label, label = true_label AS correct
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS vrank
+        |  FROM votes)
+        |WHERE vrank = 1""".stripMargin,
     "q115_embedding_drift" ->
       """WITH x AS (
         |  SELECT vec_id % 2 AS side,

@@ -178,6 +178,50 @@ object Similarity {
         round(array_max(col("errs")), 6).as("max_abs_err"))
   }
 
+  /** kNN label propagation — the semi-supervised classifier a labeling
+    * pipeline runs to extend a small labeled seed set over an unlabeled
+    * corpus: each "unlabeled" vector (here `vec_id % holdout == 0`, a
+    * deterministic holdout) takes the majority label of its k nearest
+    * labeled neighbors by cosine. Ranking uses the q24 discipline
+    * (4dp-rounded cosine + id tie-break → unique neighbor set, then
+    * count-desc + label-asc tie-break → unique winner), so the result
+    * is engine-portable. Shape: the labeled corpus stays partitioned,
+    * the query (holdout) side broadcasts, one corpus pass scores all
+    * queries, the vote is a queries×labels aggregation — no shuffle of
+    * the corpus itself. At 100 TB the only change is the candidate
+    * source: swap the broadcast-vs-all scoring for [[graft.operators.Ivf]]
+    * cell-restricted probes (q44) and the vote layer is unchanged. */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
+                  holdout: Int = 5): DataFrame = {
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        l2norm(col("embedding")).as("nrm"))
+    val labeled = e.filter(col("vec_id") % holdout =!= 0)
+    val q = e.filter(col("vec_id") % holdout === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("label").as("true_label"))
+    val scored = labeled.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+    val byQ = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))
+    val neighbors = scored.withColumn("rank", row_number().over(byQ))
+      .filter(col("rank") <= k)
+    val byVotes = Window.partitionBy(col("qid"))
+      .orderBy(desc("votes"), asc("label"))
+    neighbors.groupBy(col("qid"), col("true_label"), col("label"))
+      // sim_sum, not a rounded mean: the 4dp cosines sum EXACTLY as
+      // DECIMAL (a mean like 0.25425 sits on a rounding boundary where
+      // engines disagree; the decimal sum has no boundary to disagree on)
+      .agg(count(lit(1)).as("votes"),
+        sum(col("cos_sim").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sim_sum"))
+      .withColumn("vrank", row_number().over(byVotes))
+      .filter(col("vrank") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("predicted_label"),
+        col("votes"), col("sim_sum"), col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
     val e = spread(Tables.embeddings(spark, sfDir))

@@ -361,6 +361,47 @@ object TextOps {
         round(sum(col("term")).cast("double"), 6).as("entropy"))
   }
 
+  /** Per-source corpus report card — the domain-level curation stats a
+    * web-corpus pipeline computes before reweighting or dropping a
+    * source: document count, exact-duplicate burden, mean length, the
+    * dominant language, and the Shannon entropy of the source's
+    * language mix (a high-entropy source is a mixed crawl, a
+    * zero-entropy one is monolingual). Shape: one (source, lang)
+    * counting aggregation (map-side combined) plus one source-level
+    * aggregation whose distinct-count runs over `sha2(text)` rather
+    * than the raw document bodies — the shuffle carries 64-hex-char
+    * keys, never document text, so the pass stays narrow at corpus
+    * scale (same count as distinct raw text modulo SHA-256 collisions;
+    * the oracle counts distinct text directly). Entropy terms are
+    * 9dp-rounded DECIMAL before summation (order-independent fold,
+    * engine-portable). Both aggregated frames are sources-bounded, so
+    * the final join is trivially broadcastable. */
+  def sourceProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val src = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        round(avg(col("n_chars")), 2).as("mean_chars"))
+    val bySrc = Window.partitionBy(col("source"))
+    val langs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(bySrc).cast("double"))
+      .withColumn("term",
+        round(-col("p") * log(col("p")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .withColumn("lrank",
+        row_number().over(bySrc.orderBy(desc("n"), asc("lang"))))
+    val mix = langs.groupBy(col("source"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("lang_entropy"),
+        max(when(col("lrank") === 1, col("lang"))).as("top_lang"))
+    src.join(mix, "source")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+        col("mean_chars"), col("top_lang"), col("lang_entropy"))
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

@@ -32,14 +32,6 @@ object EventStreams {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("session_value"))
 
-  /** Stream-stream interval join: each purchase joined to the same
-    * user's views from the preceding hour. Both sides carry watermarks
-    * and the join condition bounds event-time distance, so the state
-    * store can expire view rows once `view time + 1h` falls behind the
-    * purchase-side watermark — bounded state at any input volume, the
-    * property that makes the join runnable indefinitely. Expects
-    * columns `p_event_id, p_user, p_ts` / `v_event_id, v_user, v_ts,
-    * v_value`. */
   /** Streaming twin of [[graft.operators.Analytics.transitionMatrix]]:
     * per-user keyed state holds only the LAST event, each batch sorts
     * its (bounded) per-user slice by (ts, id) and emits the consecutive
@@ -103,6 +95,14 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's views from the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state
+    * store can expire view rows once `view time + 1h` falls behind the
+    * purchase-side watermark — bounded state at any input volume, the
+    * property that makes the join runnable indefinitely. Expects
+    * columns `p_event_id, p_user, p_ts` / `v_event_id, v_user, v_ts,
+    * v_value`. */
   def purchasesWithRecentViews(purchases: DataFrame, views: DataFrame,
                                watermarkDelay: String = "10 seconds"): DataFrame =
     purchases.withWatermark("p_ts", watermarkDelay)

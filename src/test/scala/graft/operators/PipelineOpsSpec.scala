@@ -338,4 +338,54 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 0.01, s"$t sums to $s")
     }
   }
+
+  test("kNN classify: one row per holdout vector, vote = recomputed mode of its k nearest") {
+    val out = Similarity.knnClassify(spark, sf("0.001"), k = 10, holdout = 5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("predicted_label"), r.getAs[Long]("votes"))).toMap
+    val all = graft.Tables.embeddings(spark, sf("0.001"))
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray, r.getAs[Int]("label")))
+    val holdout = all.filter(_._1 % 5 == 0)
+    assert(out.keySet == holdout.map(_._1).toSet,
+      "not exactly one prediction per holdout vector")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // naive driver-side recompute for a few queries
+    val labeled = all.filter(_._1 % 5 != 0)
+    for ((qid, qv, _) <- holdout.take(5)) {
+      val nbrs = labeled.map { case (id, v, l) => (id, l, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      val mode = nbrs.groupBy(_._2).map { case (l, g) => (l, g.size) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(out(qid) == (mode._1, mode._2.toLong),
+        s"q$qid: expected $mode got ${out(qid)}")
+    }
+  }
+
+  test("source profile: dup burden and entropy are internally consistent") {
+    val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
+    assert(rows.nonEmpty)
+    val nSources = rows.length
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.Tables.documents(spark, sf("0.001")).count()
+    assert(total == nDocs, s"profile drops documents: $total != $nDocs")
+    rows.foreach { r =>
+      val dups = r.getAs[Long]("n_exact_dups")
+      assert(dups >= 0 && dups < r.getAs[Long]("n_docs"), s"dup burden out of range: $r")
+      val h = r.getAs[Double]("lang_entropy")
+      // entropy of a discrete mix is within [0, ln(#langs in corpus)]
+      assert(h >= 0.0 && h <= math.log(64), s"entropy out of range: $r")
+      assert(r.getAs[String]("top_lang") != null)
+    }
+    assert(nSources >= 1)
+  }
 }

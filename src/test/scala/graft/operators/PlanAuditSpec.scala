@@ -232,4 +232,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"decontamination degenerated:\n$p")
   }
+
+  test("kNN classify: query side broadcast, scoring through the native dot") {
+    val p = plan(Similarity.knnClassify(spark, sf()))
+    // the labeled corpus must stay partitioned while the (bounded)
+    // query batch broadcasts — the corpus must never be the built side
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
+    assert(p.contains("dot_f32"), s"native dot product missing:\n$p")
+  }
+
+  test("source profile: distinct-count runs over sha2, never raw text") {
+    val df = TextOps.sourceProfile(spark, sf())
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("sha2"), s"text hashed-distinct missing:\n$analyzed")
+    val p = plan(df)
+    // both aggregated frames are sources-bounded → broadcast join
+    assert(p.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$p")
+    // partial aggregation on the counting pass
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregation:\n$p")
+  }
 }
