@@ -27,8 +27,10 @@ object ScaleBench {
     "q60_dedup_clusters", "q61_cluster_keep", "q62_corpus_filter",
     "q67_cdc_materialize",
     // round-6 additions: model-based quality filter, incremental dedup,
-    // drift monitor — first-class scale citizens like the rest
-    "q111_quality_model", "q112_incremental_dedup", "q113_value_drift")
+    // drift monitor, kNN labeling, source profile — first-class scale
+    // citizens like the rest
+    "q111_quality_model", "q112_incremental_dedup", "q113_value_drift",
+    "q117_knn_classify", "q118_source_profile")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
