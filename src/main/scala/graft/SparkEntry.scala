@@ -215,6 +215,8 @@ object SparkEntry {
     "q117_knn_classify" -> ((s, d) => Similarity.knnClassify(s, d)),
     // per-source corpus report card: dup burden, length, language mix
     "q118_source_profile" -> ((s, d) => TextOps.sourceProfile(s, d)),
+    // weighted sampling without replacement (A-ES exponential keys)
+    "q119_weighted_sample" -> ((s, d) => Analytics.weightedSample(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1502,6 +1504,17 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q119_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST(((((doc_id + 7919) % 1048576) + 1048576) % 1048576)
+        |      * 2654435761 % 1048576 AS DOUBLE) + 0.5) / 1048576.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars, ROUND(u, 6) AS u,
+        |  ROUND(-ln(u) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 9) AS key
+        |FROM u
+        |ORDER BY key, doc_id
+        |LIMIT 50""".stripMargin,
     "q118_source_profile" ->
       """WITH src AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -146,6 +146,31 @@ object Analytics {
         col("event_id"), col("user_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each document draws a deterministic uniform `u` from the
+    * overflow-safe arithmetic hash (offset so the stream is independent
+    * of [[stratifiedSample]]'s), computes the exponential-jump key
+    * `−ln(u)/w` with weight `w = n_chars`, and the global bottom-k by
+    * key IS the weighted sample — longer documents proportionally more
+    * likely, the standard token-budget-proportional corpus draw.
+    * Engine-portable: `u = (h + 0.5)/2^20` is a dyadic rational (bit-
+    * identical in any IEEE engine, never 0), the key is 9dp-rounded
+    * before ranking with a doc_id tie-break so the selected SET is
+    * unique. Shape: map-only scoring + `TakeOrderedAndProject` (per-
+    * partition top-k, k-row merge on the driver — no global sort, no
+    * shuffle of the corpus). */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val M = 1048576L
+    val h = pmod(pmod(col("doc_id") + lit(7919L), lit(M)) * lit(2654435761L), lit(M))
+    val u = (h.cast("double") + lit(0.5)) / lit(1048576.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), round(u, 6).as("u"),
+        round(-log(u) / greatest(col("n_chars"), lit(1L)).cast("double"), 9)
+          .as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Explicit GROUPING SETS — the third member of the grouping-sets
     * family next to ROLLUP ([[Relational.revenueRollup]]) and CUBE
     * ([[revenueCube]]): only the granularities the report needs, so the

@@ -371,6 +371,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: equals naive A-ES recompute and skews toward long docs") {
+    val k = 50
+    val sample = Analytics.weightedSample(spark, sf("0.001"), k).collect()
+      .map(_.getAs[Long]("doc_id"))
+    val docs = graft.Tables.documents(spark, sf("0.001"))
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    // naive driver-side A-ES with the same hash stream
+    def key(id: Long, w: Long): Double = {
+      val h = (((id + 7919) % 1048576) * 2654435761L) % 1048576
+      val u = (h.toDouble + 0.5) / 1048576.0
+      BigDecimal(-math.log(u) / math.max(w, 1).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.map { case (id, w) => (key(id, w), id) }
+      .sorted.take(k).map(_._2)
+    assert(sample.toSeq == expected.toSeq, "sample diverges from naive A-ES")
+    // weight = n_chars → the sample must overrepresent long documents
+    val byId = docs.toMap
+    val sampleMean = sample.map(byId).sum.toDouble / sample.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample not length-skewed: $sampleMean <= $corpusMean")
+  }
+
   test("source profile: dup burden and entropy are internally consistent") {
     val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)

@@ -243,6 +243,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dot_f32"), s"native dot product missing:\n$p")
   }
 
+  test("weighted sample: per-partition top-k merge, never a global sort") {
+    val p = plan(Analytics.weightedSample(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k not a TakeOrdered merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global range-partition sort crept in:\n$p")
+  }
+
   test("source profile: distinct-count runs over sha2, never raw text") {
     val df = TextOps.sourceProfile(spark, sf())
     val analyzed = df.queryExecution.analyzed.toString
