@@ -217,6 +217,9 @@ object SparkEntry {
     "q118_source_profile" -> ((s, d) => TextOps.sourceProfile(s, d)),
     // weighted sampling without replacement (A-ES exponential keys)
     "q119_weighted_sample" -> ((s, d) => Analytics.weightedSample(s, d)),
+    // rows-only: MMR diversity re-rank (greedy fold over a bounded pool
+    // — not SQL-expressible; spec-verified first-pick + diversity gain)
+    "q120_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -248,6 +251,8 @@ object SparkEntry {
     // the minimum must be scale-safe at sf0.001 too (the one
     // events-proportional rows-only minimum)
     "q114_synthetic_orders" -> 900L,
+    // exactly k = 10 MMR picks at every scale factor
+    "q120_mmr_rerank" -> 10L,
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -222,6 +222,65 @@ object Similarity {
         (col("label") === col("true_label")).as("correct"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversity re-ranking — the
+    * retrieval-side step after ANN: from a candidate pool of the
+    * query's `poolSize` nearest vectors, greedily pick `k` maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` so the result covers
+    * the neighborhood instead of returning k near-duplicates of the
+    * top hit. Architecture mirrors the IVF probe layer: the POOL
+    * selection is the distributed pass (brute/IVF top-`poolSize` —
+    * corpus partitioned, query broadcast), the greedy fold runs on the
+    * collected pool (poolSize×d doubles — sink-sized, bounded by
+    * configuration like the IVF centroid table, never corpus-sized).
+    * Deterministic: 4dp-rounded cosines with id tie-breaks at both the
+    * pool cut and each greedy step. Spec: first pick is the nearest
+    * neighbor; the MMR set's mean pairwise similarity is below the
+    * plain top-k's. */
+  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+                k: Int = 10, poolSize: Int = 100,
+                lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val byQ = Window.orderBy(desc("rel"), asc("vec_id"))
+    // distributed pass: pool = top-poolSize by relevance (one corpus scan)
+    val pool = e.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .withColumn("rel", round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+      .orderBy(desc("rel"), asc("vec_id")).limit(poolSize)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+      .collect()
+    // sink-sized greedy fold over the bounded pool
+    val ids = pool.map(_.getAs[Long]("vec_id"))
+    val vecs = pool.map(_.getAs[Seq[Float]]("embedding").toArray)
+    val nrms = pool.map(_.getAs[Double]("nrm"))
+    val rels = pool.map(_.getAs[Double]("rel"))
+    def cos(i: Int, j: Int): Double = {
+      var d = 0.0
+      val a = vecs(i); val b = vecs(j)
+      var x = 0
+      while (x < a.length) { d += a(x).toDouble * b(x).toDouble; x += 1 }
+      BigDecimal(d / (nrms(i) * nrms(j)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.LinkedHashSet(pool.indices: _*)
+    while (picked.length < math.min(k, pool.length)) {
+      val best = remaining.map { c =>
+        val div = if (picked.isEmpty) 0.0 else picked.map(s => cos(c, s)).max
+        val score = BigDecimal(lambda * rels(c) - (1 - lambda) * div)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (-score, ids(c), c)
+      }.min
+      picked += best._3
+      remaining -= best._3
+    }
+    picked.toSeq.zipWithIndex
+      .map { case (c, r) => (queryId, (r + 1).toLong, ids(c), rels(c)) }
+      .toDF("qid", "rank", "vec_id", "rel")
+  }
+
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
     val e = spread(Tables.embeddings(spark, sfDir))

@@ -396,6 +396,40 @@ class PipelineOpsSpec extends SparkSpec {
       s"length-weighted sample not length-skewed: $sampleMean <= $corpusMean")
   }
 
+  test("MMR re-rank: first pick is the nearest neighbor, set is more diverse than top-k") {
+    val k = 10
+    val mmr = Similarity.mmrRerank(spark, sf("0.001"), queryId = 0L, k = k)
+      .orderBy("rank").collect()
+    assert(mmr.length == k)
+    val topk = Similarity.bruteForceTopK(spark, sf("0.001"), nQueries = 1, k = k)
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("nbr_id"))
+    // λ·rel − (1−λ)·0 at step 1 ⇒ the first MMR pick IS the top hit
+    assert(mmr.head.getAs[Long]("vec_id") == topk.head,
+      "first MMR pick is not the nearest neighbor")
+    // diversity: mean pairwise cosine within the MMR set must be below
+    // the plain top-k set's (that is the entire point of the re-rank)
+    val vecsOf = graft.Tables.embeddings(spark, sf("0.001"))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(vecsOf(ids(i)), vecsOf(ids(j)))
+      ps.sum / ps.length
+    }
+    val mmrIds = mmr.map(_.getAs[Long]("vec_id")).toSeq
+    assert(meanPairSim(mmrIds) < meanPairSim(topk.toSeq),
+      "MMR set is not more diverse than plain top-k")
+  }
+
   test("source profile: dup burden and entropy are internally consistent") {
     val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)
