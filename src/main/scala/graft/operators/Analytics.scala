@@ -15,6 +15,24 @@ import graft.Tables
   */
 object Analytics {
 
+  /** The engine's ONE portable uniform-hash stream: Knuth
+    * multiplicative hash over a pmod-reduced key. pmod-reduce BEFORE
+    * multiplying: (key mod 2^20) < 2^20 times 2654435761 < 2^32 stays
+    * under 2^52 — exact in a long on Spark AND in DuckDB's BIGINT (no
+    * wrap on one engine vs promote on the other); pmod keeps the
+    * expression correct for negative keys. `offset` selects an
+    * independent stream (applied to the key BEFORE reduction), so two
+    * samplers over the same ids draw uncorrelated uniforms — the
+    * independence is structural here, not a convention spread across
+    * hand-copied expressions. Divide by 2^20 (`lit(1048576.0)`) for a
+    * uniform in [0, 1). */
+  private[operators] def arithHash(key: org.apache.spark.sql.Column,
+                                   offset: Long = 0L): org.apache.spark.sql.Column = {
+    val M = 1048576L
+    val k = if (offset == 0L) key else key + lit(offset)
+    pmod(pmod(k, lit(M)) * lit(2654435761L), lit(M))
+  }
+
   /** Native `session_window` (gap 30 min) per user over events — the
     * declarative form of the hand-rolled sessionization in
     * [[Relational.sessionize]]; both derive the same sessions. The
@@ -90,12 +108,7 @@ object Analytics {
     * fixed seeds, `prepare_data.py:25`). The sampled subset is
     * engine-independent, so it oracle-checks exactly. */
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    // pmod-reduce the id BEFORE multiplying: (id mod 2^20) < 2^20 times
-    // 2654435761 < 2^32 stays under 2^52 — exact in a long on Spark AND
-    // in DuckDB's BIGINT (no wrap on one engine vs promote on the other),
-    // and pmod keeps the expression correct for negative ids too.
-    val h = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
-    val u = h / lit(1048576.0)
+    val u = arithHash(col("doc_id")) / lit(1048576.0)
     val rate = when(col("lang") === "en", 0.25).otherwise(0.75)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), round(u, 6).as("u"))
@@ -112,8 +125,7 @@ object Analytics {
     * configured rates by hash uniformity (spec-asserted). */
   def splitAssign(spark: SparkSession, sfDir: String,
                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    val h = pmod(pmod(col("doc_id"), lit(1048576L)) * lit(2654435761L), lit(1048576L))
-    val u = h / lit(1048576.0)
+    val u = arithHash(col("doc_id")) / lit(1048576.0)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), round(u, 6).as("u"),
         when(u < trainFrac, "train")
@@ -133,7 +145,7 @@ object Analytics {
   def groupSample(spark: SparkSession, sfDir: String, k: Int = 5,
                   preKeep: Double = 0.05): DataFrame = {
     val M = 1048576L
-    val h = pmod(pmod(col("event_id"), lit(M)) * lit(2654435761L), lit(M))
+    val h = arithHash(col("event_id"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("h"), col("event_id"))
     Tables.events(spark, sfDir)
@@ -160,8 +172,8 @@ object Analytics {
     * partition top-k, k-row merge on the driver — no global sort, no
     * shuffle of the corpus). */
   def weightedSample(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
-    val M = 1048576L
-    val h = pmod(pmod(col("doc_id") + lit(7919L), lit(M)) * lit(2654435761L), lit(M))
+    // offset 7919 = an independent stream from the split/stratify draws
+    val h = arithHash(col("doc_id"), offset = 7919L)
     val u = (h.cast("double") + lit(0.5)) / lit(1048576.0)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars"), round(u, 6).as("u"),

@@ -244,7 +244,6 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qemb"), col("nrm").as("qnrm"))
-    val byQ = Window.orderBy(desc("rel"), asc("vec_id"))
     // distributed pass: pool = top-poolSize by relevance (one corpus scan)
     val pool = e.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
       .withColumn("rel", round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
@@ -269,8 +268,11 @@ object Similarity {
     while (picked.length < math.min(k, pool.length)) {
       val best = remaining.map { c =>
         val div = if (picked.isEmpty) 0.0 else picked.map(s => cos(c, s)).max
+        // 9dp, NOT 4dp: the inputs are 4dp-rounded, so λ-scaled scores
+        // differ by multiples of λ·1e-4 — a 4dp re-round would alias
+        // distinct relevances and hand the tie-break the wrong vector
         val score = BigDecimal(lambda * rels(c) - (1 - lambda) * div)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
         (-score, ids(c), c)
       }.min
       picked += best._3

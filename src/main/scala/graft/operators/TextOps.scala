@@ -241,9 +241,7 @@ object TextOps {
     * pure function of doc ids. Map-only over documents after a 5-row
     * broadcast of the weights. */
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val M = 1048576L
-    val u = pmod(pmod(col("doc_id"), lit(M)) * lit(2654435761L), lit(M)) /
-      lit(1048576.0)
+    val u = Analytics.arithHash(col("doc_id")) / lit(1048576.0)
     val rates = mixtureWeights(spark, sfDir)
       .select(col("lang"), least(lit(1.0), col("oversample")).as("rate"))
     Tables.documents(spark, sfDir)

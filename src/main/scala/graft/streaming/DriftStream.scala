@@ -41,29 +41,37 @@ object DriftStream {
   /** [[referenceShares]] over any `(event_type, value)` snapshot frame.
     * Emits ALL `Bins` bins per type — bins the snapshot never hit carry
     * ε mass. Without the fill, live data landing in an unseen bin would
-    * silently drop out of the monitor's denominator. */
+    * silently drop out of the monitor's denominator.
+    *
+    * The result is a LOCAL frame: the distributed part of the fit is
+    * two jobs (min/max, then the per-(type, bin) counting agg — lo/hi
+    * ride along so the rng subtree runs once), and the types×bins fill
+    * + ε clamp run on the collected counts. A streaming monitor
+    * re-evaluates its static join side every micro-batch, so the
+    * reference must be a literal — not a plan that re-runs the
+    * snapshot scan per batch, and not an executor-pinned checkpoint
+    * block that dies with a decommissioned executor. */
   def referenceShares(ev: DataFrame): DataFrame = {
-    // types-bounded; pinned once so the two references below (the
-    // broadcast into `observed` and the base of the bin skeleton)
-    // don't each re-run the full snapshot scan + min/max aggregation
+    val spark = ev.sparkSession
+    import spark.implicits._
     val rng = ev.groupBy(col("event_type"))
       .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-      .localCheckpoint()
-    val observed = ev.join(broadcast(rng), "event_type")
+    val counts = ev.join(broadcast(rng), "event_type")
       .withColumn("bin", Drift.binOf(col("value"), col("lo"), col("hi")))
       .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n").cast("double") /
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("event_type"))).cast("double"))
-    rng.select(col("event_type"), col("lo"), col("hi"),
-        explode(sequence(lit(0), lit(Bins - 1))).as("bin"))
-      .join(observed.select(col("event_type").as("o_et"),
-        col("bin").as("o_bin"), col("share")),
-        col("event_type") === col("o_et") && col("bin") === col("o_bin"), "left")
-      .select(col("event_type"), col("lo"), col("hi"), col("bin"),
-        greatest(coalesce(col("share"), lit(0.0)), lit(Eps)).as("p_ref"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect()
+    val rows = counts.groupBy(_.getAs[String]("event_type")).toSeq
+      .sortBy(_._1).flatMap { case (et, rs) =>
+        val total = rs.map(_.getAs[Long]("n")).sum.toDouble
+        val byBin = rs.map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+        val lo = rs.head.getAs[Double]("lo")
+        val hi = rs.head.getAs[Double]("hi")
+        (0 until Bins).map { b =>
+          (et, lo, hi, b, math.max(byBin.getOrElse(b, 0L) / total, Eps))
+        }
+      }
+    rows.toDF("event_type", "lo", "hi", "bin", "p_ref")
   }
 
   /** The shared bin assignment — delegates to [[Drift.binOf]] (clamped

@@ -11,6 +11,20 @@ import graft.SparkSpec
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Driver-side cosine mirroring the engine's double-accumulated
+    * sequential fold; `roundDp >= 0` applies the production 4dp HALF_UP
+    * discipline, negative leaves it raw. One definition for every test
+    * in this file so the rounding discipline cannot silently fork. */
+  private def cosine(a: Array[Float], b: Array[Float], roundDp: Int = -1): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    val c = d / (math.sqrt(na) * math.sqrt(nb))
+    if (roundDp < 0) c
+    else BigDecimal(c).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("redactedText masks planted emails and long digit runs") {
     val docs = Seq(
       "Contact Bob.Smith+spam@Example-Mail.org  today",
@@ -351,14 +365,7 @@ class PipelineOpsSpec extends SparkSpec {
     val holdout = all.filter(_._1 % 5 == 0)
     assert(out.keySet == holdout.map(_._1).toSet,
       "not exactly one prediction per holdout vector")
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-      }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = cosine(a, b, roundDp = 4)
     // naive driver-side recompute for a few queries
     val labeled = all.filter(_._1 % 5 != 0)
     for ((qid, qv, _) <- holdout.take(5)) {
@@ -413,13 +420,7 @@ class PipelineOpsSpec extends SparkSpec {
       .select("vec_id", "embedding").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[Seq[Float]]("embedding").toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) {
-        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-      }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = cosine(a, b)
     def meanPairSim(ids: Seq[Long]): Double = {
       val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
         yield cos(vecsOf(ids(i)), vecsOf(ids(j)))

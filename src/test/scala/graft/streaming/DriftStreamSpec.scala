@@ -10,6 +10,12 @@ class DriftStreamSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  /** The hour window a timestamp lands in, computed the way Spark's
+    * `window()` does — epoch-aligned flooring — so the expected values
+    * hold in any JVM timezone (Timestamp.toString rendering does not). */
+  private def hourWindow(s: String): java.sql.Timestamp =
+    new java.sql.Timestamp(ts(s).getTime / 3600000L * 3600000L)
+
   // two hour-windows per type; type "b" shifts its distribution in the
   // second hour, type "a" stays put
   private val rows = Seq(
@@ -44,12 +50,12 @@ class DriftStreamSpec extends SparkSpec {
       // the watermark pusher's own [03:00, 04:00) window for type "a"
       val closed = streamedCounts
         .select("window_start", "event_type").distinct().collect()
-        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
           r.getAs[String]("event_type"))).toSet
       assert(closed == Set(
-        ("2024-01-01 00:00:00.0", "a"), ("2024-01-01 00:00:00.0", "b"),
-        ("2024-01-01 01:00:00.0", "a"), ("2024-01-01 01:00:00.0", "b"),
-        ("2024-01-01 03:00:00.0", "a")), s"unexpected closed windows: $closed")
+        (hourWindow("2024-01-01 00:10:00"), "a"), (hourWindow("2024-01-01 00:10:00"), "b"),
+        (hourWindow("2024-01-01 01:10:00"), "a"), (hourWindow("2024-01-01 01:10:00"), "b"),
+        (hourWindow("2024-01-01 03:00:00"), "a")), s"unexpected closed windows: $closed")
 
       val streamPsi = DriftStream.psiOfBinCounts(streamedCounts, reference)
         .orderBy("window_start", "event_type").collect()
@@ -71,9 +77,9 @@ class DriftStreamSpec extends SparkSpec {
       assert(streamPsi.map(_.toSeq).toSeq == batchPsi.map(_.toSeq).toSeq,
         "streaming PSI diverges from the batch fold")
       // the shifted type must read as more drifted in its shifted hour
-      val psiOf = streamPsi.map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+      val psiOf = streamPsi.map(r => (r.getAs[java.sql.Timestamp]("window_start"),
         r.getAs[String]("event_type")) -> r.getAs[Double]("psi")).toMap
-      val h0 = "2024-01-01 00:00:00.0"; val h1 = "2024-01-01 01:00:00.0"
+      val h0 = hourWindow("2024-01-01 00:10:00"); val h1 = hourWindow("2024-01-01 01:10:00")
       assert(psiOf((h1, "b")) > psiOf((h0, "b")),
         s"shifted type not flagged: $psiOf")
     } finally q.stop()
@@ -105,15 +111,15 @@ class DriftStreamSpec extends SparkSpec {
       mem.addData(("a", 2.0, ts("2024-01-01 05:00:00")))
       q.processAllAvailable()
       val streamed = spark.table("drift_edge")
-      val h0 = "2024-01-01 00:00:00.0"
+      val h0 = hourWindow("2024-01-01 00:10:00")
       val binsOf = streamed.collect().map(r =>
-        (r.getAs[java.sql.Timestamp]("window_start").toString,
+        (r.getAs[java.sql.Timestamp]("window_start"),
           r.getAs[String]("event_type")) -> r.getAs[Int]("bin")).toMap
       assert(binsOf((h0, "b")) == 0, s"down-shift not clamped to bin 0: $binsOf")
       assert(binsOf((h0, "c")) == -1, s"unknown type not tagged bin -1: $binsOf")
 
       val psi = DriftStream.psiOfBinCounts(streamed, reference)
-        .filter(col("window_start") === ts("2024-01-01 00:00:00")).collect()
+        .filter(col("window_start") === h0).collect()
         .map(r => r.getAs[String]("event_type") ->
           (Option(r.getAs[java.lang.Double]("psi")), r.getAs[Boolean]("drifted"))).toMap
       // all live mass in bin 0 where the reference holds ε — max drift
