@@ -220,6 +220,8 @@ object SparkEntry {
     // rows-only: MMR diversity re-rank (greedy fold over a bounded pool
     // — not SQL-expressible; spec-verified first-pick + diversity gain)
     "q120_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // BPE step-1: adjacent char-pair counts over the distinct-word table
+    "q121_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1509,6 +1511,20 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q121_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> substring(word, i, 2))) AS pair, n
+        |  FROM w)
+        |SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+        |FROM p GROUP BY 1
+        |ORDER BY freq DESC, pair
+        |LIMIT 20""".stripMargin,
     "q119_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

@@ -359,6 +359,28 @@ object TextOps {
         round(sum(col("term")).cast("double"), 6).as("entropy"))
   }
 
+  /** BPE pair statistics — step 1 of byte-pair-encoding tokenizer
+    * training: the frequency of every adjacent character pair across
+    * the corpus, weighted by word occurrence. The scale trick is the
+    * classic BPE one: aggregate to the DISTINCT-WORD frequency table
+    * first (map-side combined; vocabulary-bounded, not corpus-bounded)
+    * and explode pairs over distinct words only — a 100 TB corpus with
+    * a 10 M-word vocabulary fans out 10 M × avg-len pair rows, not
+    * corpus-tokens × len. Top-k via TakeOrderedAndProject with a pair
+    * tie-break. The merge LOOP (apply top pair, recount) is the
+    * sequential part of tokenizer training and belongs to a driver
+    * harness; the heavy statistic it iterates is this operator. */
+  def bpePairCounts(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("freq"))
+      .orderBy(desc("freq"), asc("pair")).limit(k)
+
   /** Per-source corpus report card — the domain-level curation stats a
     * web-corpus pipeline computes before reweighting or dropping a
     * source: document count, exact-duplicate burden, mean length, the

@@ -431,6 +431,28 @@ class PipelineOpsSpec extends SparkSpec {
       "MMR set is not more diverse than plain top-k")
   }
 
+  test("BPE pair counts equal a naive recompute; top merge empties its own pair") {
+    val k = 20
+    val got = TextOps.bpePairCounts(spark, sf("0.001"), k).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("freq"))).toSeq
+    val words = graft.Tables.documents(spark, sf("0.001"))
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+    def pairCounts(ws: Seq[String]): Map[String, Long] =
+      ws.flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val expected = pairCounts(words.toSeq).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(k)
+    assert(got == expected, s"pair stats diverge: $got vs $expected")
+    // the merge step the statistic exists for: fusing the top pair into
+    // ONE new symbol (non-empty, so no fresh adjacency can re-form
+    // the pair across the splice) removes every occurrence of it
+    val (top, _) = got.head
+    val merged = words.toSeq.map(_.replace(top, "\u0001"))
+    assert(!pairCounts(merged).contains(top),
+      s"top pair '$top' survives its own merge")
+  }
+
   test("source profile: dup burden and entropy are internally consistent") {
     val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)
