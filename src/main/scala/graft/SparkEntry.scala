@@ -222,6 +222,9 @@ object SparkEntry {
     "q120_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     // BPE step-1: adjacent char-pair counts over the distinct-word table
     "q121_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
+    // rows-only: KMV theta-sketch key-overlap probe (xxhash64 streams —
+    // not DuckDB-reproducible; error-bound + merge-invariance specs)
+    "q122_key_overlap" -> ((s, d) => HeavyHitters.keyOverlap(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -255,6 +258,8 @@ object SparkEntry {
     "q114_synthetic_orders" -> 900L,
     // exactly k = 10 MMR picks at every scale factor
     "q120_mmr_rerank" -> 10L,
+    // one summary row always
+    "q122_key_overlap" -> 1L,
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

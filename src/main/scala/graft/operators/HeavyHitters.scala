@@ -67,6 +67,36 @@ object HeavyHitters {
       .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
   }
 
+  /** KMV key-overlap estimate between two tables' key sets WITHOUT
+    * joining them ([[graft.functions.Kmv]]): one map-side bottom-k
+    * sketch pass per side (k·8 bytes each through the shuffle,
+    * whatever the table size), then the θ-intersection fold on the two
+    * k-value arrays at the driver. The pre-join cardinality probe a
+    * planner runs before committing to a 100 TB join: estimated
+    * distincts per side, union, Jaccard, and intersection, next to
+    * nothing in I/O beyond the two scans. Estimates carry the standard
+    * KMV relative error ~1/√(k−2) (spec-asserted against exact counts
+    * at the test scale, along with partitioning invariance). */
+  def keyOverlap(spark: SparkSession, sfDir: String, k: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.Kmv.SketchAggregator(k).toColumn
+    def sketchOf(keys: Dataset[String]): Array[Long] =
+      keys.select(agg).head()
+    val a = sketchOf(Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string")).as[String])
+    val b = sketchOf(Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("string")).as[String])
+    val (j, uEst, iEst) = graft.functions.Kmv.intersect(a, b, k)
+    Seq((k.toLong,
+      math.rint(graft.functions.Kmv.distinctEstimate(a, k)).toLong,
+      math.rint(graft.functions.Kmv.distinctEstimate(b, k)).toLong,
+      math.rint(uEst).toLong, BigDecimal(j).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      math.rint(iEst).toLong))
+      .toDF("k", "est_distinct_a", "est_distinct_b", "est_union",
+        "jaccard", "est_intersect")
+  }
+
   /** Corpus tokens with count·k > n (frequency above 1/k): MG candidate
     * pass → broadcast semi-join → exact count over candidates only. */
   def heavyTokens(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {

@@ -453,6 +453,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"top pair '$top' survives its own merge")
   }
 
+  test("KMV sketch: estimates within error bounds, identical under any partitioning") {
+    import graft.functions.Kmv
+    val k = 256
+    // two overlapping key sets: A = [0, 6000), B = [4000, 10000)
+    // → |A|=6000, |B|=6000, |A∪B|=10000, |A∩B|=2000, J=0.2
+    def sketchOf(ds: org.apache.spark.sql.Dataset[String]): Array[Long] =
+      ds.select(new Kmv.SketchAggregator(k).toColumn).head()
+    val a = sketchOf(spark.range(0, 6000).select($"id".cast("string")).as[String]
+      .repartition(7))
+    val b = sketchOf(spark.range(4000, 10000).select($"id".cast("string")).as[String]
+      .repartition(3))
+    // partitioning invariance: same keys, different layout → same sketch
+    val a2 = sketchOf(spark.range(0, 6000).select($"id".cast("string")).as[String]
+      .repartition(31))
+    assert(a.toSeq == a2.toSeq, "sketch depends on partitioning")
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(Kmv.distinctEstimate(a, k) - 6000) / 6000.0 < tol)
+    assert(math.abs(Kmv.distinctEstimate(b, k) - 6000) / 6000.0 < tol)
+    val (j, uEst, iEst) = Kmv.intersect(a, b, k)
+    assert(math.abs(uEst - 10000) / 10000.0 < tol, s"union est $uEst")
+    assert(math.abs(j - 0.2) < 0.2 * 3 * tol + 0.05, s"jaccard $j")
+    assert(math.abs(iEst - 2000) / 2000.0 < 0.35, s"intersect est $iEst")
+    // the query surface emits one summary row with positive estimates
+    val row = HeavyHitters.keyOverlap(spark, sf("0.001")).collect()(0)
+    assert(row.getAs[Long]("est_distinct_a") > 0 &&
+      row.getAs[Long]("est_union") >= row.getAs[Long]("est_distinct_a"))
+  }
+
   test("source profile: dup burden and entropy are internally consistent") {
     val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)
