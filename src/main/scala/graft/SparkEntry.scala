@@ -225,6 +225,8 @@ object SparkEntry {
     // rows-only: KMV theta-sketch key-overlap probe (xxhash64 streams —
     // not DuckDB-reproducible; error-bound + merge-invariance specs)
     "q122_key_overlap" -> ((s, d) => HeavyHitters.keyOverlap(s, d)),
+    // lakehouse snapshot diff: first-loaded vs current image per PK
+    "q123_snapshot_diff" -> ((s, d) => Cdc.snapshotDiff(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1516,6 +1518,35 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q123_snapshot_diff" ->
+      """WITH ranked AS (
+        |  SELECT *, ((l_orderkey * 31 + l_linenumber) % 10) AS h,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |      ORDER BY l_partkey, l_quantity, l_extendedprice) AS r,
+        |    count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS cnt
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |    l_partkey AS part_id, l_quantity AS quantity,
+        |    l_extendedprice AS price
+        |  FROM ranked WHERE r = 1),
+        |curr AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |    l_partkey AS part_id,
+        |    l_quantity + CASE WHEN h >= 4 THEN 1 ELSE 0 END AS quantity,
+        |    l_extendedprice AS price
+        |  FROM ranked WHERE h < 8 AND r = cnt)
+        |SELECT COALESCE(b.order_id, c.order_id) AS order_id,
+        |  COALESCE(b.line_no, c.line_no) AS line_no,
+        |  CASE WHEN c.order_id IS NULL THEN 'removed'
+        |       WHEN b.order_id IS NULL THEN 'added'
+        |       ELSE 'changed' END AS change,
+        |  b.quantity AS base_quantity, c.quantity AS curr_quantity
+        |FROM base b FULL OUTER JOIN curr c
+        |  ON b.order_id = c.order_id AND b.line_no = c.line_no
+        |WHERE c.order_id IS NULL OR b.order_id IS NULL
+        |   OR b.part_id <> c.part_id OR b.quantity <> c.quantity
+        |   OR b.price <> c.price""".stripMargin,
     "q121_bpe_pairs" ->
       """WITH w AS (
         |  SELECT word, COUNT(*) AS n

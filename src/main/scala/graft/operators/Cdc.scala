@@ -203,6 +203,45 @@ object Cdc {
         col("valid_to_lsn").isNull.as("is_current"))
   }
 
+  /** Snapshot diff — the lakehouse "what changed between table
+    * versions" op: the first-loaded image of every key (min-lsn insert
+    * from the changelog) full-outer-joined against the current
+    * materialized state, each key classified added / removed /
+    * changed (unchanged keys drop out). Shape: both sides aggregate to
+    * one row per PK with map-side-combinable `min_by`/`max_by`, then
+    * ONE co-partitioned PK join — the same single keyed shuffle as
+    * [[materializeLatest]], no windows, no sort beyond the join. At
+    * 100 TB this is two compaction passes plus a join that AQE plans
+    * off the same partitioning. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = decodedVersionedLog(spark, sfDir)
+      .filter(col("op") === "c")
+      .groupBy(col("order_id"), col("line_no"))
+      .agg(min_by(struct(col("part_id"), col("quantity"), col("price")),
+        col("lsn")).as("b"))
+      .select(col("order_id"), col("line_no"), col("b.part_id").as("b_part"),
+        col("b.quantity").as("b_qty"), col("b.price").as("b_price"))
+    val curr = materializeLatest(spark, sfDir)
+      .select(col("order_id").as("c_oid"), col("line_no").as("c_lno"),
+        col("part_id").as("c_part"), col("quantity").as("c_qty"),
+        col("price").as("c_price"))
+    base.join(curr,
+        col("order_id") === col("c_oid") && col("line_no") === col("c_lno"),
+        "full_outer")
+      .withColumn("change",
+        when(col("c_oid").isNull, "removed")
+          .when(col("order_id").isNull, "added")
+          .when(col("b_part") =!= col("c_part") ||
+            col("b_qty") =!= col("c_qty") ||
+            col("b_price") =!= col("c_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(coalesce(col("order_id"), col("c_oid")).as("order_id"),
+        coalesce(col("line_no"), col("c_lno")).as("line_no"),
+        col("change"), col("b_qty").as("base_quantity"),
+        col("c_qty").as("curr_quantity"))
+  }
+
   /** Materialize the table from the changelog: decode the wire envelope,
     * keep the max-lsn image per key as a `max_by` AGGREGATION (lsn is
     * unique per key by construction), drop keys whose final image is a

@@ -251,6 +251,19 @@ class PlanAuditSpec extends SparkSpec {
       s"global range-partition sort crept in:\n$p")
   }
 
+  test("snapshot diff: keyed aggregates + one PK join, no windows, no nested loop") {
+    val p = plan(Cdc.snapshotDiff(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"diff join degenerated:\n$p")
+    // both sides compact via min_by/max_by AGGREGATION — a per-key sort
+    // window here would re-introduce the shape materializeLatest's
+    // scaladoc argues against
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"window crept into the snapshot compaction:\n$p")
+    assert(p.contains("min_by") && p.contains("max_by"),
+      s"keyed compaction aggregates missing:\n$p")
+  }
+
   test("source profile: distinct-count runs over sha2, never raw text") {
     val df = TextOps.sourceProfile(spark, sf())
     val analyzed = df.queryExecution.analyzed.toString
