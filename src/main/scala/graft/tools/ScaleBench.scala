@@ -30,7 +30,8 @@ object ScaleBench {
     // drift monitor, kNN labeling, source profile — first-class scale
     // citizens like the rest
     "q111_quality_model", "q112_incremental_dedup", "q113_value_drift",
-    "q117_knn_classify", "q118_source_profile")
+    "q117_knn_classify", "q118_source_profile",
+    "q121_bpe_pairs", "q123_snapshot_diff")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
