@@ -260,8 +260,7 @@ object SparkEntry {
     "q114_synthetic_orders" -> 900L,
     // exactly k = 10 MMR picks at every scale factor
     "q120_mmr_rerank" -> 10L,
-    // one summary row always
-    "q122_key_overlap" -> 1L,
+    // (q122_key_overlap: one summary row — the map's default of 1)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

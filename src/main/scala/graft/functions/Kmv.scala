@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Encoder
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,11 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object Kmv {
 
   /** Hash a key to the full signed 64-bit range (seed 77 keeps the
-    * stream independent of the CMS rows' `xxhash64(i, s)` draws). */
+    * stream independent of the CMS rows' `xxhash64(i, s)` draws).
+    * Reuses the sketch family's shared string hash
+    * ([[SketchHash.hashString]]). */
   def hash(s: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType_, 77L)
-
-  private val StringType_ = org.apache.spark.sql.types.StringType
+    SketchHash.hashString(UTF8String.fromString(s), 77L)
 
   /** Sorted bottom-k union of two sorted arrays, distinct values. */
   def mergeBottomK(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
@@ -56,7 +55,15 @@ object Kmv {
     override def zero: Array[Long] = Array.emptyLongArray
     override def reduce(buf: Array[Long], s: String): Array[Long] =
       if (s == null) buf
-      else mergeBottomK(buf, Array(hash(s)), k)
+      else {
+        val h = hash(s)
+        // saturation fast-path: once the sketch holds k values, a hash
+        // at or above the current θ can never enter — O(1) with zero
+        // allocation for virtually every row of a large scan, which is
+        // where the one-pass 100 TB cost argument actually lives
+        if (buf.length == k && h >= buf(k - 1)) buf
+        else mergeBottomK(buf, Array(h), k)
+      }
     override def merge(l: Array[Long], r: Array[Long]): Array[Long] =
       mergeBottomK(l, r, k)
     override def finish(buf: Array[Long]): Array[Long] = buf

@@ -79,13 +79,20 @@ object HeavyHitters {
     * at the test scale, along with partitioning invariance). */
   def keyOverlap(spark: SparkSession, sfDir: String, k: Int = 1024): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val agg = new graft.functions.Kmv.SketchAggregator(k).toColumn
     def sketchOf(keys: Dataset[String]): Array[Long] =
       keys.select(agg).head()
-    val a = sketchOf(Tables.events(spark, sfDir)
-      .select(col("user_id").cast("string")).as[String])
-    val b = sketchOf(Tables.customer(spark, sfDir)
-      .select(col("c_custkey").cast("string")).as[String])
+    // the two sketch scans share no dependency — submit both actions
+    // concurrently so the probe costs max(scanA, scanB), not the sum
+    val fa = Future(sketchOf(Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string")).as[String]))
+    val fb = Future(sketchOf(Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("string")).as[String]))
+    val a = Await.result(fa, Duration.Inf)
+    val b = Await.result(fb, Duration.Inf)
     val (j, uEst, iEst) = graft.functions.Kmv.intersect(a, b, k)
     Seq((k.toLong,
       math.rint(graft.functions.Kmv.distinctEstimate(a, k)).toLong,
