@@ -227,6 +227,10 @@ object SparkEntry {
     "q122_key_overlap" -> ((s, d) => HeavyHitters.keyOverlap(s, d)),
     // lakehouse snapshot diff: first-loaded vs current image per PK
     "q123_snapshot_diff" -> ((s, d) => Cdc.snapshotDiff(s, d)),
+    // collocation mining: PMI-ranked bigrams over broadcast unigram stats
+    "q124_bigram_pmi" -> ((s, d) => Analytics.bigramPmi(s, d)),
+    // Benford first-digit audit of order totals (data-forensics check)
+    "q125_benford_digits" -> ((s, d) => Analytics.benfordDigits(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1517,6 +1521,42 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q124_bigram_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cw
+        |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n_bigrams
+        |  FROM t),
+        |pairs AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM t WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT w1, w2, COUNT(*) AS cab
+        |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1 || ' ' || w2 AS bigram, cab, u1.cw AS ca, u2.cw AS cb,
+        |  ROUND(ln((CAST(cab AS DOUBLE) / n_bigrams) /
+        |    ((CAST(u1.cw AS DOUBLE) / n_tokens)
+        |      * (CAST(u2.cw AS DOUBLE) / n_tokens))), 6) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 20""".stripMargin,
+    "q125_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+        |  ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+        |  ROUND(ABS(ROUND(CAST(n AS DOUBLE) / total, 6)
+        |    - ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6)), 6) AS abs_dev
+        |FROM g CROSS JOIN t""".stripMargin,
     "q123_snapshot_diff" ->
       """WITH ranked AS (
         |  SELECT *, ((l_orderkey * 31 + l_linenumber) % 10) AS h,

@@ -649,4 +649,68 @@ object Analytics {
       .orderBy(desc("n"), asc("bigram"))
       .limit(k)
   }
+
+  /** Collocation mining via pointwise mutual information — the step
+    * past raw bigram counts ([[topBigrams]]): score each bigram by
+    * `ln(p(ab) / (p(a)·p(b)))` so genuinely-associated pairs rank
+    * above pairs that co-occur merely because both words are common.
+    * Shape: one unigram and one bigram counting aggregation (both
+    * map-side combined, vocabulary-bounded outputs), the unigram table
+    * broadcast twice into the bigram frame, totals as a 1-row
+    * broadcast. The PMI expression keeps ONE division/association
+    * order, mirrored exactly in the oracle, and ranks on the 6dp-
+    * rounded score with a bigram tie-break. `minCount` suppresses the
+    * unstable low-frequency tail (classic collocation practice). */
+  def bigramPmi(spark: SparkSession, sfDir: String, k: Int = 20,
+                minCount: Int = 5): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = toks.select(
+      sum(size(col("t"))).as("n_tokens"),
+      sum(greatest(size(col("t")) - 1, lit(0))).as("n_bigrams"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    bi.join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("cw", "ca")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("cw", "cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("cab").cast("double") / col("n_bigrams")) /
+          ((col("ca").cast("double") / col("n_tokens")) *
+            (col("cb").cast("double") / col("n_tokens")))), 6))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("cab"), col("ca"), col("cb"), col("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(k)
+  }
+
+  /** Benford first-digit audit — the classic fabricated-data check over
+    * a monetary column: observed first-significant-digit shares of
+    * order totals against the Benford expectation `log10(1 + 1/d)`.
+    * The digit comes from integer cents via STRING truncation (exact
+    * in every engine; a log10-based magnitude would wobble at powers
+    * of ten). One 9-group aggregation, map-side combined; shares are
+    * integer-count divisions rounded at 6dp. */
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val byAll = Window.partitionBy()
+    Tables.orders(spark, sfDir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("obs_share",
+        round(col("n").cast("double") / sum(col("n")).over(byAll), 6))
+      .withColumn("benford_share",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
+      .withColumn("abs_dev", round(abs(col("obs_share") - col("benford_share")), 6))
+      .select(col("digit"), col("n"), col("obs_share"),
+        col("benford_share"), col("abs_dev"))
+  }
 }

@@ -482,6 +482,43 @@ class PipelineOpsSpec extends SparkSpec {
       row.getAs[Long]("est_union") >= row.getAs[Long]("est_distinct_a"))
   }
 
+  test("bigram PMI equals a naive recompute including rank order") {
+    val got = Analytics.bigramPmi(spark, sf("0.001"), k = 20, minCount = 5)
+      .collect().map(r => (r.getAs[String]("bigram"), r.getAs[Long]("cab"),
+        r.getAs[Double]("pmi"))).toSeq
+    val docs = graft.Tables.documents(spark, sf("0.001"))
+      .select("text").as[String].collect().map(_.split(" ").toSeq)
+    val nTokens = docs.map(_.length).sum.toDouble
+    val nBigrams = docs.map(t => math.max(t.length - 1, 0)).sum.toDouble
+    val uni = docs.flatten.groupBy(identity).map { case (w, g) => w -> g.size }
+    val bi = docs.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, g) => p -> g.size }.filter(_._2 >= 5)
+    val expected = bi.toSeq.map { case ((a, b), cab) =>
+      val pmi = BigDecimal(math.log((cab / nBigrams) /
+        ((uni(a) / nTokens) * (uni(b) / nTokens))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s"$a $b", cab.toLong, pmi)
+    }.sortBy { case (bg, _, pmi) => (-pmi, bg) }.take(20)
+    assert(got == expected, s"PMI diverges:\n$got\nvs\n$expected")
+  }
+
+  test("Benford audit: digits 1-9, shares sum to 1, expectation is closed-form") {
+    val rows = Analytics.benfordDigits(spark, sf("0.001"))
+      .orderBy("digit").collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val obsSum = rows.map(_.getAs[Double]("obs_share")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"shares sum to $obsSum")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val expect = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("benford_share") - expect) < 1e-9)
+    }
+    // benford shares themselves sum to 1 exactly (telescoping log10)
+    val bSum = rows.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(bSum - 1.0) < 1e-4)
+  }
+
   test("source profile: dup burden and entropy are internally consistent") {
     val rows = TextOps.sourceProfile(spark, sf("0.001")).collect()
     assert(rows.nonEmpty)
