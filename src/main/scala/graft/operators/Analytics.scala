@@ -634,21 +634,28 @@ object Analytics {
   /** Corpus bigram frequency, top 20 (count desc, bigram asc): the
     * explode → groupBy shape whose shuffle carries (bigram, partial
     * count) — map-side combine keeps it narrow at corpus scale. */
-  def topBigrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
-      // tokenize ONCE per row (the lambda would otherwise re-split per
-      // reference — Catalyst does not CSE inside higher-order functions)
+  /** The ONE adjacent-token pair fan-out, shared by [[topBigrams]] and
+    * [[bigramPmi]]: tokenize ONCE per row (the lambda would otherwise
+    * re-split per reference — Catalyst does not CSE inside higher-order
+    * functions), guard `size >= 2` (sequence(1, 0) would run DESCENDING
+    * in Spark, not empty), skip null text the way SQL SUM/unnest do. */
+  private def tokenPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
       .select(split(col("text"), " ").as("t"))
-      // guard: sequence(1, 0) would run DESCENDING in Spark, not empty
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
-        .as("bigram"))
-    grams.groupBy(col("bigram"))
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def topBigrams(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    tokenPairs(spark, sfDir)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"))
+      .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(k)
-  }
 
   /** Collocation mining via pointwise mutual information — the step
     * past raw bigram counts ([[topBigrams]]): score each bigram by
@@ -663,18 +670,22 @@ object Analytics {
     * unstable low-frequency tail (classic collocation practice). */
   def bigramPmi(spark: SparkSession, sfDir: String, k: Int = 20,
                 minCount: Int = 5): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(split(col("text"), " ").as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    // vocabulary-bounded; pinned once so the two broadcast probes and
+    // the totals fold below don't EACH re-run the corpus tokenize scan
+    // (three references to an un-pinned subtree = three scans)
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val totals = toks.select(
-      sum(size(col("t"))).as("n_tokens"),
-      sum(greatest(size(col("t")) - 1, lit(0))).as("n_bigrams"))
-    val bi = toks.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-        .as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    // n_tokens folds off the pinned vocab; n_bigrams = n_tokens − docs
+    // (split yields ≥ 1 token per non-null row, so per-doc bigrams =
+    // tokens − 1) — no third tokenize pass just for the denominators
+    val totals = uni.agg(sum(col("cw")).as("n_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_tokens"),
+        (col("n_tokens") - col("n_docs")).as("n_bigrams"))
+    val bi = tokenPairs(spark, sfDir)
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minCount)
     bi.join(broadcast(uni.withColumnRenamed("w", "w1")
@@ -701,12 +712,16 @@ object Analytics {
     * integer-count divisions rounded at 6dp. */
   def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100, 0).cast("long")
-    val byAll = Window.partitionBy()
-    Tables.orders(spark, sfDir)
+    // 9-row frame pinned so the grand-total fold doesn't re-scan
+    // orders; the total then rides a broadcast cross join (the oracle's
+    // CROSS JOIN t shape) instead of an unpartitioned window
+    val g = Tables.orders(spark, sfDir)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    g.crossJoin(broadcast(g.agg(sum(col("n")).as("total"))))
       .withColumn("obs_share",
-        round(col("n").cast("double") / sum(col("n")).over(byAll), 6))
+        round(col("n").cast("double") / col("total"), 6))
       .withColumn("benford_share",
         round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6))
       .withColumn("abs_dev", round(abs(col("obs_share") - col("benford_share")), 6))
