@@ -231,6 +231,8 @@ object SparkEntry {
     "q124_bigram_pmi" -> ((s, d) => Analytics.bigramPmi(s, d)),
     // Benford first-digit audit of order totals (data-forensics check)
     "q125_benford_digits" -> ((s, d) => Analytics.benfordDigits(s, d)),
+    // categorical mutual information (feature-selection statistic)
+    "q126_feature_mi" -> ((s, d) => Analytics.featureMi(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -1521,6 +1523,22 @@ object SparkEntry {
         |SELECT c_custkey, segment, c_acctbal,
         |  ROUND((c - mean) / sqrt(variance), 4) AS z
         |FROM j""".stripMargin,
+    "q126_feature_mi" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nation_key,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+        |w AS (
+        |  SELECT segment, nation_key, n,
+        |    CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS nx,
+        |    CAST(SUM(n) OVER (PARTITION BY nation_key) AS BIGINT) AS ny
+        |  FROM cells)
+        |SELECT segment, nation_key, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n AS DOUBLE) / nt) * ln((CAST(n AS DOUBLE) / nt) /
+        |    ((CAST(nx AS DOUBLE) / nt) * (CAST(ny AS DOUBLE) / nt))), 9)
+        |    AS mi_term
+        |FROM w CROSS JOIN t""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

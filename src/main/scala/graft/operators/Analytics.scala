@@ -703,6 +703,35 @@ object Analytics {
       .limit(k)
   }
 
+  /** Categorical mutual information — the feature-selection statistic
+    * between two categorical columns (here market segment × nation over
+    * customers): per-cell terms `p(x,y)·ln(p(x,y)/(p(x)·p(y)))` whose
+    * sum is MI(X;Y) ≥ 0. Everything past the one counting aggregation
+    * runs on the PINNED cells frame (|X|·|Y| rows — catalog-bounded):
+    * marginals as partitioned windows over it, the grand total as a
+    * broadcast cross join, so the customer table is scanned exactly
+    * once. Terms are 9dp-rounded with one shared division order,
+    * mirrored in the oracle; the spec asserts the sum is non-negative
+    * and equals a naive recompute. */
+  def featureMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nation_key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val total = cells.agg(sum(col("n")).as("nt"))
+    cells
+      .withColumn("nx", sum(col("n")).over(Window.partitionBy(col("segment"))))
+      .withColumn("ny", sum(col("n")).over(Window.partitionBy(col("nation_key"))))
+      .crossJoin(broadcast(total))
+      .withColumn("mi_term", round(
+        (col("n").cast("double") / col("nt")) * log(
+          (col("n").cast("double") / col("nt")) /
+            ((col("nx").cast("double") / col("nt")) *
+              (col("ny").cast("double") / col("nt")))), 9))
+      .select(col("segment"), col("nation_key"), col("n"), col("mi_term"))
+  }
+
   /** Benford first-digit audit — the classic fabricated-data check over
     * a monetary column: observed first-significant-digit shares of
     * order totals against the Benford expectation `log10(1 + 1/d)`.

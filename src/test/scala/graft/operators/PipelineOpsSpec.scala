@@ -502,6 +502,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected, s"PMI diverges:\n$got\nvs\n$expected")
   }
 
+  test("feature MI: terms equal a naive recompute and sum to a non-negative MI") {
+    val got = Analytics.featureMi(spark, sf("0.001")).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Int]("nation_key")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mi_term"))).toMap
+    val rows = graft.Tables.customer(spark, sf("0.001"))
+      .select("c_mktsegment", "c_nationkey").collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Int]("c_nationkey")))
+    val nt = rows.length.toDouble
+    val cells = rows.groupBy(identity).map { case (k, g) => k -> g.size }
+    val nx = rows.groupBy(_._1).map { case (k, g) => k -> g.size }
+    val ny = rows.groupBy(_._2).map { case (k, g) => k -> g.size }
+    cells.foreach { case ((s, nk), n) =>
+      val term = BigDecimal((n / nt) * math.log((n / nt) /
+        ((nx(s) / nt) * (ny(nk) / nt))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((s, nk)) == ((n.toLong, term)), s"cell ($s,$nk) diverges")
+    }
+    assert(got.size == cells.size)
+    // MI(X;Y) >= 0 (up to 9dp rounding of the per-cell terms)
+    val mi = got.values.map(_._2).sum
+    assert(mi >= -1e-6, s"negative MI: $mi")
+  }
+
   test("Benford audit: digits 1-9, shares sum to 1, expectation is closed-form") {
     val rows = Analytics.benfordDigits(spark, sf("0.001"))
       .orderBy("digit").collect()
