@@ -503,9 +503,12 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("feature MI: terms equal a naive recompute and sum to a non-negative MI") {
-    val got = Analytics.featureMi(spark, sf("0.001")).collect()
+    val collected = Analytics.featureMi(spark, sf("0.001")).collect()
+    val got = collected
       .map(r => (r.getAs[String]("segment"), r.getAs[Int]("nation_key")) ->
         (r.getAs[Long]("n"), r.getAs[Double]("mi_term"))).toMap
+    // row count BEFORE the keyed toMap — duplicate cell rows must fail
+    assert(collected.length == got.size, "duplicate cells in the output")
     val rows = graft.Tables.customer(spark, sf("0.001"))
       .select("c_mktsegment", "c_nationkey").collect()
       .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Int]("c_nationkey")))
