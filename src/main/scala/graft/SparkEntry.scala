@@ -314,8 +314,16 @@ object SparkEntry {
        |      len(na.shingles) AS ni, len(nb.shingles) AS nj
        |    FROM cand JOIN sh na ON doc_i = na.doc_id JOIN sh nb ON doc_j = nb.doc_id)
        |  WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5),
+       |xk AS (
+       |  SELECT text, MIN(doc_id) AS ka FROM documents
+       |  GROUP BY text HAVING COUNT(*) >= 2),
+       |xe AS (
+       |  SELECT xk.ka AS doc_i, d.doc_id AS doc_j
+       |  FROM documents d JOIN xk USING (text) WHERE d.doc_id <> xk.ka),
        |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
-       |  UNION ALL SELECT doc_j, doc_i FROM pairs),
+       |  UNION ALL SELECT doc_j, doc_i FROM pairs
+       |  UNION ALL SELECT doc_i, doc_j FROM xe
+       |  UNION ALL SELECT doc_j, doc_i FROM xe),
        |reach AS (
        |  SELECT a, b FROM edges
        |  UNION
@@ -1147,21 +1155,29 @@ object SparkEntry {
         |  ROUND(w_raw / w_sum, 6) AS weight,
         |  ROUND(w_raw / w_sum / token_share, 6) AS oversample
         |FROM s, w""".stripMargin,
+    // DF-capped candidates (same ctok as q20) + exact verification on
+    // the full shingle sets via list_intersect — mirrors the engine's
+    // capped containment join; reported containments stay exact.
     "q83_containment" ->
       s"""WITH sh AS ($shingles),
          |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |ctok AS ($cappedTok),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM ctok a JOIN ctok b ON a.s = b.s AND a.doc_id < b.doc_id),
          |inter AS (
-         |  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
-         |  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |  SELECT doc_i, doc_j,
+         |    len(list_intersect(na.shingles, nb.shingles)) AS c,
+         |    len(na.shingles) AS ni, len(nb.shingles) AS nj
+         |  FROM cand JOIN sh na ON doc_i = na.doc_id
+         |    JOIN sh nb ON doc_j = nb.doc_id),
          |dirs AS (
          |  SELECT doc_i AS src_doc, doc_j AS dst_doc,
-         |    ROUND(CAST(c AS DOUBLE) / na.n, 4) AS containment
-         |  FROM inter JOIN sz na ON doc_i = na.doc_id
+         |    ROUND(CAST(c AS DOUBLE) / ni, 4) AS containment
+         |  FROM inter
          |  UNION ALL
-         |  SELECT doc_j, doc_i, ROUND(CAST(c AS DOUBLE) / nb.n, 4)
-         |  FROM inter JOIN sz nb ON doc_j = nb.doc_id)
+         |  SELECT doc_j, doc_i, ROUND(CAST(c AS DOUBLE) / nj, 4)
+         |  FROM inter)
          |SELECT src_doc, dst_doc, containment
          |FROM dirs WHERE containment >= 0.8""".stripMargin,
     "q86_funnel" ->

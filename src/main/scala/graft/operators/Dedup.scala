@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,7 +33,12 @@ object Dedup {
     * signature/join work parallelizes even when the local input is a
     * single small file. */
   def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.spread(Tables.documents(spark, sfDir))
+    shingledFrom(Tables.documents(spark, sfDir))
+
+  /** [[shingled]] over an arbitrary documents frame (`doc_id`, `text`) —
+    * spec-visible so the dedup family is testable on planted corpora. */
+  private[graft] def shingledFrom(docs: DataFrame): DataFrame =
+    Similarity.spread(docs)
       .select(col("doc_id"), graft.functions.wordShingles(col("text"), 3).as("shingles"))
       .filter(col("shingles").isNotNull)
 
@@ -45,31 +49,82 @@ object Dedup {
     * scale while contributing ~0 Jaccard evidence. Shingles with
     * df > cap are dropped from CANDIDATE GENERATION ONLY — verification
     * still scores the full shingle sets, so every reported Jaccard is
-    * exact; a pair is missed only if ALL its shared shingles are
-    * corpus-stop-shingles (at which point it wasn't a near-dup). On the
-    * test fixtures max df = 25 (sf0.1), so 64 is a semantic no-op there
-    * while bounding fan-out at 100 TB. The DuckDB oracles apply the
-    * identical cap. */
+    * exact. The real miss mode: a pair whose EVERY shared shingle has
+    * df > cap generates no candidate at all — i.e. a duplicate cluster
+    * with more than `maxDf` members becomes invisible to SIMILARITY
+    * candidate generation, which is precisely the mass-replicated
+    * boilerplate a crawl dedup must catch. [[exactEdgesFrom]] closes
+    * the identical-copy half of that hole (exact-duplicate groups are
+    * clustered regardless of df); the residual miss is NEAR-identical
+    * (not byte-identical) all-boilerplate documents, accepted and
+    * documented here. On the test fixtures max df = 25 (sf0.1), so 64
+    * is a semantic no-op there while bounding fan-out at 100 TB. The
+    * DuckDB oracles apply the identical cap. */
   val DefaultMaxDf = 64L
 
-  /** Posting list with the document-frequency cap applied: one window
-    * count over the shingle key (the same key the candidate join
-    * shuffles on, so the exchange is reused), then drop df > maxDf.
-    * Linear in postings — the hot shingle costs k rows in one partition,
-    * never k² join output. */
-  private[graft] def cappedPostings(tok: DataFrame, maxDf: Long): DataFrame =
-    tok.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+  /** Posting list with the document-frequency cap applied: df per
+    * shingle as a groupBy-count (map-side partial aggregation collapses
+    * the hot shingle to one row per mapper — never k rows spilling in
+    * one window partition), then a semi-join keeps postings of
+    * surviving shingles. Linear in postings; the hot shingle costs one
+    * combined count row per task, never k² join output. */
+  private[graft] def cappedPostings(tok: DataFrame, maxDf: Long): DataFrame = {
+    val keep = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .drop("df")
+      .select(col("s"))
+    tok.join(keep, Seq("s"), "left_semi")
+  }
+
+  /** 4dp HALF_UP rounding can lift a ratio by just under 5e-5, so any
+    * pre-verification bound compares against `threshold - RoundSlack`
+    * to stay provably recall-neutral w.r.t. the rounded filter. */
+  private[operators] val RoundSlack = 5e-5
+
+  /** Per-doc shingle-count stats for the prefilter: total shingles `n`
+    * and the number of CAPPED-OUT (df > cap) shingles `ncap`. Narrow
+    * (three longs per doc); derived from frames the plan already
+    * computes. */
+  private[operators] def docStats(sh: DataFrame, capped: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      .join(capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nk")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"),
+        (col("n") - coalesce(col("nk"), lit(0L))).as("ncap"))
+
+  /** Upper-bound prefilter between candidate generation and exact
+    * verification. The candidate aggregation already yields
+    * `cc = |A∩B ∩ kept|` (shared shingles that survived the cap); the
+    * true intersection obeys `c ≤ cc + min(ncap_A, ncap_B)` because
+    * every shared capped-out shingle is a capped shingle of BOTH docs.
+    * Jaccard is monotone in c, so a pair whose bound cannot reach the
+    * (rounding-slackened) threshold is dropped BEFORE the verification
+    * join that carries full shingle arrays — provably recall-neutral,
+    * and the bound is EXACT (= the true Jaccard) whenever no shingle
+    * was capped. Survivor volume ≈ true near-dup pairs, so the
+    * array-carrying joins touch near-dup-density rows, not candidate
+    * volume. */
+  private def jaccardPrefilter(cand: DataFrame, stats: DataFrame,
+                               threshold: Double): DataFrame =
+    cand
+      .join(stats.as("sa"), col("doc_i") === col("sa.doc_id"))
+      .join(stats.as("sb"), col("doc_j") === col("sb.doc_id"))
+      .withColumn("cmax", col("cc") + least(col("sa.ncap"), col("sb.ncap")))
+      .filter(col("cmax").cast("double") /
+        (col("sa.n") + col("sb.n") - col("cmax")) >= threshold - RoundSlack)
+      .select(col("doc_i"), col("doc_j"))
 
   /** Exact n-gram Jaccard similarity join via inverted index: explode
     * shingles → DF-cap the postings ([[cappedPostings]]) → self-join on
-    * shingle → DISTINCT candidate pairs → exact verification on the full
-    * shingle sets (|A∩B| / (|A|+|B|-|A∩B|) via `array_intersect`). This
-    * is the standard scalable exact algorithm (shuffle on shingle, then
-    * on the pair); candidate fan-in is bounded by true co-occurrence of
-    * NON-stop shingles, so a high-df boilerplate shingle can never blow
-    * up the shuffle.
+    * shingle → per-pair co-occurrence count (one groupBy, map-side
+    * combined — the same shuffle a DISTINCT would pay, but the count is
+    * kept) → [[jaccardPrefilter]] upper-bound prune → exact verification
+    * on the full shingle sets (|A∩B| / (|A|+|B|-|A∩B|) via
+    * `array_intersect`) for the few survivors. This is the standard
+    * scalable exact algorithm (shuffle on shingle, then on the pair);
+    * candidate fan-in is bounded by true co-occurrence of NON-stop
+    * shingles, so a high-df boilerplate shingle can never blow up the
+    * shuffle, and the array-carrying verification join is bounded by
+    * near-dup density, not candidate volume.
     */
   def jaccardPairs(spark: SparkSession, sfDir: String, threshold: Double,
                    maxDf: Long = DefaultMaxDf): DataFrame =
@@ -84,10 +139,11 @@ object Dedup {
     val capped = cappedPostings(tok, maxDf)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("cc"))
+    val pruned = jaccardPrefilter(cand, docStats(sh, capped), threshold)
     val full = sh.select(col("doc_id"), col("shingles"))
-    cand
+    pruned
       .join(full.as("na"), col("doc_i") === col("na.doc_id"))
       .join(full.as("nb"), col("doc_j") === col("nb.doc_id"))
       .withColumn("c", size(array_intersect(col("na.shingles"), col("nb.shingles"))))
@@ -189,9 +245,38 @@ object Dedup {
     * keys on. */
   def nearDupClusters(spark: SparkSession, sfDir: String,
                       threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
-    Tables.documents(spark, sfDir).select(col("doc_id"))
-      .join(edgeLabels(spark, sfDir, threshold, maxRounds), Seq("doc_id"), "left")
+    nearDupClustersFrom(Tables.documents(spark, sfDir), threshold, maxRounds)
+
+  /** [[nearDupClusters]] over an arbitrary documents frame — spec-visible
+    * so the DF-cap ∪ exact-edge interplay is testable on planted
+    * mass-duplicated corpora. */
+  private[graft] def nearDupClustersFrom(docs: DataFrame, threshold: Double,
+                                         maxRounds: Int = 20): DataFrame =
+    docs.select(col("doc_id"))
+      .join(edgeLabelsFrom(docs, threshold, maxRounds), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+
+  /** Star edges connecting each EXACT-duplicate group (identical text):
+    * group min doc_id → every other member. These bypass the shingle
+    * DF-cap: a 1000-copy boilerplate page has every shingle above any
+    * df cap, so similarity candidate generation (correctly, for
+    * shuffle-skew reasons) emits nothing for it — but its members are
+    * still duplicates and must cluster. Unioning the exact edges into
+    * the near-dup graph closes the identical-copy half of the
+    * stop-shingle recall hole; the residual miss (near-identical but
+    * not byte-identical all-boilerplate docs) is documented on
+    * [[DefaultMaxDf]]. One groupBy over the corpus; at 100 TB the group
+    * key is sha2(text) to keep shuffle rows narrow — semantics
+    * identical. */
+  private[graft] def exactEdgesFrom(docs: DataFrame): DataFrame = {
+    val groups = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_i"), count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") >= 2)
+      .select(col("text"), col("doc_i"))
+    docs.select(col("doc_id"), col("text")).join(groups, Seq("text"))
+      .filter(col("doc_id") =!= col("doc_i"))
+      .select(col("doc_i"), col("doc_id").as("doc_j"))
+  }
 
   /** The MATERIALIZED cluster-label layer: [[nearDupClusters]] computed
     * once per (session, sfDir, threshold) and re-entered as a
@@ -210,13 +295,19 @@ object Dedup {
   private val clusterCache = new graft.SessionCache[(String, Double), DataFrame]()
 
   /** Component labels for the edge-endpoint set only (every doc that
-    * appears in some near-dup pair); singletons are absent — the caller
-    * decides whether to attach them ([[nearDupClusters]]) or skip them
-    * ([[clusterKeep]], where they can never reach n >= 2). */
-  private def edgeLabels(spark: SparkSession, sfDir: String,
-                         threshold: Double, maxRounds: Int): DataFrame =
+    * appears in some near-dup pair or exact-duplicate group); singletons
+    * are absent — the caller decides whether to attach them
+    * ([[nearDupClusters]]) or skip them ([[clusterKeep]], where they can
+    * never reach n >= 2). The edge set is the Jaccard similarity graph
+    * UNION the exact-duplicate star edges ([[exactEdgesFrom]]) so
+    * mass-replicated identical docs cluster even when every shingle is
+    * DF-capped. */
+  private def edgeLabelsFrom(docs: DataFrame, threshold: Double,
+                             maxRounds: Int): DataFrame =
     propagateLabels(
-      jaccardPairs(spark, sfDir, threshold).select(col("doc_i"), col("doc_j")),
+      jaccardPairsFrom(shingledFrom(docs), threshold, DefaultMaxDf)
+        .select(col("doc_i"), col("doc_j"))
+        .unionByName(exactEdgesFrom(docs)),
       maxRounds)
 
   /** Connected-component labels for an arbitrary undirected edge list
@@ -287,19 +378,23 @@ object Dedup {
     val sh = shingled(spark, sfDir)
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val capped = cappedPostings(tok, maxDf)
+    // doc_i = existing-corpus side, doc_j = incoming side; the pair
+    // aggregation keeps the capped co-occurrence count for the same
+    // upper-bound prefilter as [[jaccardPairsFrom]]
     val cand = capped.as("e").filter(col("e.doc_id") < splitId)
       .join(capped.as("i").filter(col("i.doc_id") >= splitId),
         col("e.s") === col("i.s"))
-      .select(col("e.doc_id").as("doc_e"), col("i.doc_id").as("doc_i"))
-      .distinct()
+      .groupBy(col("e.doc_id").as("doc_i"), col("i.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("cc"))
+    val pruned = jaccardPrefilter(cand, docStats(sh, capped), threshold)
     val full = sh.select(col("doc_id"), col("shingles"))
-    val dupIncoming = cand
-      .join(full.as("ne"), col("doc_e") === col("ne.doc_id"))
-      .join(full.as("ni"), col("doc_i") === col("ni.doc_id"))
+    val dupIncoming = pruned
+      .join(full.as("ne"), col("doc_i") === col("ne.doc_id"))
+      .join(full.as("ni"), col("doc_j") === col("ni.doc_id"))
       .withColumn("c", size(array_intersect(col("ne.shingles"), col("ni.shingles"))))
       .filter(round(col("c").cast("double") /
         (size(col("ne.shingles")) + size(col("ni.shingles")) - col("c")), 4) >= threshold)
-      .select(col("doc_i").as("doc_id")).distinct()
+      .select(col("doc_j").as("doc_id")).distinct()
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") >= splitId)
       .join(dupIncoming, Seq("doc_id"), "left_anti")

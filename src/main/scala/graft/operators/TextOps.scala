@@ -279,25 +279,47 @@ object TextOps {
   /** CONTAINMENT (asymmetric Jaccard) near-dup join: `|A∩B| / |A|` —
     * the direction-sensitive overlap that catches a document EMBEDDED
     * in a longer one, which symmetric Jaccard dilutes below threshold.
-    * Same inverted-index shape as [[Dedup.jaccardPairs]] (shuffle keyed
-    * on the shingle, fan-in bounded by co-occurrence); each undirected
-    * intersection then emits BOTH directed containments and filters —
-    * no second pair pass. */
+    * Same DF-capped inverted-index shape as [[Dedup.jaccardPairs]]
+    * (shuffle keyed on the shingle, fan-in bounded by co-occurrence of
+    * non-stop shingles — boilerplate-heavy short docs are containment's
+    * target case, so the hot-shingle cap matters MORE here, not less):
+    * capped candidate generation → upper-bound prefilter
+    * (`c ≤ cc + min(ncap)`, containment monotone in c, max over both
+    * directions is c/min(|A|,|B|) — recall-neutral by the same argument
+    * as [[Dedup.jaccardPairs]]) → exact verification on the full
+    * shingle sets, each undirected intersection emitting BOTH directed
+    * containments — no second pair pass. A pair whose every shared
+    * shingle is capped is missed (see [[Dedup.DefaultMaxDf]] for the
+    * documented miss mode; the exact-duplicate case is covered by
+    * [[Dedup.exact]]). */
   def containmentPairs(spark: SparkSession, sfDir: String,
-                       threshold: Double = 0.9): DataFrame = {
+                       threshold: Double = 0.9,
+                       maxDf: Long = Dedup.DefaultMaxDf): DataFrame = {
     val sh = Dedup.shingled(spark, sfDir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inter = tok.as("a").join(tok.as("b"),
+    val capped = Dedup.cappedPostings(tok, maxDf)
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("na"), col("doc_i") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .agg(count(lit(1)).as("cc"))
+    val stats = Dedup.docStats(sh, capped)
+    val pruned = cand
+      .join(stats.as("sa"), col("doc_i") === col("sa.doc_id"))
+      .join(stats.as("sb"), col("doc_j") === col("sb.doc_id"))
+      .withColumn("cmax", col("cc") + least(col("sa.ncap"), col("sb.ncap")))
+      .filter(col("cmax").cast("double") / least(col("sa.n"), col("sb.n"))
+        >= threshold - Dedup.RoundSlack)
+      .select(col("doc_i"), col("doc_j"))
+    val full = sh.select(col("doc_id"), col("shingles"))
+    pruned
+      .join(full.as("na"), col("doc_i") === col("na.doc_id"))
+      .join(full.as("nb"), col("doc_j") === col("nb.doc_id"))
+      .withColumn("c", size(array_intersect(col("na.shingles"), col("nb.shingles"))))
+      .withColumn("ni", size(col("na.shingles")).cast("long"))
+      .withColumn("nj", size(col("nb.shingles")).cast("long"))
       .selectExpr(
-        "stack(2, doc_i, doc_j, round(CAST(c AS DOUBLE) / na.n, 4), " +
-          "doc_j, doc_i, round(CAST(c AS DOUBLE) / nb.n, 4)) " +
+        "stack(2, doc_i, doc_j, round(CAST(c AS DOUBLE) / ni, 4), " +
+          "doc_j, doc_i, round(CAST(c AS DOUBLE) / nj, 4)) " +
           "AS (src_doc, dst_doc, containment)")
       .filter(col("containment") >= threshold)
   }

@@ -56,6 +56,62 @@ class DedupSpec extends SparkSpec {
     labels.values.foreach(l => assert(labels(l) == l))
   }
 
+  // --- planted stop-shingle corpus: exercises the DF cap, the
+  // recall-neutral prefilter, and the exact-edge union, none of which
+  // the shipped fixtures reach (their max df = 25 < 64) ---
+
+  /** 100 identical boilerplate copies (every shingle df ≥ 100 > cap) +
+    * one near-dup pair that shares low-df shingles alongside the
+    * boilerplate. */
+  private def plantedDocs = {
+    val boiler = "all rights reserved by example corp limited company"
+    val copies = (0L until 100L).map(i => (1000L + i, boiler))
+    val pair = Seq(
+      (1L, s"unique snippet alpha beta gamma $boiler"),
+      (2L, s"unique snippet alpha beta gamma $boiler extra"))
+    (copies ++ pair).toDF("doc_id", "text")
+  }
+
+  test("DF cap: high-df shingles leave candidate generation; low-df survivors report exact Jaccard") {
+    val sh = Dedup.shingledFrom(plantedDocs)
+    val tok = sh.select($"doc_id", explode($"shingles").as("s"))
+    val kept = Dedup.cappedPostings(tok, Dedup.DefaultMaxDf)
+      .select("s").distinct().as[String].collect().toSet
+    // every purely-boilerplate shingle (df >= 100) must be capped out
+    val boilerOnly = "rights reserved by"
+    assert(!kept.contains(boilerOnly), s"df>cap shingle '$boilerOnly' survived the cap")
+    // the unique-prefix shingles (df = 2) must survive
+    assert(kept.contains("unique snippet alpha"), "low-df shingle was capped")
+
+    val capped = Dedup.jaccardPairsFrom(sh, 0.5, Dedup.DefaultMaxDf)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.jaccardPairsFrom(sh, 0.5, Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    // the (1,2) pair survives via its low-df shingles and its Jaccard is
+    // scored on the FULL shingle sets — identical to the uncapped run
+    val survivor = capped.find(p => p._1 == 1L && p._2 == 2L)
+    assert(survivor.isDefined, "low-df survivor pair lost under the cap")
+    assert(uncapped.contains(survivor.get), "capped run reported a non-exact Jaccard")
+    // the documented tradeoff: pairs whose EVERY shared shingle is a
+    // stop-shingle (the 100 identical copies, pairwise J = 1.0) emit no
+    // SIMILARITY candidates at all under the cap...
+    assert(!capped.exists(p => p._1 >= 1000L), "all-stop-shingle pair unexpectedly survived")
+    assert(uncapped.exists(p => p._1 >= 1000L && p._3 == 1.0), "uncapped baseline sanity")
+  }
+
+  test("exact-dup edges close the identical-copy hole: capped boilerplate copies still cluster") {
+    val labels = Dedup.nearDupClustersFrom(plantedDocs, 0.5)
+      .as[(Long, Long)].collect().toMap
+    // ...but the exact-edge union still clusters the identical copies
+    (1000L until 1100L).foreach(d =>
+      assert(labels(d) == 1000L, s"boilerplate copy $d not clustered (label ${labels(d)})"))
+    // and the keep-one reduction sees ONE representative absorbing 100
+    val groups = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(groups(1000L) == 100, s"expected 100-doc cluster, got ${groups(1000L)}")
+    // the low-df near-dup pair clusters too
+    assert(labels(1L) == 1L && labels(2L) == 1L)
+  }
+
   test("cluster operators degrade gracefully when no pairs exist") {
     // threshold above 1.0 → empty pair graph → every doc its own cluster
     val labels = Dedup.nearDupClusters(spark, sf(), threshold = 1.1)
