@@ -233,6 +233,10 @@ object SparkEntry {
     "q125_benford_digits" -> ((s, d) => Analytics.benfordDigits(s, d)),
     // categorical mutual information (feature-selection statistic)
     "q126_feature_mi" -> ((s, d) => Analytics.featureMi(s, d)),
+    // rows-only: kNN labeling through IVF probes at nProbe < kClusters —
+    // the sub-quadratic scale configuration of q117 (fitted centroids are
+    // not SQL-expressible; prediction agreement vs brute spec-asserted)
+    "q127_knn_ivf" -> ((s, d) => Similarity.knnClassify(s, d, nProbe = 4)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -248,6 +252,9 @@ object SparkEntry {
     "q21_minhash_lsh" -> 20L,
     "q22_simhash_pairs" -> 10L,
     "q25_ann_lsh_topk" -> 15L,
+    // every holdout query keeps a prediction as long as its probed cells
+    // are non-empty; 100 holdout vectors at sf0.01
+    "q127_knn_ivf" -> 90L,
     // one row per document (500 at sf0.01; slack for future fixture trims)
     "q29_fingerprints" -> 400L,
     "q35_text_embedding" -> 400L,
@@ -1531,10 +1538,15 @@ object SparkEntry {
          |      len(list_intersect(ne.shingles, ni.shingles)) AS c,
          |      len(ne.shingles) AS nn, len(ni.shingles) AS nm
          |    FROM cand JOIN sh ne ON doc_e = ne.doc_id JOIN sh ni ON doc_i = ni.doc_id)
-         |  WHERE ROUND(CAST(c AS DOUBLE) / (nn + nm - c), 4) >= 0.5)
+         |  WHERE ROUND(CAST(c AS DOUBLE) / (nn + nm - c), 4) >= 0.5),
+         |exd AS (
+         |  SELECT DISTINCT i.doc_id AS doc_i
+         |  FROM documents i JOIN documents e
+         |    ON i.doc_id >= 250 AND e.doc_id < 250 AND e.text = i.text)
          |SELECT doc_id, n_chars FROM documents d
          |WHERE doc_id >= 250
-         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)""".stripMargin,
+         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_i = d.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM exd WHERE exd.doc_i = d.doc_id)""".stripMargin,
     "q116_segment_zscores" ->
       """WITH b AS (
         |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal,

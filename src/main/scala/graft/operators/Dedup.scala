@@ -16,12 +16,15 @@ import graft.Tables
 object Dedup {
 
   /** Exact dedup (hash-groupBy): canonical representative per distinct
-    * text = min doc_id, with the duplicate count. At scale the group key
-    * would be sha2(text) to keep shuffle rows narrow — semantics
-    * identical. */
+    * text = min doc_id, with the duplicate count. The group key is
+    * `sha2(text, 256)` so the shuffle carries 32-byte digests instead
+    * of document payloads — at 100 TB that is the difference between
+    * shuffling the corpus and shuffling a key column. Semantics
+    * identical (a 256-bit collision is beyond engineering concern),
+    * and the digest is computed map-side inside codegen. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(col("text"))
+      .groupBy(sha2(col("text"), 256).as("th"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("keep_id"), col("dup_cnt"))
 
@@ -265,15 +268,17 @@ object Dedup {
     * the near-dup graph closes the identical-copy half of the
     * stop-shingle recall hole; the residual miss (near-identical but
     * not byte-identical all-boilerplate docs) is documented on
-    * [[DefaultMaxDf]]. One groupBy over the corpus; at 100 TB the group
-    * key is sha2(text) to keep shuffle rows narrow — semantics
-    * identical. */
+    * [[DefaultMaxDf]]. One groupBy over the corpus, keyed on
+    * `sha2(text, 256)` — both the aggregation and the member join
+    * shuffle 32-byte digests, never document payloads, so the edge
+    * pass stays narrow at 100 TB. */
   private[graft] def exactEdgesFrom(docs: DataFrame): DataFrame = {
-    val groups = docs.groupBy(col("text"))
+    val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("th"))
+    val groups = keyed.groupBy(col("th"))
       .agg(min(col("doc_id")).as("doc_i"), count(lit(1)).as("grp_n"))
       .filter(col("grp_n") >= 2)
-      .select(col("text"), col("doc_i"))
-    docs.select(col("doc_id"), col("text")).join(groups, Seq("text"))
+      .select(col("th"), col("doc_i"))
+    keyed.join(groups, Seq("th"))
       .filter(col("doc_id") =!= col("doc_i"))
       .select(col("doc_i"), col("doc_id").as("doc_j"))
   }
@@ -371,11 +376,30 @@ object Dedup {
     * At 100 TB the existing side's postings (and their df counts) come
     * from the materialized shingle index a production pipeline
     * maintains; here both sides derive from the same table split on
-    * doc_id, so df is counted over the combined corpus. */
+    * doc_id, so df is counted over the combined corpus.
+    *
+    * BYTE-IDENTICAL incoming copies are rejected by a separate
+    * `sha2(text, 256)` semi-join against the existing side — the
+    * incremental twin of [[exactEdgesFrom]]'s role in clustering.
+    * Without it, an incoming copy of a boilerplate group with more
+    * than `maxDf` members shares only capped shingles, generates no
+    * similarity candidate, and would survive as "new" — and the
+    * mass-replicated identical page is exactly what a nightly crawl
+    * dedup must reject. One narrow digest-keyed shuffle; the residual
+    * miss stays the NEAR-identical all-boilerplate document
+    * ([[DefaultMaxDf]]). */
   def incrementalNew(spark: SparkSession, sfDir: String,
                      splitId: Long = 250, threshold: Double = 0.5,
-                     maxDf: Long = DefaultMaxDf): DataFrame = {
-    val sh = shingled(spark, sfDir)
+                     maxDf: Long = DefaultMaxDf): DataFrame =
+    incrementalNewFrom(Tables.documents(spark, sfDir), splitId, threshold, maxDf)
+
+  /** [[incrementalNew]] over an arbitrary `(doc_id, text, n_chars)`
+    * frame — spec-visible so the exact-dup bypass and the DF-cap
+    * interplay are testable on planted mass-duplicated corpora. */
+  private[graft] def incrementalNewFrom(docs: DataFrame, splitId: Long,
+                                        threshold: Double,
+                                        maxDf: Long = DefaultMaxDf): DataFrame = {
+    val sh = shingledFrom(docs)
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val capped = cappedPostings(tok, maxDf)
     // doc_i = existing-corpus side, doc_j = incoming side; the pair
@@ -395,9 +419,19 @@ object Dedup {
       .filter(round(col("c").cast("double") /
         (size(col("ne.shingles")) + size(col("ni.shingles")) - col("c")), 4) >= threshold)
       .select(col("doc_j").as("doc_id")).distinct()
-    Tables.documents(spark, sfDir)
+    // exact-dup bypass: a byte-identical incoming copy is a duplicate
+    // regardless of shingle DF — semi-join on the 32-byte text digest
+    // (narrow shuffle), immune to the cap by construction
+    val exactDupIncoming = docs.filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), sha2(col("text"), 256).as("th"))
+      .join(docs.filter(col("doc_id") < splitId)
+          .select(sha2(col("text"), 256).as("th")),
+        Seq("th"), "left_semi")
+      .select(col("doc_id"))
+    docs
       .filter(col("doc_id") >= splitId)
-      .join(dupIncoming, Seq("doc_id"), "left_anti")
+      .join(dupIncoming.unionByName(exactDupIncoming).distinct(),
+        Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
   }
 

@@ -32,11 +32,11 @@ object Ivf {
   // cluster id, identical arithmetic to the former per-row Scala UDFs —
   // which cost a serialize/deserialize per row and broke whole-stage
   // codegen on the scan).
-  private def assignExpr(centroids: Array[Array[Double]]) = (emb: Column) =>
+  private[operators] def assignExpr(centroids: Array[Array[Double]]) = (emb: Column) =>
     graft.functions.nearestCentroids(emb, centroids.flatten, centroids.length, 1)
       .getItem(0)
 
-  private def nearestClusters(centroids: Array[Array[Double]], nProbe: Int) =
+  private[operators] def nearestClusters(centroids: Array[Array[Double]], nProbe: Int) =
     (emb: Column) =>
       graft.functions.nearestCentroids(emb, centroids.flatten, centroids.length, nProbe)
 

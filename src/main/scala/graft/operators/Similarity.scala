@@ -185,22 +185,38 @@ object Similarity {
     * labeled neighbors by cosine. Ranking uses the q24 discipline
     * (4dp-rounded cosine + id tie-break → unique neighbor set, then
     * count-desc + label-asc tie-break → unique winner), so the result
-    * is engine-portable. Shape: the labeled corpus stays partitioned,
-    * the query (holdout) side broadcasts, one corpus pass scores all
-    * queries, the vote is a queries×labels aggregation — no shuffle of
-    * the corpus itself. At 100 TB the only change is the candidate
-    * source: swap the broadcast-vs-all scoring for [[graft.operators.Ivf]]
-    * cell-restricted probes (q44) and the vote layer is unchanged. */
+    * is engine-portable.
+    *
+    * Candidates come from [[graft.operators.Ivf]] cell-restricted
+    * probes (the q44 index layer): every labeled vector carries its
+    * coarse-quantizer cell, every query probes its `nProbe` nearest
+    * cells, and scoring is an EQUI-join on the cell id — a partitioned
+    * hash join keyed on the cell, never a nested-loop over a broadcast
+    * of corpus/holdout. With `nProbe == kClusters` (the default) the
+    * probe set covers every cell, so the candidate set is provably the
+    * full labeled corpus and the result is EXACTLY brute-force kNN —
+    * regardless of where the fitted centroids landed — which keeps the
+    * DuckDB brute-force oracle hash-green. With `nProbe < kClusters`
+    * (q127's configuration) the scored pairs shrink to
+    * ~|corpus|·nProbe/kClusters: the sub-quadratic scale path, with
+    * prediction agreement vs brute asserted in the spec. The vote
+    * layer is identical in both modes. */
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
-                  holdout: Int = 5): DataFrame = {
+                  holdout: Int = 5, kClusters: Int = 16, nProbe: Int = 16,
+                  iters: Int = 2): DataFrame = {
+    val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
     val labeled = e.filter(col("vec_id") % holdout =!= 0)
+      .withColumn("cell", Ivf.assignExpr(centroids)(col("embedding")))
     val q = e.filter(col("vec_id") % holdout === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("label").as("true_label"))
-    val scored = labeled.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("probe",
+        explode(Ivf.nearestClusters(centroids, nProbe)(col("qemb"))))
+    val scored = labeled.join(q,
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cos_sim",
         round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
     val byQ = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))

@@ -294,8 +294,14 @@ object TextOps {
     * [[Dedup.exact]]). */
   def containmentPairs(spark: SparkSession, sfDir: String,
                        threshold: Double = 0.9,
-                       maxDf: Long = Dedup.DefaultMaxDf): DataFrame = {
-    val sh = Dedup.shingled(spark, sfDir)
+                       maxDf: Long = Dedup.DefaultMaxDf): DataFrame =
+    containmentPairsFrom(Dedup.shingled(spark, sfDir), threshold, maxDf)
+
+  /** [[containmentPairs]] over an arbitrary `(doc_id, shingles)` frame —
+    * spec-visible so the DF-cap + direction-aware prefilter are
+    * testable on planted boilerplate corpora. */
+  private[graft] def containmentPairsFrom(sh: DataFrame, threshold: Double,
+                                          maxDf: Long): DataFrame = {
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val capped = Dedup.cappedPostings(tok, maxDf)
     val cand = capped.as("a").join(capped.as("b"),

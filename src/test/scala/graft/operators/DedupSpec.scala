@@ -112,6 +112,57 @@ class DedupSpec extends SparkSpec {
     assert(labels(1L) == 1L && labels(2L) == 1L)
   }
 
+  test("incremental dedup: sha2 bypass rejects byte-identical copies of all-capped boilerplate") {
+    val boiler = "all rights reserved by example corp limited company"
+    // 100-copy boilerplate split 70 existing / 30 incoming: every
+    // shingle df = 100 > cap, so the SIMILARITY path emits zero
+    // candidates for them — the sha2 bypass must reject the incoming
+    // copies anyway (the round-8 recall hole)
+    val existing = (0L until 70L).map(i => (i, boiler)) ++ Seq(
+      (900L, "unique snippet alpha beta gamma delta"))
+    val incoming = (1000L until 1030L).map(i => (i, boiler)) ++ Seq(
+      // near-dup of existing 900 via low-df shingles (j = 4/5 = 0.8):
+      // the similarity path must still fire under the cap
+      (1040L, "unique snippet alpha beta gamma delta epsilon"),
+      // genuinely new: survives
+      (1050L, "completely fresh content sharing no phrases whatsoever"))
+    val docs = (existing ++ incoming).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val kept = Dedup.incrementalNewFrom(docs, splitId = 1000L, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    (1000L until 1030L).foreach(d =>
+      assert(!kept.contains(d), s"byte-identical boilerplate copy $d kept as new"))
+    assert(!kept.contains(1040L), "low-df near-dup not rejected by the similarity path")
+    assert(kept == Set(1050L), s"expected only the fresh doc, got $kept")
+  }
+
+  test("containment: DF cap keeps the low-df embedded doc, misses the all-capped pair, scores exactly") {
+    val boiler = "all rights reserved by example corp limited company"
+    val docs = ((0L until 100L).map(i => (i, boiler)) ++ Seq(
+      // short doc embedded in a longer one, reachable via low-df
+      // shingles despite the boilerplate tail
+      (500L, "unique snippet alpha beta gamma"),
+      (501L, s"unique snippet alpha beta gamma $boiler"))).toDF("doc_id", "text")
+    val sh = Dedup.shingledFrom(docs)
+    val capped = TextOps.containmentPairsFrom(sh, 0.9, Dedup.DefaultMaxDf)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = TextOps.containmentPairsFrom(sh, 0.9, Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    // 500's every shingle is a shingle of 501 → containment(500→501) = 1.0,
+    // found via the df=2 "unique snippet ..." shingles, scored on the
+    // FULL sets — identical value to the uncapped run
+    val hit = capped.find(c => c._1 == 500L && c._2 == 501L)
+    assert(hit.isDefined, "embedded doc lost under the cap")
+    assert(hit.get._3 == 1.0, s"containment not exact: ${hit.get}")
+    assert(uncapped.contains(hit.get), "capped run reported a non-exact containment")
+    // the documented miss mode: boilerplate-only pairs (mutual
+    // containment 1.0) share only df>cap shingles → no candidates
+    assert(!capped.exists(c => c._1 < 100L && c._2 < 100L),
+      "all-capped pair unexpectedly survived")
+    assert(uncapped.exists(c => c._1 < 100L && c._2 < 100L && c._3 == 1.0),
+      "uncapped baseline sanity")
+  }
+
   test("cluster operators degrade gracefully when no pairs exist") {
     // threshold above 1.0 → empty pair graph → every doc its own cluster
     val labels = Dedup.nearDupClusters(spark, sf(), threshold = 1.1)

@@ -28,6 +28,52 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall") // 3/8 cells probed
   }
 
+  test("kNN classify probe-all equals driver brute force; partial probes keep label agreement") {
+    // driver-side brute-force oracle: same arithmetic as the engine
+    // (index-order double dot, 4dp HALF_UP cosine, votes-desc +
+    // label-asc winner) over the collected sf0.01 fixture
+    val emb = graft.Tables.embeddings(spark, sf("0.01"))
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = emb.map { case (_, v, _) => math.sqrt(dotd(v, v)) }
+    val idx = emb.indices
+    val brutePred = idx.filter(i => emb(i)._1 % 5 == 0).map { qi =>
+      val (qid, qv, _) = emb(qi)
+      val nbrs = idx.filter(i => emb(i)._1 % 5 != 0)
+        .map(i => (r4(dotd(emb(i)._2, qv) / (nrm(i) * nrm(qi))), emb(i)._1, emb(i)._3))
+        .sortBy { case (c, id, _) => (-c, id) }.take(10)
+      val winner = nbrs.groupBy(_._3).toSeq.map { case (l, g) => (g.size, l) }
+        .sortBy { case (v, l) => (-v, l) }.head._2
+      qid -> winner
+    }.toMap
+    // probe-all (the q117 default): candidate set = full corpus → EXACT
+    val engine = Similarity.knnClassify(spark, sf("0.01"))
+      .select("vec_id", "predicted_label").as[(Long, Int)].collect().toMap
+    assert(engine == brutePred,
+      s"probe-all diverged from brute on ${(engine.toSet -- brutePred.toSet).take(5)}")
+    // 4/16 probes (the q127 configuration): sub-quadratic candidates.
+    // The fixture embeddings are near-random (near-orthogonal regime —
+    // the same reason the q23 recall floor sits at 0.25): true 10-NN
+    // scatter across cells, so 4/16 probes measure 0.37 agreement here,
+    // ~4× the 10-label chance rate. A real corpus with cluster
+    // structure concentrates neighbors in probed cells, which is what
+    // makes IVF a usable ANN index at all.
+    val probe4 = Similarity.knnClassify(spark, sf("0.01"), nProbe = 4)
+      .select("vec_id", "predicted_label").as[(Long, Int)].collect().toMap
+    assert(probe4.size >= 90, s"queries lost all candidates: ${probe4.size}/100")
+    val agree = brutePred.count { case (q, l) => probe4.get(q).contains(l) }
+      .toDouble / brutePred.size
+    assert(agree >= 0.25, s"label agreement $agree vs brute")
+    assert(agree > 0.15, s"agreement $agree not above the ~0.1 chance rate")
+  }
+
   test("streaming dedup drops re-deliveries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp, Double)]

@@ -233,14 +233,21 @@ class PlanAuditSpec extends SparkSpec {
       s"decontamination degenerated:\n$p")
   }
 
-  test("kNN classify: query side broadcast, scoring through the native dot") {
-    val p = plan(Similarity.knnClassify(spark, sf()))
-    // the labeled corpus must stay partitioned while the (bounded)
-    // query batch broadcasts — the corpus must never be the built side
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"query batch not broadcast:\n$p")
-    assert(!p.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
-    assert(p.contains("dot_f32"), s"native dot product missing:\n$p")
+  test("kNN classify: cell-keyed equi-join, never nested-loop, native scoring") {
+    // both q117 (probe-all, exact) and q127 (4-probe, sub-quadratic)
+    // must score through the IVF cell equi-join — the round-8 shape
+    // (labeled ⋈ broadcast(q) on vec_id =!= qid) was a
+    // BroadcastNestedLoopJoin over corpus/holdout and is the regression
+    // this gate exists to prevent
+    for (df <- Seq(Similarity.knnClassify(spark, sf()),
+                   Similarity.knnClassify(spark, sf(), nProbe = 4))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"kNN scoring degenerated to a nested loop:\n$p")
+      assert(p.contains("nearest_centroids"), s"IVF probe expression missing:\n$p")
+      assert(!p.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
+      assert(p.contains("dot_f32"), s"native dot product missing:\n$p")
+    }
   }
 
   test("weighted sample: per-partition top-k merge, never a global sort") {
