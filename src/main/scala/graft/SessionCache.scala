@@ -1,40 +1,86 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped build-once cache — the shared backing for the
   * engine's materialized layers (dedup labels, LinUCB models, IVF
-  * centroids, quality-model weights, prefix-scan frames). Keys are
-  * (session, layer key); a listener evicts every entry belonging to a
-  * session when its SparkContext ends, so a long-lived JVM that
-  * creates and stops many sessions (test suites, notebook drivers)
-  * never pins stopped sessions, their checkpointed RDDs, or model
-  * arrays. */
-final class SessionCache[K, V] {
-  private val map =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]()
-  private val hooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  * centroids, quality-model weights, prefix-scan frames).
+  *
+  * BOUNDED: each session holds at most `maxEntries` values in
+  * least-recently-used order — a long-lived context that touches many
+  * (sfDir, param) variants (test suites, notebook drivers, multi-lake
+  * jobs) evicts cold layers instead of pinning every variant for the
+  * context lifetime. Eviction calls `onEvict` (e.g.
+  * [[SessionCache.unpersistCheckpoint]] for localCheckpoint-backed
+  * frames, releasing their executor blocks eagerly instead of waiting
+  * for the context to end); a listener additionally evicts everything
+  * belonging to a session when its SparkContext stops, so stopped
+  * sessions never pin checkpointed RDDs or model arrays. */
+final class SessionCache[K, V](maxEntries: Int = 16,
+                               onEvict: V => Unit = (_: V) => ()) {
+  require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
 
-  def getOrCompute(spark: SparkSession, key: K)(f: => V): V = {
-    if (hooked.add(spark)) {
-      spark.sparkContext.addSparkListener(new SparkListener {
+  private val sessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.LinkedHashMap[K, V]]()
+
+  private def evictQuietly(spark: SparkSession, v: V): Unit =
+    try if (!spark.sparkContext.isStopped) onEvict(v)
+    catch { case _: Throwable => () }
+
+  private def mapFor(spark: SparkSession) =
+    sessions.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          map.keySet.removeIf(_._1 eq spark)
-          hooked.remove(spark)
+          sessions.remove(s): Unit // context gone — blocks already freed
         }
       })
+      // access-order LinkedHashMap = LRU
+      new java.util.LinkedHashMap[K, V](8, 0.75f, true)
+    })
+
+  def getOrCompute(spark: SparkSession, key: K)(f: => V): V = {
+    val m = mapFor(spark)
+    // f launches Spark jobs; holding the per-session lock during the
+    // build serializes concurrent layer builds for that session only —
+    // the same discipline computeIfAbsent imposed before.
+    val v = m.synchronized {
+      val hit = m.get(key)
+      if (hit != null || m.containsKey(key)) hit
+      else {
+        val computed = f
+        m.put(key, computed)
+        while (m.size > maxEntries) {
+          val it = m.entrySet().iterator()
+          val eldest = it.next()
+          it.remove()
+          evictQuietly(spark, eldest.getValue)
+        }
+        computed
+      }
     }
-    val v = map.computeIfAbsent((spark, key), _ => f)
     // Eviction/insertion race: if the session stopped while f was
     // computing (or was already stopped on entry, so the listener will
     // never fire), the entry just inserted would be pinned forever —
-    // drop it; the caller still gets its value.
-    if (spark.sparkContext.isStopped) {
-      map.remove((spark, key))
-      hooked.remove(spark)
-    }
+    // drop the whole session map; the caller still gets its value.
+    if (spark.sparkContext.isStopped) sessions.remove(spark)
     v
   }
+}
+
+object SessionCache {
+  /** Eagerly release the executor blocks behind a `localCheckpoint`ed
+    * frame — the eviction hook for DataFrame-valued layers. A
+    * checkpointed Dataset's plan is a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * leaf over the persisted RDD; unpersisting it frees the blocks now
+    * rather than at context end (dropping the map reference alone
+    * leaves them pinned until the ContextCleaner notices, which for a
+    * long-lived session is never). Non-blocking; safe on plans with no
+    * checkpoint (no-op). */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

@@ -449,7 +449,8 @@ object Analytics {
     }
   }
 
-  private val abcCache = new graft.SessionCache[(String, Int), DataFrame]()
+  private val abcCache = new graft.SessionCache[(String, Int), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   private def buildRevenueAbc(spark: SparkSession, sfDir: String,
                               nParts: Int): DataFrame = {

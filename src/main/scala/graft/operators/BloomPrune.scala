@@ -40,21 +40,40 @@ object BloomPrune {
     * side. A fixed capacity would silently saturate at larger scale
     * factors (fpp degrades toward 1 and the pruning claim evaporates,
     * even though the exact join keeps the RESULT correct); callers that
-    * know a tight upper bound can pass it to skip the count. */
+    * know a tight upper bound can pass it to skip the count.
+    *
+    * The built sketch (count pass + aggregation pass) is memoized per
+    * (session, canonicalized dim plan, key, sizing) — repeat callers
+    * of the same pruned join (dashboard refresh, bench iterations)
+    * reuse the serialized bitmap instead of re-scanning the dim twice
+    * per call. Keying on the CANONICALIZED logical plan makes cache
+    * identity semantic equality, so two different dims can never
+    * collide into each other's bitmap (a false sharing there would
+    * wrongly drop fact rows — the exact join only repairs false
+    * POSITIVES, never false negatives). */
   def prunedFact(fact: DataFrame, factKey: String,
                  dim: DataFrame, dimKey: String,
                  expectedItems: Long = -1L,
                  fpp: Double = 0.01): DataFrame = {
-    val expected =
-      if (expectedItems > 0) expectedItems else math.max(dim.count(), 1L)
-    val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
+    val cacheKey = (dim.queryExecution.analyzed.canonicalized,
+      dimKey, expectedItems, fpp)
+    val bytes = bloomCache.getOrCompute(dim.sparkSession, cacheKey) {
+      val expected =
+        if (expectedItems > 0) expectedItems else math.max(dim.count(), 1L)
+      val bf = dim.stat.bloomFilter(dimKey, expected, fpp)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val mightContain: Column = GraftShims.column(BloomFilterMightContain(
-      Literal(bos.toByteArray, BinaryType),
+      Literal(bytes, BinaryType),
       GraftShims.expression(col(factKey).cast("long"))))
     fact.filter(mightContain)
   }
+
+  private val bloomCache = new graft.SessionCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Double),
+    Array[Byte]]()
 
   /** Monthly revenue from URGENT-priority orders: bloom on the filtered
     * order keys prunes ~4/5 of lineitem before the join shuffle. */

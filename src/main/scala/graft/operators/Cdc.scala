@@ -180,7 +180,8 @@ object Cdc {
         .localCheckpoint()
     }
 
-  private val logCache = new graft.SessionCache[String, DataFrame]()
+  private val logCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** SCD-2 history from the changelog: order each key's versions by
     * lsn, and close every version with its successor's lsn

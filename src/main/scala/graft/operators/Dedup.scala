@@ -297,7 +297,8 @@ object Dedup {
       nearDupClusters(spark, sfDir, threshold).localCheckpoint()
     }
 
-  private val clusterCache = new graft.SessionCache[(String, Double), DataFrame]()
+  private val clusterCache = new graft.SessionCache[(String, Double), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** Component labels for the edge-endpoint set only (every doc that
     * appears in some near-dup pair or exact-duplicate group); singletons

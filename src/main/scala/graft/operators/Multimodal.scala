@@ -53,9 +53,17 @@ object Multimodal {
     * data), metadata derived deterministically from doc_id. Downstream
     * decode reads ONLY the payload bytes — swapping in real camera/
     * microphone blobs changes nothing structurally. */
-  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] =
+    mediaTableFrom(Tables.documents(spark, sfDir))
+
+  /** [[mediaTable]] over an arbitrary `(doc_id, text)` frame —
+    * spec-visible so the null-payload guard is testable on planted
+    * rows (a lake row with a null blob must frame as an empty
+    * container, not NPE the codec). */
+  private[graft] def mediaTableFrom(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(
+    docs.select(
       col("doc_id").as("media_id"),
       element_at(
         array(Formats.map(lit): _*), (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
@@ -65,9 +73,14 @@ object Multimodal {
       (pmod(col("doc_id"), lit(30)) + 1).cast("int").as("n_frames"),
       col("text").cast("binary").as("payload")).as[MediaRow]
       .map { r =>
+        // null-payload guard: a null text column decodes to a null
+        // binary, which the codec's header math would NPE on — frame
+        // it as an EMPTY container instead (header present, zero data
+        // bytes), the contract a real lake uses for zero-length blobs
+        val data = if (r.payload == null) Array.emptyByteArray else r.payload
         val framed =
-          if (r.format == "bmp") MediaCodec.bmp(r.width, r.height, r.payload)
-          else MediaCodec.wav(channelsOf(r.media_id), rateOf(r.media_id), r.payload)
+          if (r.format == "bmp") MediaCodec.bmp(r.width, r.height, data)
+          else MediaCodec.wav(channelsOf(r.media_id), rateOf(r.media_id), data)
         r.copy(payload = framed)
       }
   }

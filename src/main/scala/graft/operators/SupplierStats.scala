@@ -130,7 +130,8 @@ object SupplierStats {
     }
   }
 
-  private val tagCache = new graft.SessionCache[(String, Int), DataFrame]()
+  private val tagCache = new graft.SessionCache[(String, Int), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   private def buildTagLate(spark: SparkSession, sfDir: String,
                            buckets: Int): DataFrame = {

@@ -64,6 +64,18 @@ class FeaturesSpec extends SparkSpec {
       s"dup pairs mean dist $dupDist vs random $randDist")
   }
 
+  test("media decode survives a null payload: framed as an empty container, zero data bytes") {
+    import spark.implicits._
+    val docs = Seq((0L, "some pixel text"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decode(Multimodal.mediaTableFrom(docs)).collect()
+    assert(decoded.length == 2)
+    val nullRow = decoded.find(_.media_id == 1L).get
+    assert(nullRow.data_bytes == 0L, s"null payload not empty: $nullRow")
+    assert(nullRow.byte_len > 0L, "container header missing for the null payload")
+    assert(decoded.find(_.media_id == 0L).get.data_bytes == 15L)
+  }
+
   test("media decode parses real BMP/WAV headers, partition-parallel") {
     val media = Multimodal.mediaTable(spark, sf()).repartition(4)
     val feats = Multimodal.decode(media).collect()
