@@ -54,6 +54,19 @@ class PlanAuditSpec extends SparkSpec {
       s"pair join degenerated to a quadratic strategy:\n$p")
   }
 
+  test("jaccard capped-postings subtree is exchange-reused across its references") {
+    // cappedPostings (explode → df groupBy → left-semi) feeds both
+    // self-join sides plus docStats with no explicit materialization —
+    // the cost model relies on AQE exchange reuse to avoid recomputing
+    // the df aggregation per reference. Assert the reuse actually
+    // happens in the adaptive final plan.
+    val df = Dedup.jaccardPairs(spark, sf(), 0.5)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"),
+      s"capped-postings exchanges recomputed per reference:\n$p")
+  }
+
   test("ANN scans score through the native dot product, not a UDF") {
     for (df <- Seq(Similarity.bruteForceTopK(spark, sf()),
                    Similarity.lshTopK(spark, sf()))) {
