@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -14,19 +16,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * context lifetime. Eviction calls `onEvict` (e.g.
   * [[SessionCache.unpersistCheckpoint]] for localCheckpoint-backed
   * frames, releasing their executor blocks eagerly instead of waiting
-  * for the context to end); a listener additionally evicts everything
-  * belonging to a session when its SparkContext stops, so stopped
-  * sessions never pin checkpointed RDDs or model arrays. */
+  * for the context to end); a listener additionally drops a session's
+  * entries when its SparkContext stops, so stopped sessions never pin
+  * checkpointed RDDs or model arrays.
+  *
+  * CONTRACT: a cached layer is valid while RESIDENT. Consumers re-enter
+  * through the layer getter (e.g. `Dedup.materializedClusters`) — an
+  * evicted entry rebuilds transparently on next access; a DataFrame
+  * reference held privately across `maxEntries` later layer builds in
+  * the same session may lose its blocks to eviction. Keys assume the
+  * data under a given key (sfDir, plan) is immutable for the session —
+  * an in-place lake refresh mid-session invalidates every memoized
+  * layer, the standard warehouse snapshot assumption.
+  *
+  * Concurrency: cache hits never block on an in-flight build; builds
+  * for the SAME key are serialized on a per-key latch (build-once
+  * preserved), builds for different keys run concurrently. */
 final class SessionCache[K, V](maxEntries: Int = 16,
                                onEvict: V => Unit = (_: V) => ()) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
 
   private val sessions = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.LinkedHashMap[K, V]]()
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), Object]()
 
   private def evictQuietly(spark: SparkSession, v: V): Unit =
     try if (!spark.sparkContext.isStopped) onEvict(v)
-    catch { case _: Throwable => () }
+    catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        System.err.println(s"[SessionCache] eviction interrupted: $e")
+      case NonFatal(e) =>
+        System.err.println(s"[SessionCache] onEvict failed (blocks may stay pinned): $e")
+    }
 
   private def mapFor(spark: SparkSession) =
     sessions.computeIfAbsent(spark, s => {
@@ -41,24 +64,34 @@ final class SessionCache[K, V](maxEntries: Int = 16,
 
   def getOrCompute(spark: SparkSession, key: K)(f: => V): V = {
     val m = mapFor(spark)
-    // f launches Spark jobs; holding the per-session lock during the
-    // build serializes concurrent layer builds for that session only —
-    // the same discipline computeIfAbsent imposed before.
-    val v = m.synchronized {
-      val hit = m.get(key)
-      if (hit != null || m.containsKey(key)) hit
+    // fast path: hits take the map lock only briefly (get also refreshes
+    // LRU order, so it must run under the lock)
+    val hit = m.synchronized(m.get(key))
+    val v =
+      if (hit != null) hit
       else {
-        val computed = f
-        m.put(key, computed)
-        while (m.size > maxEntries) {
-          val it = m.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          evictQuietly(spark, eldest.getValue)
-        }
-        computed
+        // build OUTSIDE the map lock so hits and other-key builds never
+        // wait; same-key racers serialize on a per-key latch and the
+        // loser reuses the winner's value (build-once preserved)
+        val latch = building.computeIfAbsent((spark, key), _ => new Object)
+        try latch.synchronized {
+          val again = m.synchronized(m.get(key))
+          if (again != null) again
+          else {
+            val computed = f
+            m.synchronized {
+              m.put(key, computed)
+              while (m.size > maxEntries) {
+                val it = m.entrySet().iterator()
+                val eldest = it.next()
+                it.remove()
+                evictQuietly(spark, eldest.getValue)
+              }
+            }
+            computed
+          }
+        } finally building.remove((spark, key)): Unit
       }
-    }
     // Eviction/insertion race: if the session stopped while f was
     // computing (or was already stopped on entry, so the listener will
     // never fire), the entry just inserted would be pinned forever —

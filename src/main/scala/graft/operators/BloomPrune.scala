@@ -50,7 +50,11 @@ object BloomPrune {
     * identity semantic equality, so two different dims can never
     * collide into each other's bitmap (a false sharing there would
     * wrongly drop fact rows — the exact join only repairs false
-    * POSITIVES, never false negatives). */
+    * POSITIVES, never false negatives). Like every session layer
+    * ([[graft.SessionCache]]), the memo assumes the data under a plan
+    * is immutable for the session — an in-place refresh of the dim's
+    * files mid-session requires a new session to avoid a stale
+    * bitmap, the standard warehouse snapshot assumption. */
   def prunedFact(fact: DataFrame, factKey: String,
                  dim: DataFrame, dimKey: String,
                  expectedItems: Long = -1L,

@@ -17,9 +17,9 @@ object Dedup {
 
   /** Exact dedup (hash-groupBy): canonical representative per distinct
     * text = min doc_id, with the duplicate count. The group key is
-    * `sha2(text, 256)` so the shuffle carries 32-byte digests instead
-    * of document payloads — at 100 TB that is the difference between
-    * shuffling the corpus and shuffling a key column. Semantics
+    * `sha2(text, 256)` so the shuffle carries fixed-width 64-char hex
+    * digests instead of document payloads — at 100 TB that is the
+    * difference between shuffling the corpus and a key column. Semantics
     * identical (a 256-bit collision is beyond engineering concern),
     * and the digest is computed map-side inside codegen. */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
@@ -270,8 +270,8 @@ object Dedup {
     * not byte-identical all-boilerplate docs) is documented on
     * [[DefaultMaxDf]]. One groupBy over the corpus, keyed on
     * `sha2(text, 256)` — both the aggregation and the member join
-    * shuffle 32-byte digests, never document payloads, so the edge
-    * pass stays narrow at 100 TB. */
+    * shuffle fixed-width hex digests, never document payloads, so the
+    * edge pass stays narrow at 100 TB. */
   private[graft] def exactEdgesFrom(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("th"))
     val groups = keyed.groupBy(col("th"))
@@ -421,8 +421,8 @@ object Dedup {
         (size(col("ne.shingles")) + size(col("ni.shingles")) - col("c")), 4) >= threshold)
       .select(col("doc_j").as("doc_id")).distinct()
     // exact-dup bypass: a byte-identical incoming copy is a duplicate
-    // regardless of shingle DF — semi-join on the 32-byte text digest
-    // (narrow shuffle), immune to the cap by construction
+    // regardless of shingle DF — semi-join on the fixed-width text
+    // digest (narrow shuffle), immune to the cap by construction
     val exactDupIncoming = docs.filter(col("doc_id") >= splitId)
       .select(col("doc_id"), sha2(col("text"), 256).as("th"))
       .join(docs.filter(col("doc_id") < splitId)

@@ -192,8 +192,9 @@ object Similarity {
     * coarse-quantizer cell, every query probes its `nProbe` nearest
     * cells, and scoring is an EQUI-join on the cell id — a partitioned
     * hash join keyed on the cell, never a nested-loop over a broadcast
-    * of corpus/holdout. With `nProbe == kClusters` (the default) the
-    * probe set covers every cell, so the candidate set is provably the
+    * of corpus/holdout. `nProbe <= 0` (the default) resolves to
+    * `kClusters` — probe-all: the probe set covers every cell, so the
+    * candidate set is provably the
     * full labeled corpus and the result is EXACTLY brute-force kNN —
     * regardless of where the fitted centroids landed — which keeps the
     * DuckDB brute-force oracle hash-green. With `nProbe < kClusters`
@@ -202,8 +203,12 @@ object Similarity {
     * prediction agreement vs brute asserted in the spec. The vote
     * layer is identical in both modes. */
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
-                  holdout: Int = 5, kClusters: Int = 16, nProbe: Int = 16,
+                  holdout: Int = 5, kClusters: Int = 16, nProbe: Int = -1,
                   iters: Int = 2): DataFrame = {
+    // default derives from kClusters so a non-default cell count keeps
+    // the documented probe-all-is-exact contract instead of silently
+    // under-probing (or tripping the nProbe <= nCentroids require)
+    val probes = if (nProbe <= 0) kClusters else nProbe
     val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
@@ -214,7 +219,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("label").as("true_label"))
       .withColumn("probe",
-        explode(Ivf.nearestClusters(centroids, nProbe)(col("qemb"))))
+        explode(Ivf.nearestClusters(centroids, probes)(col("qemb"))))
     val scored = labeled.join(q,
         col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cos_sim",
