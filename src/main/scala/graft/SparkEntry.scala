@@ -237,6 +237,12 @@ object SparkEntry {
     // the sub-quadratic scale configuration of q117 (fitted centroids are
     // not SQL-expressible; prediction agreement vs brute spec-asserted)
     "q127_knn_ivf" -> ((s, d) => Similarity.knnClassify(s, d, nProbe = 4)),
+    // rows-only: per-cell population / cohesion / label purity over the
+    // IVF cell layer (fitted centroids are not SQL-expressible)
+    "q128_cluster_profile" -> ((s, d) => Ivf.clusterProfile(s, d)),
+    // rows-only: SemDeDup-style within-cell embedding dedup — kept set
+    // spec-asserted against a brute within-cell replication
+    "q129_semantic_keep" -> ((s, d) => Ivf.semanticKeep(s, d)),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -255,6 +261,10 @@ object SparkEntry {
     // every holdout query keeps a prediction as long as its probed cells
     // are non-empty; 100 holdout vectors at sf0.01
     "q127_knn_ivf" -> 90L,
+    // one row per non-empty cell (16 fitted; allow a couple empty)
+    "q128_cluster_profile" -> 10L,
+    // 500 vectors minus within-cell cosine>=0.4 dominated (16 observed)
+    "q129_semantic_keep" -> 450L,
     // one row per document (500 at sf0.01; slack for future fixture trims)
     "q29_fingerprints" -> 400L,
     "q35_text_embedding" -> 400L,

@@ -85,6 +85,87 @@ object Ivf {
   private val centroidCache =
     new graft.SessionCache[(String, Int, Int), Array[Array[Double]]]()
 
+  /** Corpus clustering profile over the IVF cell layer — the
+    * topic-bucketing diagnostic a curation pipeline runs before
+    * mixture decisions: per cell, its population, mean cosine to the
+    * cell centroid (cohesion), and the majority label with its purity.
+    * One assignment pass (native codegen'd argmin against the
+    * broadcast k×d centroid literal) and one two-level aggregation —
+    * `(cell, label)` counts collapse map-side, then `max_by` picks the
+    * majority label without a window (count-desc, label-asc
+    * tie-break). Rows-only: the fitted centroids are not
+    * SQL-expressible; per-cell invariants are spec-asserted. */
+  def clusterProfile(spark: SparkSession, sfDir: String, kClusters: Int = 16,
+                     iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = fittedCentroids(spark, sfDir, kClusters, iters)
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+      .toDF("cluster", "centroid")
+    val perLabel = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+      .withColumn("cluster", assignExpr(centroids)(col("embedding")))
+      .join(broadcast(cdf), "cluster")
+      .withColumn("cos_c",
+        Similarity.dot(col("embedding"), col("centroid")) /
+          (col("nrm") * Similarity.l2norm(col("centroid"))))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_l"), sum(col("cos_c")).as("cos_l"))
+    perLabel.groupBy(col("cluster"))
+      .agg(sum(col("n_l")).as("n_vectors"),
+        round(sum(col("cos_l")) / sum(col("n_l")), 4).as("avg_cos_centroid"),
+        max_by(struct(col("label"), col("n_l")),
+          struct(col("n_l"), -col("label"))).as("top"))
+      .select(col("cluster"), col("n_vectors"), col("avg_cos_centroid"),
+        col("top.label").as("top_label"),
+        round(col("top.n_l").cast("double") / col("n_vectors"), 4).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Semantic (embedding-space) dedup over the IVF cell layer — the
+    * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * corpus with a coarse k-means, compare pairs only WITHIN a cell,
+    * and drop all but one representative of each high-cosine group.
+    * Pair work is Σ|cell|² instead of |corpus|² — k grows with the
+    * corpus (the paper runs k=50 000 at web scale) so cells stay
+    * bounded; the join is an equi-join on the cell id, keyed and
+    * shuffle-partitioned, never a cross.
+    *
+    * Representative rule (deterministic, engine-portable): a vector is
+    * DROPPED iff some lower-id vector in the same cell has rounded
+    * cosine ≥ `threshold` with it — min-id-wins dominance, the same
+    * discipline as [[graft.operators.Dedup.exact]]'s min-doc_id
+    * canonical representative (the paper keeps the vector farthest
+    * from the centroid; the tie-break differs, the set semantics —
+    * one survivor per dup neighborhood — is the same). Rows-only:
+    * cell assignment needs the fitted centroids; exact agreement with
+    * a brute within-cell replication is spec-asserted. */
+  def semanticKeep(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+                   kClusters: Int = 16, iters: Int = 2): DataFrame =
+    semanticKeepFrom(
+      Similarity.spread(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding")),
+      fittedCentroids(spark, sfDir, kClusters, iters), threshold)
+
+  /** [[semanticKeep]] over an arbitrary `(vec_id, embedding)` frame
+    * with caller-supplied centroids — spec-visible so dominance
+    * semantics are testable on planted vectors with pinned cells. */
+  private[graft] def semanticKeepFrom(vecs: DataFrame,
+                                      centroids: Array[Array[Double]],
+                                      threshold: Double): DataFrame = {
+    val e = withNorm(vecs.select(col("vec_id"), col("embedding")))
+      .withColumn("cell", assignExpr(centroids)(col("embedding")))
+    val dominated = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(
+        Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 4) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    e.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */
   def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,

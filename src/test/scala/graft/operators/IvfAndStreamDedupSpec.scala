@@ -123,6 +123,101 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticKeep dominance on planted vectors with pinned cells") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0: id0=(1,0) keeps, id1=(0.9,0.1) cos≈0.994 to id0 → dropped
+    // cell 1: id2=(0,1) keeps, id3=(0.1,0.95) cos≈0.995 to id2 → dropped,
+    //         id4=(-1,0) lands in cell 1 (closer to (0,1) than (1,0))
+    //         but cos 0 / -0.1 to its cellmates → kept
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.95f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Ivf.semanticKeepFrom(vecs, centroids, 0.9)
+      .as[(Long, Int)].collect().toMap
+    assert(kept == Map(0L -> 0, 2L -> 1, 4L -> 1), s"got $kept")
+    // threshold above every pairwise cosine → nothing dominated
+    val all = Ivf.semanticKeepFrom(vecs, centroids, 0.9999)
+      .as[(Long, Int)].collect().toMap.keySet
+    assert(all == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("semanticKeep agrees with a brute within-cell replication on the real fixture") {
+    val kClusters = 8
+    val kept = Ivf.semanticKeep(spark, sf("0.001"), threshold = 0.3,
+        kClusters = kClusters, iters = 1)
+      .as[(Long, Int)].collect().toMap
+    // driver replication: same centroids (session-cached fit), same
+    // squared-L2 lowest-id assignment, same 4dp HALF_UP cosine
+    val centroids = Ivf.fittedCentroids(spark, sf("0.001"), kClusters, 1)
+    val emb = graft.Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cell(v: Array[Float]): Int =
+      centroids.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) {
+          val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cells = emb.map { case (_, v) => cell(v) }
+    val nrm = emb.map { case (_, v) => math.sqrt(dotd(v, v)) }
+    val expected = emb.indices.filterNot { j =>
+      emb.indices.exists { i =>
+        i < j && cells(i) == cells(j) &&
+          r4(dotd(emb(i)._2, emb(j)._2) / (nrm(i) * nrm(j))) >= 0.3
+      }
+    }.map(j => emb(j)._1 -> cells(j)).toMap
+    assert(expected.size < emb.length, "fixture produced no dominated vector at 0.3")
+    assert(kept == expected,
+      s"diverged on ${(kept.toSet -- expected.toSet).take(5)} / ${(expected.toSet -- kept.toSet).take(5)}")
+  }
+
+  test("clusterProfile partitions the corpus with sane cohesion and purity") {
+    val rows = Ivf.clusterProfile(spark, sf("0.01"))
+      .as[(Int, Long, Double, Int, Double)].collect()
+    assert(rows.map(_._2).sum == 500L, "cells must partition the corpus")
+    assert(rows.length <= 16 && rows.length >= 2)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per cell")
+    rows.foreach { case (c, n, cos, lbl, purity) =>
+      assert(n >= 1)
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cell $c cohesion $cos")
+      assert(lbl >= 0 && lbl <= 9, s"cell $c top label $lbl")
+      assert(purity > 0.0 && purity <= 1.0, s"cell $c purity $purity")
+    }
+    // majority-label replication for the largest cell
+    val centroids = Ivf.fittedCentroids(spark, sf("0.01"), 16, 2)
+    val emb = graft.Tables.embeddings(spark, sf("0.01"))
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cell(v: Array[Float]): Int =
+      centroids.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) {
+          val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    val big = rows.maxBy(_._2)
+    val labels = emb.filter { case (v, _) => cell(v) == big._1 }.map(_._2)
+    assert(labels.length == big._2, "population mismatch vs replication")
+    val major = labels.groupBy(identity).toSeq
+      .map { case (l, g) => (g.length, l) }
+      .sortBy { case (n, l) => (-n, l) }.head
+    assert(big._4 == major._2 && big._5 ==
+      BigDecimal(major._1.toDouble / labels.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"majority label mismatch: got (${big._4}, ${big._5}), want $major")
+  }
+
   test("IVF assignment/probe is the native expression - no ScalaUDF in the plan") {
     val plan = Ivf.topK(spark, sf("0.01")).queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), s"UDF survived in q44 plan:\n$plan")

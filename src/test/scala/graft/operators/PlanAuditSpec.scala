@@ -263,6 +263,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: cell-keyed pair join, native expressions only") {
+    val p = plan(Ivf.semanticKeep(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"within-cell pair join degenerated to a quadratic strategy:\n$p")
+    assert(p.contains("nearest_centroids"), s"cell assignment expression missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the pair-scoring path:\n$p")
+  }
+
   test("weighted sample: per-partition top-k merge, never a global sort") {
     val p = plan(Analytics.weightedSample(spark, sf()))
     assert(p.contains("TakeOrderedAndProject"),
