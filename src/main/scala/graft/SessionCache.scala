@@ -22,16 +22,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * CONTRACT: a cached layer is valid while RESIDENT. Consumers re-enter
   * through the layer getter (e.g. `Dedup.materializedClusters`) — an
-  * evicted entry rebuilds transparently on next access; a DataFrame
-  * reference held privately across `maxEntries` later layer builds in
-  * the same session may lose its blocks to eviction. Keys assume the
+  * evicted entry rebuilds transparently on next GETTER access. A
+  * DataFrame reference held privately across `maxEntries` later layer
+  * builds in the same session may lose its blocks to eviction, and a
+  * checkpoint-backed frame FAILS if acted on after that (truncated
+  * lineage cannot recompute) — hold the getter, not the frame. Keys assume the
   * data under a given key (sfDir, plan) is immutable for the session —
   * an in-place lake refresh mid-session invalidates every memoized
   * layer, the standard warehouse snapshot assumption.
   *
   * Concurrency: cache hits never block on an in-flight build; builds
-  * for the SAME key are serialized on a per-key latch (build-once
-  * preserved), builds for different keys run concurrently. */
+  * for the SAME key are serialized on a per-key latch (a displaced-
+  * latch race can rarely build twice — the loser's value is discarded
+  * and released via `onEvict`, the winner's is what every caller
+  * sees), builds for different keys run concurrently. */
 final class SessionCache[K, V](maxEntries: Int = 16,
                                onEvict: V => Unit = (_: V) => ()) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
@@ -80,15 +84,26 @@ final class SessionCache[K, V](maxEntries: Int = 16,
           else {
             val computed = f
             m.synchronized {
-              m.put(key, computed)
-              while (m.size > maxEntries) {
-                val it = m.entrySet().iterator()
-                val eldest = it.next()
-                it.remove()
-                evictQuietly(spark, eldest.getValue)
+              // displaced-latch race (builder finished + removed the
+              // latch while we were acquiring it, then a newcomer
+              // re-created it): if a value landed meanwhile, keep the
+              // resident one and RELEASE ours — a silent put would
+              // displace it with no onEvict, pinning its blocks forever
+              val existing = m.get(key)
+              if (existing != null) {
+                evictQuietly(spark, computed)
+                existing
+              } else {
+                m.put(key, computed)
+                while (m.size > maxEntries) {
+                  val it = m.entrySet().iterator()
+                  val eldest = it.next()
+                  it.remove()
+                  evictQuietly(spark, eldest.getValue)
+                }
+                computed
               }
             }
-            computed
           }
         } finally building.remove((spark, key)): Unit
       }

@@ -429,9 +429,12 @@ object Dedup {
           .select(sha2(col("text"), 256).as("th")),
         Seq("th"), "left_semi")
       .select(col("doc_id"))
+    // no distinct over the union: left_anti ignores right-side
+    // multiplicity, and a doc on both lists (exact copy that also
+    // near-dups) appears at most twice
     docs
       .filter(col("doc_id") >= splitId)
-      .join(dupIncoming.unionByName(exactDupIncoming).distinct(),
+      .join(dupIncoming.unionByName(exactDupIncoming),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
   }

@@ -46,10 +46,14 @@ object Ivf {
     import spark.implicits._
     val e = Similarity.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding")).cache()
-    // deterministic init: the k lowest vec_ids
+    // deterministic init: the k lowest vec_ids (a corpus smaller than k
+    // yields |corpus| cells — callers size probe counts off the FITTED
+    // length, not the requested k)
     var centroids = e.orderBy("vec_id").limit(k)
       .select("embedding").as[Array[Float]].collect()
       .map(_.map(_.toDouble))
+    require(centroids.nonEmpty,
+      s"cannot fit an IVF quantizer on an empty embeddings table ($sfDir)")
     var it = 0
     while (it < iters) {
       val assigned = e.withColumn("cluster", assignExpr(centroids)(col("embedding")))
@@ -99,9 +103,15 @@ object Ivf {
                      iters: Int = 2): DataFrame = {
     import spark.implicits._
     val centroids = fittedCentroids(spark, sfDir, kClusters, iters)
-    val cdf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
-      .toDF("cluster", "centroid")
+    // centroid norm precomputed once per cell on the driver (ascending-
+    // index double accumulation over the float values — the same
+    // arithmetic dot_f32 would run, but k times instead of once per row)
+    val cdf = centroids.zipWithIndex.map { case (c, i) =>
+      val cf = c.map(_.toFloat)
+      var s = 0.0; var j = 0
+      while (j < cf.length) { s += cf(j).toDouble * cf(j).toDouble; j += 1 }
+      (i, cf, math.sqrt(s))
+    }.toSeq.toDF("cluster", "centroid", "cnrm")
     val perLabel = Similarity.spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
         Similarity.l2norm(col("embedding")).as("nrm"))
@@ -109,7 +119,7 @@ object Ivf {
       .join(broadcast(cdf), "cluster")
       .withColumn("cos_c",
         Similarity.dot(col("embedding"), col("centroid")) /
-          (col("nrm") * Similarity.l2norm(col("centroid"))))
+          (col("nrm") * col("cnrm")))
       .groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n_l"), sum(col("cos_c")).as("cos_l"))
     perLabel.groupBy(col("cluster"))

@@ -205,11 +205,14 @@ object Similarity {
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
                   holdout: Int = 5, kClusters: Int = 16, nProbe: Int = -1,
                   iters: Int = 2): DataFrame = {
-    // default derives from kClusters so a non-default cell count keeps
-    // the documented probe-all-is-exact contract instead of silently
-    // under-probing (or tripping the nProbe <= nCentroids require)
-    val probes = if (nProbe <= 0) kClusters else nProbe
     val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
+    // default derives from the FITTED cell count (the fit returns
+    // min(kClusters, |corpus|) centroids) so both a non-default
+    // kClusters and a corpus smaller than kClusters keep the documented
+    // probe-all-is-exact contract instead of silently under-probing or
+    // tripping the nProbe <= nCentroids require
+    val probes = if (nProbe <= 0) centroids.length
+                 else math.min(nProbe, centroids.length)
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))

@@ -77,6 +77,35 @@ class NativeExprPropSpec extends SparkSpec {
     intercept[IllegalArgumentException](GenOps.parse("[z-a]"))
   }
 
+  test("NearestCentroids.nearest == naive probe order on random vectors, ties to lowest cell") {
+    val r = new scala.util.Random(1281290L)
+    for (_ <- 1 to 300) {
+      val dim = 1 + r.nextInt(16)
+      val k = 1 + r.nextInt(10)
+      val flat = Array.fill(k * dim)(r.nextDouble() * 2 - 1)
+      // force exact distance ties on ~1/3 of the cases by duplicating a
+      // centroid: the tie MUST resolve to the lower cell id, in every
+      // probe position
+      if (k >= 2 && r.nextInt(3) == 0) {
+        val src = r.nextInt(k); val dst = r.nextInt(k)
+        System.arraycopy(flat, src * dim, flat, dst * dim, dim)
+      }
+      val v = Array.fill(dim)(r.nextFloat() * 2 - 1)
+      val nProbe = 1 + r.nextInt(k)
+      val got = NearestCentroids.nearest(
+        new GenericArrayData(v), flat, k, nProbe).toIntArray()
+      val want = (0 until k).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) {
+          val diff = v(i).toDouble - flat(c * dim + i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }.sortBy { case (d, c) => (d, c) }.take(nProbe).map(_._2).toArray
+      assert(got.sameElements(want),
+        s"probe order ${got.toSeq} != ${want.toSeq} (k=$k dim=$dim nProbe=$nProbe)")
+    }
+  }
+
   test("MediaCodec wav/bmp round-trip on random dimensions and payloads") {
     import graft.operators.MediaCodec
     val r = new scala.util.Random(99L)

@@ -9,6 +9,28 @@ import graft.streaming.StreamingDedup
 class IvfAndStreamDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Shared driver-side oracle arithmetic — ONE definition of the
+    * engine's disciplines (index-order double dot, 4dp HALF_UP
+    * rounding, squared-L2 lowest-id cell assignment) so the brute
+    * replications cannot drift apart from each other. */
+  private object BruteMath {
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cell(centroids: Array[Array[Double]])(v: Array[Float]): Int =
+      centroids.indices.minBy { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) {
+          val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+  }
+
   test("IVF probing ALL cells reproduces brute force exactly") {
     val brute = Similarity.bruteForceTopK(spark, sf("0.01"), nQueries = 5, k = 3)
       .select("qid", "nbr_id", "rank").as[(Long, Long, Long)].collect().toSet
@@ -32,16 +54,10 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     // driver-side brute-force oracle: same arithmetic as the engine
     // (index-order double dot, 4dp HALF_UP cosine, votes-desc +
     // label-asc winner) over the collected sf0.01 fixture
+    import BruteMath.{dotd, r4}
     val emb = graft.Tables.embeddings(spark, sf("0.01"))
       .select(col("vec_id"), col("embedding"), col("label")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val nrm = emb.map { case (_, v, _) => math.sqrt(dotd(v, v)) }
     val idx = emb.indices
     val brutePred = idx.filter(i => emb(i)._1 % 5 == 0).map { qi =>
@@ -149,26 +165,12 @@ class IvfAndStreamDedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     // driver replication: same centroids (session-cached fit), same
     // squared-L2 lowest-id assignment, same 4dp HALF_UP cosine
+    import BruteMath.{dotd, r4}
     val centroids = Ivf.fittedCentroids(spark, sf("0.001"), kClusters, 1)
     val emb = graft.Tables.embeddings(spark, sf("0.001"))
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def dotd(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def cell(v: Array[Float]): Int =
-      centroids.indices.minBy { c =>
-        var d = 0.0; var i = 0
-        while (i < v.length) {
-          val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
-        }
-        d
-      }
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cells = emb.map { case (_, v) => cell(v) }
+    val cells = emb.map { case (_, v) => BruteMath.cell(centroids)(v) }
     val nrm = emb.map { case (_, v) => math.sqrt(dotd(v, v)) }
     val expected = emb.indices.filterNot { j =>
       emb.indices.exists { i =>
@@ -198,16 +200,9 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, sf("0.01"))
       .select(col("vec_id"), col("embedding"), col("label")).collect()
       .map(r => (r.getSeq[Float](1).toArray, r.getInt(2)))
-    def cell(v: Array[Float]): Int =
-      centroids.indices.minBy { c =>
-        var d = 0.0; var i = 0
-        while (i < v.length) {
-          val diff = v(i).toDouble - centroids(c)(i); d += diff * diff; i += 1
-        }
-        d
-      }
     val big = rows.maxBy(_._2)
-    val labels = emb.filter { case (v, _) => cell(v) == big._1 }.map(_._2)
+    val labels = emb.filter { case (v, _) =>
+      BruteMath.cell(centroids)(v) == big._1 }.map(_._2)
     assert(labels.length == big._2, "population mismatch vs replication")
     val major = labels.groupBy(identity).toSeq
       .map { case (l, g) => (g.length, l) }
