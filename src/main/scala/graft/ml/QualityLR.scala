@@ -52,7 +52,11 @@ object QualityLR {
 
   /** One Newton step's sufficient statistics, decimal-exact: each term
     * is rounded to 12dp BEFORE the sum, so the aggregate (and hence the
-    * whole training trajectory) is independent of partitioning. */
+    * whole training trajectory) is independent of partitioning.
+    * (A codegen-stable variant — β through a broadcast one-row frame so
+    * iterations share one compiled aggregate — was measured SLOWER at
+    * this dimensionality: the per-step broadcast exchange costs more
+    * than the recompile it saves. Literals stay.) */
   private def newtonStep(feats: DataFrame, beta: Array[Double],
                          ridge: Double): Array[Double] = {
     val dec = DecimalType(38, 12)
@@ -87,13 +91,22 @@ object QualityLR {
   }
 
   /** IRLS training: `iters` Newton steps from β = 0, one corpus pass
-    * each. Deterministic by the decimal-term construction. */
+    * each. Deterministic by the decimal-term construction. The feature
+    * frame is pinned (MEMORY_AND_DISK) for the duration of the loop —
+    * the MLlib discipline for iterative optimizers: the text-processing
+    * feature derivation runs once, each Newton pass re-reads the narrow
+    * (d+2)-column cache, and the blocks are released when the last step
+    * finishes. Values are unchanged (the decimal-term sums are
+    * partitioning-independent by construction). */
   def train(feats: DataFrame, iters: Int = 4,
             ridge: Double = 1e-3): Array[Double] = {
-    var beta = new Array[Double](Dim)
-    var it = 0
-    while (it < iters) { beta = newtonStep(feats, beta, ridge); it += 1 }
-    beta
+    val pinned = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var beta = new Array[Double](Dim)
+      var it = 0
+      while (it < iters) { beta = newtonStep(pinned, beta, ridge); it += 1 }
+      beta
+    } finally pinned.unpersist(blocking = false): Unit
   }
 
   /** Fitted weights, materialized once per (session, sfDir). */

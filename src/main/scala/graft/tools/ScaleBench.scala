@@ -31,7 +31,11 @@ object ScaleBench {
     // citizens like the rest
     "q111_quality_model", "q112_incremental_dedup", "q113_value_drift",
     "q117_knn_classify", "q118_source_profile",
-    "q121_bpe_pairs", "q123_snapshot_diff")
+    "q121_bpe_pairs", "q123_snapshot_diff",
+    // round 9: the sub-quadratic kNN configuration — the 10x point that
+    // backs the IVF cell equi-join swap (q117 above is the probe-all
+    // exact twin, whose scored pairs grow with corpus x queries)
+    "q127_knn_ivf")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
