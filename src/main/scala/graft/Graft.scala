@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   * val spark = GraftSession.builder("local[*]").getOrCreate()
   * Graft.open(spark, "/root/testdata/sf0.01")
-  * spark.sql("SELECT simhash64(word_shingles(text, 3)) FROM documents")
+  * spark.sql("SELECT simhash60(word_shingles(text, 3)) FROM documents")
   * }}}
   */
 object Graft {

@@ -253,10 +253,9 @@ object SparkEntry {
     * map default to minimum 1 — emptiness is treated as breakage unless
     * declared otherwise. */
   def minRows: Map[String, Long] = Map(
-    // pair counts at sf0.01 (25/12/22 observed); minimums set just under
-    // so real recall loss trips the gate but run-to-run hash jitter can't
-    "q21_minhash_lsh" -> 20L,
-    "q22_simhash_pairs" -> 10L,
+    // pair count at sf0.01 (22 observed); minimum set just under so real
+    // recall loss trips the gate but run-to-run hash jitter can't
+    // (q21/q22 graduated to full hash oracles — see oracleSql)
     "q25_ann_lsh_topk" -> 15L,
     // every holdout query keeps a prediction as long as its probed cells
     // are non-empty; 100 holdout vectors at sf0.01

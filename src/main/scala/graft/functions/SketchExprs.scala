@@ -37,8 +37,68 @@ object SketchHash {
     XXH64.hashInt(i, stringHash)
 }
 
+/** ENGINE-PORTABLE string hashing for the sketch signatures, the
+  * string-input analog of [[PortableSrpSig]]'s integer-arithmetic
+  * weights: every value is a pure function of md5, which any SQL engine
+  * can evaluate, so an external oracle can rebuild MinHash/SimHash
+  * signatures bit-for-bit (Spark's xxhash64 cannot be reproduced in
+  * DuckDB).
+  *
+  *  - `hex60(s)`  = first 15 hex chars of md5(s) as a long — exactly
+  *    `CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)` in Spark
+  *    SQL and `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)` in
+  *    DuckDB. 60 bits so the value fits a signed 64-bit int in every
+  *    engine (16 chars could exceed 2^63).
+  *  - `hex28(s)`  = first 7 hex chars, used only to derive per-slot
+  *    affine constants.
+  *  - slot i's universal-family hash is `(a_i·x + b_i) mod P` over the
+  *    Mersenne prime P = 2^31 − 1 with `a_i, b_i` themselves derived
+  *    from md5 of the slot index ("a0", "b0", "a1", …) — no constant
+  *    tables to keep in sync between engines, and `a_i < P`, `x < P`
+  *    keeps every product under 2^62 (ANSI-mode safe, no overflow).
+  *
+  * md5 is ~5-10× slower than xxhash64 per short string, but signatures
+  * hash each distinct shingle once map-side, so at corpus scale this is
+  * a few ns per input byte of linear map work — the price of an
+  * engine-portable correctness oracle for the whole LSH pipeline.
+  */
+object PortableHash {
+  /** 2^31 − 1 (Mersenne prime) — the affine-family modulus. */
+  val P: Long = 2147483647L
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits (15 hex chars) of md5(bytes), big-endian. */
+  def hex60(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** First 28 bits (7 hex chars) of md5(bytes), big-endian. */
+  def hex28(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) >>> 4
+  }
+
+  /** Slot i's multiplier: 1 + hex28("a"+i) mod (P−1) ∈ [1, P−1]. */
+  def slotA(i: Int): Long = 1L + hex28(("a" + i).getBytes("UTF-8")) % (P - 1)
+
+  /** Slot i's offset: hex28("b"+i) mod P ∈ [0, P). */
+  def slotB(i: Int): Long = hex28(("b" + i).getBytes("UTF-8")) % P
+}
+
 /** MinHash signature: `minhash_sig(shingles, k)` → `array<long>` where
-  * `sig[i] = min over shingles of xxhash64(shingle, i)`.
+  * `sig[i] = min over shingles of (a_i·hex60(md5(s)) mod P + b_i) mod P`
+  * — the [[PortableHash]] affine universal family over P = 2^31 − 1, so
+  * an external SQL engine can recompute the signature (and hence the
+  * full LSH candidate set) bit-for-bit from md5 alone.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -53,29 +113,39 @@ case class MinHashSig(child: Expression, numHashes: Int)
       s"minhash_sig requires array<string>, got ${t.simpleString}")
   }
 
+  // Per-slot affine constants are pure functions of the slot index:
+  // materialize once per executor at first use, not per row.
+  @transient private lazy val slotA: Array[Long] =
+    Array.tabulate(numHashes)(PortableHash.slotA)
+  @transient private lazy val slotB: Array[Long] =
+    Array.tabulate(numHashes)(PortableHash.slotB)
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val total = arr.numElements()
-    // Hash every shingle once; the per-slot hash is a cheap int-mix of
-    // the precomputed 64-bit string hash (exactly xxhash64(s, i)).
-    // Null elements contribute nothing (same as xxhash64 skipping a
-    // null argument would drop it from the chain).
+    // md5 every shingle ONCE; per-slot hashes are two integer ops over
+    // the reduced base. Null elements contribute nothing.
     val base = new Array[Long](total)
     var n = 0
     var j = 0
     while (j < total) {
       val s = arr.getUTF8String(j)
-      if (s != null) { base(n) = SketchHash.hashString(s); n += 1 }
+      if (s != null) {
+        base(n) = PortableHash.hex60(s.getBytes) % PortableHash.P
+        n += 1
+      }
       j += 1
     }
     if (n == 0) return null
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
+      val a = slotA(i)
+      val b = slotB(i)
       var min = Long.MaxValue
       var k = 0
       while (k < n) {
-        val h = SketchHash.hashStringInt(base(k), i)
+        val h = (a * base(k) + b) % PortableHash.P
         if (h < min) min = h
         k += 1
       }
@@ -90,11 +160,16 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-/** SimHash: `simhash64(shingles)` → 64-bit signature. Bit b is set iff
-  * the sum over shingles of (+1 if bit b of xxhash64(shingle) else -1)
-  * is positive.
+/** SimHash: `simhash60(shingles)` → 60-bit signature. Bit b is set iff
+  * the sum over shingles of (+1 if bit b of hex60(md5(shingle)) else -1)
+  * is positive. 60 bits (not 64) because [[PortableHash.hex60]] is the
+  * widest md5 prefix every SQL engine can hold in a signed 64-bit int —
+  * the width an external oracle can recompute decides the signature
+  * width. Banding slices adjust to 4 × 15 bits ([[graft.operators.Dedup
+  * .simhashPairs]]), which preserves the pigeonhole exactness bound for
+  * hamming ≤ 3.
   */
-case class SimHash64(child: Expression)
+case class SimHash60(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   // content-free input (empty / all-null array) yields null, matching
@@ -105,22 +180,22 @@ case class SimHash64(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires array<string>, got ${t.simpleString}")
+      s"simhash60 requires array<string>, got ${t.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val bitsums = new Array[Int](64)
+    val bitsums = new Array[Int](SimHash60.Bits)
     var contributed = 0
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
       if (s != null) {
         contributed += 1
-        val h = SketchHash.hashString(s)
+        val h = PortableHash.hex60(s.getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < SimHash60.Bits) {
           if (((h >>> b) & 1L) == 1L) bitsums(b) += 1 else bitsums(b) -= 1
           b += 1
         }
@@ -130,16 +205,21 @@ case class SimHash64(child: Expression)
     if (contributed == 0) return null
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimHash60.Bits) {
       if (bitsums(b) > 0) sig |= (1L << b)
       b += 1
     }
     sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
+}
+
+object SimHash60 {
+  /** Signature width = the md5 prefix width hex60 exposes. */
+  val Bits = 60
 }
 
 /** Sign-random-projection LSH bucket id: `srp_bucket(embedding, p)` —

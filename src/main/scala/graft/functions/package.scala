@@ -21,8 +21,8 @@ package object functions {
   /** MinHash signature (`array<long>`, k slots) of an `array<string>`. */
   def minhashSig(c: Column, k: Int): Column = wrap(MinHashSig(ex(c), k))
 
-  /** 64-bit SimHash of an `array<string>`. */
-  def simhash64(c: Column): Column = wrap(SimHash64(ex(c)))
+  /** 60-bit engine-portable SimHash of an `array<string>`. */
+  def simhash60(c: Column): Column = wrap(SimHash60(ex(c)))
 
   /** Sign-random-projection LSH bucket of an `array<float>`. */
   def srpBucket(c: Column, planes: Int): Column = wrap(SrpBucket(ex(c), planes))
@@ -119,7 +119,7 @@ package object functions {
     "fnv1a64" -> (exprs => Fnv1a64(exprs.head)),
     "poly_hash64" -> (exprs => PolyHash64(exprs.head)),
     "dot_f32" -> (exprs => DotProductF32(exprs.head, exprs(1))),
-    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "simhash60" -> (exprs => SimHash60(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs(1)))),
     "srp_bucket" -> (exprs => SrpBucket(exprs.head, intArg(exprs(1)))),
     "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)))),

@@ -157,13 +157,17 @@ object Dedup {
   }
 
   // --- MinHash + LSH ---
-  // 64 hash functions realized as per-index seeded xxhash64(s, i) — an
-  // independent 64-bit hash per signature slot, with no modular
-  // arithmetic so the plan stays legal under ANSI mode (Spark 4
-  // default). 16 bands × 4 rows: for a pair at Jaccard 0.8 the
-  // detection probability is 1-(1-0.8^4)^16 ≈ 0.9997; candidates are
-  // then verified with the exact Jaccard, so output = exact pairs
-  // (with that recall).
+  // 64 hash functions realized as the engine-portable affine family
+  // over P = 2^31-1 with an md5-derived base ([[graft.functions
+  // .PortableHash]]): slot i is (a_i * (hex60(md5(s)) mod P) + b_i)
+  // mod P, every operand < 2^31 so products stay under 2^62 (legal
+  // under ANSI mode, Spark 4 default) — and a DuckDB oracle recomputes
+  // the identical signatures, bands, and candidate set from md5 alone
+  // (the q21 correctness row is a full hash check, not rows-only).
+  // 16 bands × 4 rows: for a pair at Jaccard 0.8 the detection
+  // probability is 1-(1-0.8^4)^16 ≈ 0.9997; candidates are then
+  // verified with the exact Jaccard, so output = exact pairs (with
+  // that recall).
 
   private val NumHashes = 64
   private val Bands = 16
@@ -201,19 +205,21 @@ object Dedup {
   }
 
   // --- SimHash ---
-  // 64-bit signature: bit b of the signature is the sign of
-  // sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
-  // Near-dup iff hamming distance <= maxHamming; candidate generation
-  // shares 16-bit bands so the pair join never goes cartesian.
+  // 60-bit signature ([[graft.functions.SimHash60]]): bit b is the sign
+  // of sum over shingles of (+1 if bit b of hex60(md5(shingle)) else
+  // -1) — md5-derived so a DuckDB oracle recomputes signatures and
+  // bands bit-for-bit (q22 is a full hash check). Near-dup iff hamming
+  // distance <= maxHamming; candidate generation shares 15-bit bands so
+  // the pair join never goes cartesian.
 
   def simhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     shingled(spark, sfDir)
-      .withColumn("simhash", graft.functions.simhash64(col("shingles")))
+      .withColumn("simhash", graft.functions.simhash60(col("shingles")))
       .select(col("doc_id"), col("simhash"))
 
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(spark, sfDir)
-    // 4 bands of 16 bits, pigeonhole: a pair at hamming <= 3 cannot
+    // 4 bands of 15 bits, pigeonhole: a pair at hamming <= 3 cannot
     // differ in all 4 bands, so at least one band matches exactly →
     // banding is EXACT (full recall) for maxHamming <= 3, probabilistic
     // above. The default stays within the guarantee; callers asking for
@@ -221,7 +227,7 @@ object Dedup {
     // the band count).
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), j -> " +
-          "struct(j AS band, shiftright(simhash, CAST(j*16 AS INT)) & 65535 AS bh))")).as("b"))
+          "struct(j AS band, shiftright(simhash, CAST(j*15 AS INT)) & 32767 AS bh))")).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bh"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

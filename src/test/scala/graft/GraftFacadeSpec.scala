@@ -13,7 +13,7 @@ class GraftFacadeSpec extends SparkSpec {
     // custom expressions callable from SQL against the views
     val r = spark.sql(
       """SELECT doc_id, fnv1a64(text) AS fp,
-        |  simhash64(word_shingles(text, 3)) AS sh
+        |  simhash60(word_shingles(text, 3)) AS sh
         |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
     assert(r.length == 3 && r.forall(!_.isNullAt(1)))
     // events view carries the µs-grain event-time contract
@@ -53,7 +53,7 @@ class GraftFacadeSpec extends SparkSpec {
         .withExtensions(new GraftExtensions())
         .getOrCreate()
       val r = s2.sql(
-        "SELECT poly_hash64('abc') AS p, fnv1a64('abc') AS f, simhash64(array('a','b')) AS s")
+        "SELECT poly_hash64('abc') AS p, fnv1a64('abc') AS f, simhash60(array('a','b')) AS s")
         .collect()(0)
       assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
     } finally {

@@ -15,22 +15,33 @@ class ExprParitySpec extends SparkSpec {
     .select($"doc_id", array_distinct(split($"text", " ")).as("shingles"))
     .cache()
 
-  test("minhashSig == transform(sequence, i -> array_min(xxhash64(s, i)))") {
+  // The declarative twins below spell out the ENGINE-PORTABLE hash
+  // contract (md5 prefixes + affine family over P = 2^31-1) in plain
+  // Spark SQL — the exact arithmetic the DuckDB oracles for
+  // q21/q22 re-express, so this parity is what makes those full hash
+  // checks meaningful.
+  private val base60 =
+    "(CAST(conv(substr(md5(%s), 1, 15), 16, 10) AS BIGINT))"
+
+  test("minhashSig == md5-affine declarative form (the q21 oracle contract)") {
     val n = 16
+    val slotA = "(1L + CAST(conv(substr(md5(concat('a', CAST(i AS STRING))), 1, 7), 16, 10) AS BIGINT) % 2147483646L)"
+    val slotB = "(CAST(conv(substr(md5(concat('b', CAST(i AS STRING))), 1, 7), 16, 10) AS BIGINT) % 2147483647L)"
     val both = docs.select(
       minhashSig($"shingles", n).as("fast"),
       expr(s"transform(sequence(0, ${n - 1}), i -> " +
-        "array_min(transform(shingles, s -> xxhash64(s, i))))").as("slow"))
+        s"array_min(transform(shingles, s -> " +
+        s"($slotA * (${base60.format("s")} % 2147483647L) + $slotB) % 2147483647L)))").as("slow"))
     assert(both.filter($"fast" =!= $"slow").count() == 0)
   }
 
-  test("simhash64 == declarative bitsum form") {
+  test("simhash60 == md5 declarative bitsum form (the q22 oracle contract)") {
     val both = docs.select(
-      simhash64($"shingles").as("fast"),
+      simhash60($"shingles").as("fast"),
       expr(
-        "aggregate(sequence(0, 63), 0L, (s, b) -> s | shiftleft(" +
-          "CASE WHEN element_at(aggregate(transform(shingles, x -> xxhash64(x)), " +
-          "array_repeat(0L, 64), (acc, h) -> zip_with(acc, sequence(0, 63), (a, bb) -> " +
+        "aggregate(sequence(0, 59), 0L, (s, b) -> s | shiftleft(" +
+          s"CASE WHEN element_at(aggregate(transform(shingles, x -> ${base60.format("x")}), " +
+          "array_repeat(0L, 60), (acc, h) -> zip_with(acc, sequence(0, 59), (a, bb) -> " +
           "a + CASE WHEN (shiftright(h, CAST(bb AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), " +
           "CAST(b+1 AS INT)) > 0 THEN 1L ELSE 0L END, CAST(b AS INT)))").as("slow"))
     assert(both.filter($"fast" =!= $"slow").count() == 0)
@@ -88,7 +99,7 @@ class ExprParitySpec extends SparkSpec {
     assert(two._1 == Fnv1a64.hash("a".getBytes) && two._2 == Fnv1a64.hash("b".getBytes))
   }
 
-  test("minhashSig/simhash64 skip null elements instead of NPEing") {
+  test("minhashSig/simhash60 skip null elements instead of NPEing") {
     // ArrayType(StringType, containsNull=true) with actual nulls: the
     // sketch must equal the same input with nulls removed.
     val df = Seq(
@@ -97,7 +108,7 @@ class ExprParitySpec extends SparkSpec {
       (3L, Seq[String](null, null)), // all-null → null signature
     ).toDF("id", "arr")
     val r = df.select($"id", minhashSig($"arr", 4).as("sig"),
-        simhash64($"arr").as("sh"))
+        simhash60($"arr").as("sh"))
       .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).sortBy(_._1)
     assert(r(0)._2 == r(1)._2, "null element must not change minhash")
     assert(r(0)._3 == r(1)._3, "null element must not change simhash")
@@ -149,7 +160,7 @@ class ExprParitySpec extends SparkSpec {
     spark.read.parquet(sf() + "/embeddings.parquet").limit(5)
       .createOrReplaceTempView("emb_sql")
     val r1 = spark.sql(
-      """SELECT fnv1a64(text) AS h, simhash64(word_shingles(text, 3)) AS sh,
+      """SELECT fnv1a64(text) AS h, simhash60(word_shingles(text, 3)) AS sh,
         |  minhash_sig(word_shingles(text, 3), 8) AS sig,
         |  poly_hash64(text) AS pf
         |FROM docs_sql""".stripMargin).collect()
