@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical readers for the driver testdata (`TESTDATA.md`).
   *
@@ -34,26 +35,45 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
-  /** `events` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by [[GraftSession]]) the column arrives as epoch-nanos
-    * `LongType`. The engine standardizes on MICROSECOND precision:
-    * `ts_us` (long) + a derived `TimestampType` `ts` — Spark timestamps
-    * are µs-precision anyway, and other engines (e.g. DuckDB's parquet
-    * reader) truncate ns to µs, so µs is the portable event-time grain.
-    * Event-time extraction from a raw payload mirrors the reference's
-    * timestamp extractor
+  /** `events.ts` has shipped in three physical shapes across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (loaded as epoch-ns
+    * `LongType` under `spark.sql.legacy.parquet.nanosAsLong=true`),
+    * `timestamp[us]` with isAdjustedToUTC=false (loaded as
+    * `TimestampNTZType`), and UTC-adjusted `timestamp[us]`
+    * (`TimestampType`). The engine standardizes on MICROSECOND
+    * precision regardless of the on-disk shape: `ts_us` (epoch-µs long)
+    * + a derived `TimestampType` `ts`. Spark timestamps are µs-precision
+    * anyway, and other engines (e.g. DuckDB's parquet reader) truncate
+    * ns to µs, so µs is the portable event-time grain. Branching on the
+    * *loaded* dtype (not an assumed generation) keeps all three shapes
+    * readable — the driver regenerates testdata between rounds and the
+    * physical type has flipped before. Event-time extraction from a raw
+    * payload mirrors the reference's timestamp extractor
     * (`kotlin-examples/orders-stats-streams/.../BidTimeTimestampExtractor.kt:13-37`).
+    *
+    * NTZ note: the session timezone is pinned to UTC ([[GraftSession]]),
+    * so `cast(ntz as timestamp)` reinterprets the wall-clock micros as
+    * UTC-instant micros — exactly the epoch value the file stores.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Runtime-settable SQLConf; set defensively in case the caller's
     // session was not built through GraftSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns_raw")
-      .withColumn("ts_us", expr("ts_ns_raw div 1000"))
-      .drop("ts_ns_raw")
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = read(spark, sfDir, "events")
+    val withUs = raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as epoch-ns long
+        raw.withColumnRenamed("ts", "ts_ns_raw")
+          .withColumn("ts_us", expr("ts_ns_raw div 1000"))
+          .drop("ts_ns_raw")
+      case TimestampType | TimestampNTZType =>
+        raw.withColumnRenamed("ts", "ts_raw")
+          .withColumn("ts_us", unix_micros(col("ts_raw").cast(TimestampType)))
+          .drop("ts_raw")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unsupported type $other; expected long (ns) or timestamp (µs)")
+    }
+    withUs.withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }
 
