@@ -516,6 +516,67 @@ object SparkEntry {
          |SELECT doc_i, doc_j,
          |  ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) AS jaccard
          |FROM v WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5""".stripMargin,
+    // Full-hash LSH oracle: DuckDB rebuilds the MinHash signatures from
+    // md5 alone (PortableHash: x = hex60(md5(s)) mod P, slot i =
+    // (a_i·x + b_i) mod P over P = 2^31−1, constants from md5("a"+i) /
+    // md5("b"+i)), bands on the 4-slot slices, then verifies with exact
+    // Jaccard — the identical candidate set modulo xxhash64 band-key
+    // collisions (Spark hashes the slice, DuckDB compares it directly;
+    // a collision adds a candidate only on the Spark side and would
+    // fail this compare, so the oracle also guards the band hash).
+    "q21_minhash_lsh" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |base AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS x FROM tok),
+         |slots AS (
+         |  SELECT i,
+         |    1 + CAST('0x' || substr(md5('a' || i), 1, 7) AS BIGINT) % 2147483646 AS a,
+         |    CAST('0x' || substr(md5('b' || i), 1, 7) AS BIGINT) % 2147483647 AS b
+         |  FROM range(0, 64) t(i)),
+         |sig AS (
+         |  SELECT doc_id, i // 4 AS band, list(minh ORDER BY i) AS bkey
+         |  FROM (
+         |    SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS minh
+         |    FROM base CROSS JOIN slots GROUP BY doc_id, i)
+         |  GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+         |  FROM sig x JOIN sig y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |v AS (
+         |  SELECT doc_i, doc_j,
+         |    len(list_intersect(na.shingles, nb.shingles)) AS c,
+         |    len(na.shingles) AS ni, len(nb.shingles) AS nj
+         |  FROM cand JOIN sh na ON doc_i = na.doc_id JOIN sh nb ON doc_j = nb.doc_id)
+         |SELECT doc_i, doc_j,
+         |  ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) AS jaccard
+         |FROM v WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5""".stripMargin,
+    // Full-hash SimHash oracle: signatures rebuilt from the same md5
+    // prefix (bit b = sign of Σ ±1 over hex60(md5(shingle)) bits),
+    // 4×15-bit banding, hamming via bit_count — bit-for-bit the engine's
+    // SimHash60 path.
+    "q22_simhash_pairs" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS bitsum
+         |  FROM h CROSS JOIN range(0, 60) t(b) GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN bitsum > 0
+         |    THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, j, (simhash >> CAST(j*15 AS INT)) & 32767 AS bh
+         |  FROM sig CROSS JOIN range(0, 4) t(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j,
+         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM bands x JOIN bands y
+         |  ON x.j = y.j AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT doc_i, doc_j, hamming FROM cand WHERE hamming <= 3""".stripMargin,
     // Bucket-restricted oracle: DuckDB recomputes the SAME portable SRP
     // signature (integer-arithmetic weights — see PortableSrpSig) and
     // applies the identical band-bucket candidate restriction, so the
