@@ -245,6 +245,34 @@ object SparkEntry {
     "q129_semantic_keep" -> ((s, d) => Ivf.semanticKeep(s, d)),
   )
 
+  /** Materialized layers shared across queries — built once per
+    * session and then probed (the index/model discipline of
+    * [[SessionCache]]). Bench builds these BEFORE the timed query
+    * loop and reports their build cost in a separate `layers` map, so
+    * per-query numbers are plan signals rather than
+    * whichever-query-ran-first accounting: without this, the cold IVF
+    * k-means fit lands on q117 (alphabetically first consumer) and
+    * q44/q127/q128/q129 ride its cache, moving every number whenever
+    * query order changes. Keys here must build exactly the cache
+    * entries the queries probe. */
+  def layers: Map[String, (SparkSession, String) => Unit] = Map(
+    // IVF centroid fit at the fixed query k (q44/q117/q127/q128)
+    "ivf_centroids_k16" -> ((s, d) => { Ivf.fittedCentroids(s, d, 16, 2); () }),
+    // IVF fit at semanticKeep's corpus-derived k (q129) — a cache hit
+    // (~0 s) whenever the derived k is 16 too
+    "ivf_centroids_semantic" ->
+      ((s, d) => { Ivf.fittedCentroids(s, d, Ivf.semanticK(s, d), 2); () }),
+    // near-dup cluster labels: shingle join + label propagation +
+    // localCheckpoint (q60/q61/q62)
+    "dedup_clusters" -> ((s, d) => { Dedup.materializedClusters(s, d); () }),
+    // decoded CDC changelog: envelope synthesis + JSON parse +
+    // localCheckpoint (q101/q123/q67/q46)
+    "cdc_decoded_log" -> ((s, d) => { operators.Cdc.decodedVersionedLog(s, d); () }),
+    // quality-LR weights (q111) and LinUCB sufficient stats (q30/q31/q41)
+    "quality_lr_weights" -> ((s, d) => { graft.ml.QualityLR.fittedWeights(s, d); () }),
+    "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
+  )
+
   /** Expected minimum output rows for rows-only queries (those with no
     * `oracleSql` entry). The gate (tools/parity_check.py) fails a
     * rows-only output smaller than its declared minimum; a query listed

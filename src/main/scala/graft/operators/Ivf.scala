@@ -133,14 +133,36 @@ object Ivf {
       .orderBy(col("cluster"))
   }
 
+  /** Mean-cell-size target for [[deriveK]]: within-cell pair work is
+    * Σ|cell|² ≈ n·target, so the target — not the corpus — bounds the
+    * per-cell quadratic term. 512 keeps a cell's candidate block at
+    * ~2¹⁸ pairs (sub-second per cell) while the centroid matrix stays
+    * broadcastable far up the scale curve: k = n/512 means a 1B-vector
+    * corpus fits ~2M × d centroids — at that point raise the target or
+    * go hierarchical, per the SemDeDup paper's k=50 000 note. */
+  val DefaultTargetCellSize = 512
+
+  /** SemDeDup's k must GROW with the corpus or within-cell pair work
+    * is quadratic: k = max(16, ⌈n / targetCellSize⌉) pins the MEAN
+    * cell size at ≤ targetCellSize (k-means does not bound the max —
+    * skew is bounded empirically by the cell-size spec and, at real
+    * scale, by AQE skew-join splitting on the cell equi-join). */
+  def deriveK(n: Long, targetCellSize: Int = DefaultTargetCellSize): Int = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Semantic (embedding-space) dedup over the IVF cell layer — the
     * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
     * corpus with a coarse k-means, compare pairs only WITHIN a cell,
     * and drop all but one representative of each high-cosine group.
     * Pair work is Σ|cell|² instead of |corpus|² — k grows with the
-    * corpus (the paper runs k=50 000 at web scale) so cells stay
-    * bounded; the join is an equi-join on the cell id, keyed and
-    * shuffle-partitioned, never a cross.
+    * corpus via [[deriveK]] (`kClusters <= 0`, the default, derives
+    * k = max(16, ⌈n/[[DefaultTargetCellSize]]⌉); the paper runs
+    * k=50 000 at web scale) so cells stay bounded; the join is an
+    * equi-join on the cell id, keyed and shuffle-partitioned, never a
+    * cross.
     *
     * Representative rule (deterministic, engine-portable): a vector is
     * DROPPED iff some lower-id vector in the same cell has rounded
@@ -152,11 +174,21 @@ object Ivf {
     * cell assignment needs the fitted centroids; exact agreement with
     * a brute within-cell replication is spec-asserted. */
   def semanticKeep(spark: SparkSession, sfDir: String, threshold: Double = 0.4,
-                   kClusters: Int = 16, iters: Int = 2): DataFrame =
-    semanticKeepFrom(
-      Similarity.spread(Tables.embeddings(spark, sfDir))
-        .select(col("vec_id"), col("embedding")),
-      fittedCentroids(spark, sfDir, kClusters, iters), threshold)
+                   kClusters: Int = 0, iters: Int = 2): DataFrame = {
+    val vecs = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val k = semanticK(spark, sfDir, kClusters)
+    semanticKeepFrom(vecs, fittedCentroids(spark, sfDir, k, iters), threshold)
+  }
+
+  /** The k [[semanticKeep]] will fit for `sfDir` — `kClusters` wins if
+    * positive, else [[deriveK]] of the corpus count (a columnar
+    * metadata count, cheap; the fitted matrix itself is session-cached
+    * per (sfDir, k, iters)). Exposed so layer warmers (Bench) build
+    * the same cache entry the query probes. */
+  def semanticK(spark: SparkSession, sfDir: String, kClusters: Int = 0): Int =
+    if (kClusters > 0) kClusters
+    else deriveK(Tables.embeddings(spark, sfDir).count())
 
   /** [[semanticKeep]] over an arbitrary `(vec_id, embedding)` frame
     * with caller-supplied centroids — spec-visible so dominance

@@ -35,7 +35,12 @@ object ScaleBench {
     // round 9: the sub-quadratic kNN configuration — the 10x point that
     // backs the IVF cell equi-join swap (q117 above is the probe-all
     // exact twin, whose scored pairs grow with corpus x queries)
-    "q127_knn_ivf")
+    "q127_knn_ivf",
+    // round 10: SemDeDup with the corpus-derived k — the 10x point that
+    // backs deriveK's claim that within-cell pair work stays ~n*target
+    // (at 50k vectors the derived k is ~98, exercising growth past the
+    // 16-cell floor the fixture scales sit on)
+    "q129_semantic_keep")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -183,6 +183,34 @@ class IvfAndStreamDedupSpec extends SparkSpec {
       s"diverged on ${(kept.toSet -- expected.toSet).take(5)} / ${(expected.toSet -- kept.toSet).take(5)}")
   }
 
+  test("semanticKeep derives k from the corpus; cells stay pair-work-bounded at 10x") {
+    // At the fixture scales the derived k floors at 16, so q129's
+    // results are unchanged by the derivation...
+    assert(Ivf.deriveK(500) == 16 && Ivf.deriveK(5000) == 16)
+    assert(Ivf.semanticK(spark, sf("0.01")) == 16)
+    // ...and k grows once the corpus outruns the floor: 10x a
+    // 16-cell-by-target corpus must derive 10x the cells, keeping
+    // within-cell pair work ~n*target instead of n^2/16.
+    val target = 64
+    val n = 16 * target * 10 // 10 240
+    assert(Ivf.deriveK(n, target) == 160)
+    val dir = java.nio.file.Files.createTempDirectory("derivedk").toString
+    spark.range(n).select(col("id").as("vec_id"), expr(
+        "transform(sequence(0, 7), j -> CAST(sin(id * 0.7 + j * 1.3 + id * j * 0.01) AS FLOAT))")
+      .as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = Ivf.deriveK(n, target)
+    val centroids = Ivf.fittedCentroids(spark, dir, k, 1)
+    val sizes = graft.Tables.embeddings(spark, dir)
+      .withColumn("cell", Ivf.assignExpr(centroids)(col("embedding")))
+      .groupBy("cell").count().as[(Int, Long)].collect().map(_._2)
+    val pairWork = sizes.map(s => s * s).sum
+    assert(n.toLong / sizes.length <= 2L * target,
+      s"mean cell size ${n / sizes.length} vs target $target")
+    assert(pairWork <= n.toLong * 8L * target,
+      s"within-cell pair work $pairWork exceeds ~n*target bound")
+  }
+
   test("clusterProfile partitions the corpus with sane cohesion and purity") {
     val rows = Ivf.clusterProfile(spark, sf("0.01"))
       .as[(Int, Long, Double, Int, Double)].collect()
