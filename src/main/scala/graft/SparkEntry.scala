@@ -145,12 +145,13 @@ object SparkEntry {
     // --- mixture weighting + containment (asymmetric Jaccard) ---
     "q82_mixture_weights" -> ((s, d) => TextOps.mixtureWeights(s, d)),
     "q83_containment" -> ((s, d) => TextOps.containmentPairs(s, d, 0.8)),
-    // rows-only: HLL sketch estimates are engine-specific (accuracy
-    // bound spec-asserted against the exact counts)
-    "q84_approx_distinct" -> ((s, d) => Relational.dashboardMetricsApprox(s, d)),
-    // rows-only: GK-sketch percentiles (engine-specific internals;
-    // accuracy spec-asserted against the exact quantiles)
-    "q85_approx_percentiles" -> ((s, d) => Relational.valuePercentilesApprox(s, d)),
+    // HLL sketch estimates are engine-specific, but their error
+    // envelope vs the exact counts is an exact boolean — hash-checked
+    // (the sketch-only scale path stays dashboardMetricsApprox)
+    "q84_approx_distinct" -> ((s, d) => Relational.dashboardMetricsChecked(s, d)),
+    // GK-sketch percentiles: rank-window contract hash-checked the
+    // same way (sketch-only path stays valuePercentilesApprox)
+    "q85_approx_percentiles" -> ((s, d) => Relational.valuePercentilesChecked(s, d)),
     // --- event funnel + first-order transition matrix ---
     "q86_funnel" -> ((s, d) => Analytics.funnel(s, d)),
     "q87_transition_matrix" -> ((s, d) => Analytics.transitionMatrix(s, d)),
@@ -179,9 +180,10 @@ object SparkEntry {
     // --- NDCG@k ranking quality (q76 companion) ---
     "q99_policy_ndcg" -> ((s, d) => graft.ml.PolicyEval.ndcgMetrics(s, d)),
     // rows-only: count-min buckets come from xxhash64, engine-specific;
-    // guarantees (est ≥ exact, bounded overestimate, merge invariance)
-    // are spec-asserted
-    "q100_cms_estimates" -> ((s, d) => HeavyHitters.heavyTokenEstimates(s, d)),
+    // CMS guarantees (est ≥ exact, bounded overestimate) as
+    // hash-checked booleans over the deterministic heavy-token row set;
+    // merge invariance stays spec-asserted
+    "q100_cms_estimates" -> ((s, d) => HeavyHitters.heavyTokenChecked(s, d)),
     // --- SCD-2 history from CDC + hourly volume anomaly flags ---
     "q101_scd2_history" -> ((s, d) => Cdc.scd2History(s, d)),
     "q102_hourly_anomalies" -> ((s, d) => Analytics.hourlyAnomalies(s, d)),
@@ -300,9 +302,7 @@ object SparkEntry {
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
     "q44_ann_ivf" -> 50L,       // 10 queries × top-5
     "q77_text_embedding_hashed" -> 400L, // one row per document
-    "q84_approx_distinct" -> 1L, // single global KPI row
-    "q85_approx_percentiles" -> 5L, // one row per event type
-    "q100_cms_estimates" -> 25L, // one row per heavy token (30 at sf0.01)
+    // (q84/q85/q100 graduated to envelope-flag hash oracles r10)
     "q111_quality_model" -> 400L, // one row per document
     // one row per event; the smallest scale factor has 1 000 events, so
     // the minimum must be scale-safe at sf0.001 too (the one
@@ -402,6 +402,28 @@ object SparkEntry {
          |  COUNT(DISTINCT l_partkey) AS n_parts,
          |  COUNT(*) AS n_items, ${revSum("total_revenue")}
          |$dashFrom""".stripMargin,
+    // Envelope-flag oracles for the sketch queries: the sketch values
+    // are engine-specific, but the guarantee each sketch carries is an
+    // exact boolean over exact aggregates — DuckDB recomputes the
+    // deterministic part (row set, exact counts/max) and asserts the
+    // flags TRUE, so a sketch whose error leaves its contract
+    // hash-mismatches the round it happens.
+    "q84_approx_distinct" ->
+      s"""SELECT COUNT(DISTINCT o_orderkey) AS n_orders,
+         |  COUNT(DISTINCT c_custkey) AS n_users,
+         |  COUNT(*) AS n_items, TRUE AS hll_within_5pct
+         |$dashFrom""".stripMargin,
+    "q85_approx_percentiles" ->
+      """SELECT event_type,
+        |  TRUE AS p50_in_rank_window, TRUE AS p90_in_rank_window,
+        |  TRUE AS p99_in_rank_window, ROUND(MAX(value), 6) AS p100
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q100_cms_estimates" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |c AS (SELECT t AS token, COUNT(*) AS exact_cnt FROM toks GROUP BY t)
+        |SELECT token, exact_cnt, TRUE AS never_under, TRUE AS within_bound
+        |FROM c, tot WHERE exact_cnt * 50 > n""".stripMargin,
     "q04_revenue_by_segment" ->
       s"""SELECT c_mktsegment AS segment, ${revSum("revenue")},
          |  COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_items

@@ -67,6 +67,29 @@ object HeavyHitters {
       .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
   }
 
+  /** Oracle-checkable twin of [[heavyTokenEstimates]]: the CMS point
+    * estimates are engine-specific (xxhash64 buckets), but the
+    * guarantees they carry are exact booleans over the EXACT counts —
+    * `never_under` (a count-min estimate can only overestimate) and
+    * `within_bound` (est ≤ exact + c·N/width; c = 10 keeps the per-row
+    * Markov violation odds at ≤ 10⁻⁴ over the 4 sketch rows, and the
+    * sketch is deterministic per corpus so the flag is stable). The
+    * heavy-token row set itself is deterministic (MG candidates +
+    * exact verification), so DuckDB recomputes rows and exact counts
+    * and asserts the flags TRUE. */
+  def heavyTokenChecked(spark: SparkSession, sfDir: String,
+                        k: Int = 50, width: Int = 1024): DataFrame = {
+    def toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val total = toks.agg(count(lit(1)).as("n_tokens"))
+    heavyTokenEstimates(spark, sfDir, k, width)
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("exact_cnt"),
+        (col("cms_est") >= col("exact_cnt")).as("never_under"),
+        (col("cms_est") <= col("exact_cnt") +
+          lit(10.0) * col("n_tokens") / width).as("within_bound"))
+  }
+
   /** KMV key-overlap estimate between two tables' key sets WITHOUT
     * joining them ([[graft.functions.Kmv]]): one map-side bottom-k
     * sketch pass per side (k·8 bytes each through the shuffle,

@@ -82,6 +82,27 @@ object Relational {
       approx_count_distinct(col("c_custkey"), 0.01).as("n_users_approx"),
       count(lit(1)).as("n_items"))
 
+  /** Oracle-checkable twin of [[dashboardMetricsApprox]]: the HLL
+    * estimates are engine-specific, but the CLAIM they carry — within
+    * rsd·5 of the exact count (5σ of the requested 1% rsd) — is an
+    * exact boolean DuckDB can pin: the oracle recomputes the exact
+    * distincts and asserts the flag TRUE, so an HLL regression
+    * hash-mismatches instead of drifting silently. The exact
+    * countDistincts here exist only to evaluate the envelope; the
+    * production scale path is [[dashboardMetricsApprox]] (sketch-only,
+    * no distinct expand). */
+  def dashboardMetricsChecked(spark: SparkSession, sfDir: String): DataFrame =
+    dashboardBase(spark, sfDir).agg(
+      countDistinct(col("o_orderkey")).as("n_orders"),
+      countDistinct(col("c_custkey")).as("n_users"),
+      count(lit(1)).as("n_items"),
+      approx_count_distinct(col("o_orderkey"), 0.01).as("ao"),
+      approx_count_distinct(col("c_custkey"), 0.01).as("au"))
+      .select(col("n_orders"), col("n_users"), col("n_items"),
+        (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.05 &&
+          abs(col("au") - col("n_users")) <= col("n_users") * 0.05)
+          .as("hll_within_5pct"))
+
   /** A3 + O1: revenue by dimension, sorted desc — the dashboard's bar
     * charts (`streamlit/utils.py:92-104`). */
   def revenueBySegment(spark: SparkSession, sfDir: String): DataFrame =
@@ -215,6 +236,41 @@ object Relational {
         round(expr("approx_percentile(value, 0.9, 10000)"), 6).as("p90"),
         round(expr("approx_percentile(value, 0.99, 10000)"), 6).as("p99"),
         round(max(col("value")), 6).as("p100"))
+
+  /** Oracle-checkable twin of [[valuePercentilesApprox]]: the GK sketch
+    * values are engine-specific, but its contract — each returned value
+    * sits within rank ε·n of the requested quantile (ε = 1/accuracy;
+    * doubled here for boundary slack) — is an exact boolean. The rank
+    * check counts values strictly below / at-or-below the sketch's
+    * answer against the exact rank window, entirely inside Spark; the
+    * DuckDB oracle recomputes the group row set and max and asserts
+    * every flag TRUE, so a sketch regression hash-mismatches. One extra
+    * pass over the group (broadcast of 5 scalar sketch answers), still
+    * no per-group value buffering. */
+  def valuePercentilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val eps = 2.0 / 10000
+    val ap = valuePercentilesApprox(spark, sfDir)
+      .withColumnRenamed("p50", "ap50").withColumnRenamed("p90", "ap90")
+      .withColumnRenamed("p99", "ap99").withColumnRenamed("p100", "ap100")
+    def okFlag(q: Double, apCol: String, lt: Column, le: Column) =
+      (lt <= (lit(q) + eps) * col("n")) && (le >= (lit(q) - eps) * col("n"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(ap), "event_type")
+      .groupBy(col("event_type"), col("ap50"), col("ap90"), col("ap99"), col("ap100"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < col("ap99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("value") <= col("ap99"), 1L).otherwise(0L)).as("le99"))
+      .select(col("event_type"),
+        okFlag(0.5, "ap50", col("lt50"), col("le50")).as("p50_in_rank_window"),
+        okFlag(0.9, "ap90", col("lt90"), col("le90")).as("p90_in_rank_window"),
+        okFlag(0.99, "ap99", col("lt99"), col("le99")).as("p99_in_rank_window"),
+        col("ap100").as("p100"))
+  }
 
   /** Hierarchical rollup: revenue at (region, nation), (region), and
     * grand-total levels in one pass — `ROLLUP` is one shuffle with
