@@ -55,7 +55,10 @@ object SparkEntry {
     "q26_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
     "q27_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q28_lang_id" -> ((s, d) => TextOps.langId(s, d)),
-    "q29_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // fingerprint VALUES are engine-specific; the dup-partition
+    // contract they exist for is hash-checked (raw values stay on
+    // TextOps.fingerprints)
+    "q29_fingerprints" -> ((s, d) => TextOps.fingerprintsChecked(s, d)),
     // --- LinUCB bandit (rows-only: matrix inversion is not
     // SQL-expressible in DuckDB; correctness is ScalaTest vs Breeze
     // ground truth + streaming-vs-batch agreement) ---
@@ -224,8 +227,9 @@ object SparkEntry {
     "q120_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     // BPE step-1: adjacent char-pair counts over the distinct-word table
     "q121_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
-    // rows-only: KMV theta-sketch key-overlap probe (xxhash64 streams —
-    // not DuckDB-reproducible; error-bound + merge-invariance specs)
+    // KMV theta-sketch key-overlap probe — portable md5-prefix hash
+    // stream, so the bottom-k sets and every estimate are hash-checked
+    // by the oracle (error-bound + merge-invariance stay spec-asserted)
     "q122_key_overlap" -> ((s, d) => HeavyHitters.keyOverlap(s, d)),
     // lakehouse snapshot diff: first-loaded vs current image per PK
     "q123_snapshot_diff" -> ((s, d) => Cdc.snapshotDiff(s, d)),
@@ -283,10 +287,7 @@ object SparkEntry {
     * map default to minimum 1 — emptiness is treated as breakage unless
     * declared otherwise. */
   def minRows: Map[String, Long] = Map(
-    // pair count at sf0.01 (22 observed); minimum set just under so real
-    // recall loss trips the gate but run-to-run hash jitter can't
-    // (q21/q22 graduated to full hash oracles — see oracleSql)
-    "q25_ann_lsh_topk" -> 15L,
+    // (q21/q22/q25/q29 graduated to full hash oracles — see oracleSql)
     // every holdout query keeps a prediction as long as its probed cells
     // are non-empty; 100 holdout vectors at sf0.01
     "q127_knn_ivf" -> 90L,
@@ -295,7 +296,6 @@ object SparkEntry {
     // 500 vectors minus within-cell cosine>=0.4 dominated (16 observed)
     "q129_semantic_keep" -> 450L,
     // one row per document (500 at sf0.01; slack for future fixture trims)
-    "q29_fingerprints" -> 400L,
     "q35_text_embedding" -> 400L,
     "q30_linucb_seed" -> 25L,   // exactly one row per arm (25 brands)
     "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
@@ -310,7 +310,7 @@ object SparkEntry {
     "q114_synthetic_orders" -> 900L,
     // exactly k = 10 MMR picks at every scale factor
     "q120_mmr_rerank" -> 10L,
-    // (q122_key_overlap: one summary row — the map's default of 1)
+    // (q122_key_overlap graduated to a full hash oracle r10)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -656,6 +656,78 @@ object SparkEntry {
         |WHERE ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)))
         |    / (a.nrm * b2.nrm), 4) >= 0.4""".stripMargin,
+    // Bucket-restricted LSH top-k: DuckDB rebuilds the 8-plane portable
+    // SRP signature (same integer-arithmetic weights as q23) and the
+    // whole-signature bucket equi-join, so the approximate top-k result
+    // set is exactly comparable.
+    "q25_ann_lsh_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) *
+        |             (CAST(((p*1024 + (i-1)) * 2654435761) % 2000001 - 1000000 AS DOUBLE) / 1000000.0)))
+        |        >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, bucket AS qb
+        |      FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, e.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM e JOIN q ON e.bucket = q.qb AND e.vec_id <> qid)
+        |SELECT qid, vec_id AS nbr_id, rank, cos_sim FROM (
+        |  SELECT qid, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // KMV theta-sketch oracle: DuckDB rebuilds the bottom-1024 sets of
+    // the portable md5-prefix hashes per side, the union sketch, and
+    // the theta arithmetic — (k-1)/theta with theta = (h+1)/2^60 in the
+    // same IEEE expression order as Kmv.distinctEstimate, floor(x+0.5)
+    // rounding, integer basis-point Jaccard — so all six columns are
+    // exact.
+    "q122_key_overlap" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |hb AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM customer),
+        |ba AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
+        |bb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |u AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) ORDER BY h LIMIT 1024),
+        |s AS (SELECT
+        |  (SELECT COUNT(*) FROM ba) AS la, (SELECT MAX(h) FROM ba) AS ma,
+        |  (SELECT COUNT(*) FROM bb) AS lb, (SELECT MAX(h) FROM bb) AS mb,
+        |  (SELECT COUNT(*) FROM u) AS lu, (SELECT MAX(h) FROM u) AS mu,
+        |  (SELECT COUNT(*) FROM u
+        |     WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb)) AS common)
+        |SELECT CAST(1024 AS BIGINT) AS k,
+        |  CAST(FLOOR((CASE WHEN la < 1024 THEN CAST(la AS DOUBLE)
+        |    ELSE 1023.0 / ((CAST(ma AS DOUBLE) + 1.0) / 1152921504606846976.0) END) + 0.5) AS BIGINT)
+        |    AS est_distinct_a,
+        |  CAST(FLOOR((CASE WHEN lb < 1024 THEN CAST(lb AS DOUBLE)
+        |    ELSE 1023.0 / ((CAST(mb AS DOUBLE) + 1.0) / 1152921504606846976.0) END) + 0.5) AS BIGINT)
+        |    AS est_distinct_b,
+        |  CAST(FLOOR((CASE WHEN lu < 1024 THEN CAST(lu AS DOUBLE)
+        |    ELSE 1023.0 / ((CAST(mu AS DOUBLE) + 1.0) / 1152921504606846976.0) END) + 0.5) AS BIGINT)
+        |    AS est_union,
+        |  CAST(CASE WHEN lu = 0 THEN 0 ELSE common * 10000 // lu END AS BIGINT) AS jaccard_bp,
+        |  CAST(FLOOR((CASE WHEN lu = 0 THEN 0.0 ELSE
+        |    (CAST(common AS DOUBLE) / lu) *
+        |    (CASE WHEN lu < 1024 THEN CAST(lu AS DOUBLE)
+        |      ELSE 1023.0 / ((CAST(mu AS DOUBLE) + 1.0) / 1152921504606846976.0) END) END) + 0.5) AS BIGINT)
+        |    AS est_intersect
+        |FROM s""".stripMargin,
+    // Fingerprint dup-partition contract (see TextOps.fingerprintsChecked)
+    "q29_fingerprints" ->
+      """SELECT doc_id, COUNT(*) OVER (PARTITION BY text) AS n_text_dups,
+        |  TRUE AS fnv_respects_dups, TRUE AS xxh_respects_dups
+        |FROM documents""".stripMargin,
     "q24_ann_brute_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.unsafe.types.UTF8String
 
 /** KMV (k-minimum-values / bottom-k theta) sketch over a string key
   * stream — the SET-OPERATION member of the engine's sketch family
@@ -28,12 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kmv {
 
-  /** Hash a key to the full signed 64-bit range (seed 77 keeps the
-    * stream independent of the CMS rows' `xxhash64(i, s)` draws).
-    * Reuses the sketch family's shared string hash
-    * ([[SketchHash.hashString]]). */
+  /** Hash a key to [0, 2^60) via the sketch family's ENGINE-PORTABLE
+    * md5 prefix ([[PortableHash.hex60]]): any SQL engine can recompute
+    * the hash stream (`CAST('0x' || substr(md5(key), 1, 15) AS
+    * BIGINT)` in DuckDB), so the bottom-k sketch — and every estimate
+    * derived from it — is externally checkable bit-for-bit, the same
+    * contract as the MinHash/SimHash signatures. (xxhash64 was the
+    * original choice; md5 costs more per key but a key-overlap probe
+    * is one narrow column pass, not a hot loop.) */
   def hash(s: String): Long =
-    SketchHash.hashString(UTF8String.fromString(s), 77L)
+    PortableHash.hex60(s.getBytes("UTF-8"))
 
   /** Sorted bottom-k union of two sorted arrays, distinct values. */
   def mergeBottomK(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
@@ -73,9 +76,13 @@ object Kmv {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Map a signed 64-bit hash to (0, 1] — the θ scale. */
-  private def toUnit(h: Long): Double =
-    (h.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19 + 5.421e-20
+  /** The hash range: [[PortableHash.hex60]] emits 60-bit values. */
+  val HashSpan: Double = 1152921504606846976.0 // 2^60
+
+  /** Map a 60-bit hash to (0, 1] — the θ scale. `(h + 1) / 2^60` in
+    * plain IEEE double ops, so an external engine reproduces the θ
+    * (and the estimates) bit-for-bit from the same hash. */
+  private def toUnit(h: Long): Double = (h.toDouble + 1.0) / HashSpan
 
   /** Distinct-count estimate from one sketch: `(k' − 1)/θ` with
     * k' = values held (exact count when the sketch never filled). */
@@ -83,14 +90,15 @@ object Kmv {
     if (sketch.length < k) sketch.length.toDouble
     else (k - 1).toDouble / toUnit(sketch(k - 1))
 
-  /** θ-sketch intersection of two sketches: returns
-    * (jaccard, unionEstimate, intersectEstimate). */
-  def intersect(a: Array[Long], b: Array[Long], k: Int): (Double, Double, Double) = {
+  /** θ-sketch intersection of two sketches: returns the raw
+    * ingredients `(nCommon, nUnionSketch, unionEstimate)` — callers
+    * derive Jaccard (`nCommon/nUnionSketch`) and the intersection
+    * estimate (`jaccard · unionEstimate`); keeping the counts integral
+    * here lets the query surface emit engine-exact columns. */
+  def intersect(a: Array[Long], b: Array[Long], k: Int): (Int, Int, Double) = {
     val u = mergeBottomK(a, b, k)
     val aSet = a.toSet; val bSet = b.toSet
     val common = u.count(h => aSet.contains(h) && bSet.contains(h))
-    val j = if (u.isEmpty) 0.0 else common.toDouble / u.length
-    val uEst = distinctEstimate(u, k)
-    (j, uEst, j * uEst)
+    (common, u.length, distinctEstimate(u, k))
   }
 }

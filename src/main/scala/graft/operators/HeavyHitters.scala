@@ -96,10 +96,15 @@ object HeavyHitters {
     * whatever the table size), then the θ-intersection fold on the two
     * k-value arrays at the driver. The pre-join cardinality probe a
     * planner runs before committing to a 100 TB join: estimated
-    * distincts per side, union, Jaccard, and intersection, next to
-    * nothing in I/O beyond the two scans. Estimates carry the standard
-    * KMV relative error ~1/√(k−2) (spec-asserted against exact counts
-    * at the test scale, along with partitioning invariance). */
+    * distincts per side, union, Jaccard (basis points), and
+    * intersection, next to nothing in I/O beyond the two scans.
+    * Estimates carry the standard KMV relative error ~1/√(k−2)
+    * (spec-asserted against exact counts at the test scale, along with
+    * partitioning invariance) — and because the sketch hash is the
+    * portable md5 prefix, a DuckDB oracle rebuilds the bottom-k sets
+    * and every column bit-for-bit (integer Jaccard basis points and
+    * floor(x+0.5) rounding keep the arithmetic engine-exact; IEEE
+    * doubles agree given the same expression order). */
   def keyOverlap(spark: SparkSession, sfDir: String, k: Int = 1024): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -116,15 +121,17 @@ object HeavyHitters {
       .select(col("c_custkey").cast("string")).as[String]))
     val a = Await.result(fa, Duration.Inf)
     val b = Await.result(fb, Duration.Inf)
-    val (j, uEst, iEst) = graft.functions.Kmv.intersect(a, b, k)
+    val (common, uLen, uEst) = graft.functions.Kmv.intersect(a, b, k)
+    def est(x: Double): Long = math.floor(x + 0.5).toLong
+    val iEst = if (uLen == 0) 0.0 else common.toDouble / uLen * uEst
     Seq((k.toLong,
-      math.rint(graft.functions.Kmv.distinctEstimate(a, k)).toLong,
-      math.rint(graft.functions.Kmv.distinctEstimate(b, k)).toLong,
-      math.rint(uEst).toLong, BigDecimal(j).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble,
-      math.rint(iEst).toLong))
+      est(graft.functions.Kmv.distinctEstimate(a, k)),
+      est(graft.functions.Kmv.distinctEstimate(b, k)),
+      est(uEst),
+      if (uLen == 0) 0L else common.toLong * 10000L / uLen,
+      est(iEst)))
       .toDF("k", "est_distinct_a", "est_distinct_b", "est_union",
-        "jaccard", "est_intersect")
+        "jaccard_bp", "est_intersect")
   }
 
   /** Corpus tokens with count·k > n (frequency above 1/k): MG candidate

@@ -307,11 +307,19 @@ object Similarity {
       .toDF("qid", "rank", "vec_id", "rel")
   }
 
+  /** SRP-LSH top-k: bucket on the ENGINE-PORTABLE sign-random-projection
+    * signature ([[graft.functions.PortableSrpSig]] — integer-arithmetic
+    * hyperplane weights), so a DuckDB oracle rebuilds the buckets and
+    * hence the exact bucket-restricted result set; [[srpBucket]]
+    * (xxhash-weighted) remains for callers that don't need an external
+    * oracle. Same plan either way: one map-side signature pass, a
+    * bucket equi-join against the broadcast query side, per-query top-k
+    * window. */
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-      .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
+      .withColumn("bucket", graft.functions.srpSigPortable(col("embedding"), nPlanes))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))

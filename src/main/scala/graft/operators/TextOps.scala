@@ -455,4 +455,29 @@ object TextOps {
       col("doc_id"),
       graft.functions.fnv1a64(col("text")).as("fnv1a64"),
       xxhash64(col("text")).as("xxh64"))
+
+  /** Oracle-checkable twin of [[fingerprints]]: the 64-bit values are
+    * engine-specific, but the structural contract a fingerprint exists
+    * for is exact — it must induce the same duplicate partition as the
+    * text itself (equality-preserving by construction, collision-free
+    * on the corpus). Per document, emit the text-duplicate count and a
+    * flag per hash that its fingerprint-duplicate count matches;
+    * DuckDB recomputes the text-dup counts and asserts both flags
+    * TRUE, so a broken or colliding fingerprint hash-mismatches. The
+    * comparisons group on sha2(text) so the extra shuffles carry
+    * digests, not documents. */
+  def fingerprintsChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(
+      col("doc_id"), sha2(col("text"), 256).as("th"),
+      graft.functions.fnv1a64(col("text")).as("f"),
+      xxhash64(col("text")).as("x"))
+    def dupCount(key: String, as: String) =
+      d.groupBy(col(key)).agg(count(lit(1)).as(as))
+    d.join(dupCount("th", "n_text"), "th")
+      .join(dupCount("f", "n_f"), "f")
+      .join(dupCount("x", "n_x"), "x")
+      .select(col("doc_id"), col("n_text").as("n_text_dups"),
+        (col("n_f") === col("n_text")).as("fnv_respects_dups"),
+        (col("n_x") === col("n_text")).as("xxh_respects_dups"))
+  }
 }

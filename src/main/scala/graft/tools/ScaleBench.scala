@@ -134,6 +134,21 @@ object ScaleBench {
       graft.Tables.read(spark, baseDir, n).foreach(_ => ())
       graft.Tables.read(spark, outDir, n).foreach(_ => ())
     }
+    // warm the shared materialized layers for BOTH lakes, untimed —
+    // same discipline as Bench: without this, whichever audit query
+    // runs first at each scale carries that scale's layer builds and
+    // the ratios measure attribution luck, not per-row growth (r10:
+    // q62's base rode a warm dedup layer while its 10x built one,
+    // reading as 18x for a linear-cost query)
+    graft.SparkEntry.layers.toSeq.sortBy(_._1).foreach { case (name, build) =>
+      Seq(baseDir, outDir).foreach { d =>
+        val t0 = System.nanoTime()
+        try build(spark, d)
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] layer $name ($d) FAILED: ${e.getMessage}") }
+        System.err.println(f"[scale] layer $name ($d) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     val rows = AuditQueries.map { q =>
       val base = time(baseDir, q)
       val scaled = time(outDir, q)

@@ -472,7 +472,9 @@ class PipelineOpsSpec extends SparkSpec {
     val tol = 4.0 / math.sqrt(k - 2.0)
     assert(math.abs(Kmv.distinctEstimate(a, k) - 6000) / 6000.0 < tol)
     assert(math.abs(Kmv.distinctEstimate(b, k) - 6000) / 6000.0 < tol)
-    val (j, uEst, iEst) = Kmv.intersect(a, b, k)
+    val (common, uLen, uEst) = Kmv.intersect(a, b, k)
+    val j = common.toDouble / uLen
+    val iEst = j * uEst
     assert(math.abs(uEst - 10000) / 10000.0 < tol, s"union est $uEst")
     assert(math.abs(j - 0.2) < 0.2 * 3 * tol + 0.05, s"jaccard $j")
     assert(math.abs(iEst - 2000) / 2000.0 < 0.35, s"intersect est $iEst")
