@@ -222,8 +222,9 @@ object SparkEntry {
     "q118_source_profile" -> ((s, d) => TextOps.sourceProfile(s, d)),
     // weighted sampling without replacement (A-ES exponential keys)
     "q119_weighted_sample" -> ((s, d) => Analytics.weightedSample(s, d)),
-    // rows-only: MMR diversity re-rank (greedy fold over a bounded pool
-    // — not SQL-expressible; spec-verified first-pick + diversity gain)
+    // MMR diversity re-rank — the bounded greedy fold replays as a
+    // recursive-CTE oracle (hash-checked); spec keeps first-pick +
+    // diversity-gain invariants
     "q120_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     // BPE step-1: adjacent char-pair counts over the distinct-word table
     "q121_bpe_pairs" -> ((s, d) => TextOps.bpePairCounts(s, d)),
@@ -308,9 +309,8 @@ object SparkEntry {
     // the minimum must be scale-safe at sf0.001 too (the one
     // events-proportional rows-only minimum)
     "q114_synthetic_orders" -> 900L,
-    // exactly k = 10 MMR picks at every scale factor
-    "q120_mmr_rerank" -> 10L,
-    // (q122_key_overlap graduated to a full hash oracle r10)
+    // (q120_mmr_rerank + q122_key_overlap graduated to full hash
+    // oracles r10)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -684,6 +684,48 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // MMR rerank oracle: the greedy argmax fold is bounded (pool 100,
+    // k 10) and every term is engine-exact 4dp/9dp-rounded IEEE
+    // arithmetic, so a recursive CTE replays the selection — each step
+    // picks the remaining pool vector maximizing
+    // ROUND(λ·rel − (1−λ)·max-cos-to-picked, 9) with the same
+    // (score DESC, vec_id ASC) tie-break the Scala fold applies.
+    "q120_mmr_rerank" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qemb, nrm AS qnrm FROM e WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT vec_id, embedding, nrm,
+        |    ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (nrm * qnrm), 4) AS rel
+        |  FROM e, q WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 100),
+        |sel(r, picked) AS (
+        |  SELECT 0, CAST([] AS BIGINT[])
+        |  UNION ALL
+        |  SELECT r + 1, list_append(picked, c.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT p.vec_id FROM pool p
+        |    WHERE NOT list_contains(picked, p.vec_id)
+        |    ORDER BY ROUND(0.7 * p.rel - (1.0 - 0.7) * (
+        |      CASE WHEN len(picked) = 0 THEN 0.0 ELSE (
+        |        SELECT MAX(ROUND(list_sum(list_transform(range(1, len(p.embedding) + 1),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+        |          / (p.nrm * s.nrm), 4))
+        |        FROM pool s WHERE list_contains(picked, s.vec_id)) END), 9) DESC,
+        |      p.vec_id ASC
+        |    LIMIT 1) c
+        |  WHERE r < 10)
+        |SELECT CAST(0 AS BIGINT) AS qid,
+        |  CAST(u.ord AS BIGINT) AS rank, u.vid AS vec_id, p.rel
+        |FROM (SELECT unnest(picked) AS vid, generate_subscripts(picked, 1) AS ord
+        |      FROM sel WHERE r = 10) u
+        |JOIN pool p ON p.vec_id = u.vid""".stripMargin,
     // KMV theta-sketch oracle: DuckDB rebuilds the bottom-1024 sets of
     // the portable md5-prefix hashes per side, the union sketch, and
     // the theta arithmetic — (k-1)/theta with theta = (h+1)/2^60 in the
