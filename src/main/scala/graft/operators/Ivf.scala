@@ -40,7 +40,17 @@ object Ivf {
     (emb: Column) =>
       graft.functions.nearestCentroids(emb, centroids.flatten, centroids.length, nProbe)
 
-  /** Lloyd iterations; returns the centroid matrix. */
+  /** Lloyd iterations; returns the centroid matrix. The per-(cluster,
+    * dim) means aggregate as DECIMAL(28,12) sums over the float values
+    * (exact: a float has ≤ 9 significant decimal digits and the
+    * fixture magnitudes are O(1), so the decimal representation is
+    * lossless) divided by the count — associative-stable, so the
+    * FITTED CENTROIDS ARE IDENTICAL UNDER ANY PARTITIONING, unlike
+    * `avg(double)` whose partial-merge order floats with the task
+    * layout. That determinism is what lets every cell-layer consumer
+    * (q44/q117/q127/q128/q129) reproduce bit-for-bit across runs and
+    * cluster sizes; spec-asserted by refitting under different
+    * repartitionings. */
   def fitCentroids(spark: SparkSession, sfDir: String, k: Int,
                    iters: Int): Array[Array[Double]] = {
     import spark.implicits._
@@ -59,7 +69,9 @@ object Ivf {
       val assigned = e.withColumn("cluster", assignExpr(centroids)(col("embedding")))
       val means = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy("cluster").agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
         .as[(Int, Seq[(Int, Double)])].collect()
       val next = centroids.clone()

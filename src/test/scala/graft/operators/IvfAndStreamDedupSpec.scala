@@ -211,6 +211,19 @@ class IvfAndStreamDedupSpec extends SparkSpec {
       s"within-cell pair work $pairWork exceeds ~n*target bound")
   }
 
+  test("centroid fit is partitioning-independent (decimal-exact dim means)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = Ivf.fitCentroids(spark, sf("0.001"), 8, 2)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val b = Ivf.fitCentroids(spark, sf("0.001"), 8, 2)
+      assert(a.length == b.length)
+      a.zip(b).zipWithIndex.foreach { case ((ca, cb), i) =>
+        assert(ca.sameElements(cb), s"centroid $i drifted across partitionings")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("clusterProfile partitions the corpus with sane cohesion and purity") {
     val rows = Ivf.clusterProfile(spark, sf("0.01"))
       .as[(Int, Long, Double, Int, Double)].collect()
