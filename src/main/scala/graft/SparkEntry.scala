@@ -250,6 +250,15 @@ object SparkEntry {
     // rows-only: SemDeDup-style within-cell embedding dedup — kept set
     // spec-asserted against a brute within-cell replication
     "q129_semantic_keep" -> ((s, d) => Ivf.semanticKeep(s, d)),
+    // CCNet-style LM quality scoring: stupid-backoff bigram model
+    // trained on the deterministic doc_id%10<8 partition, every doc
+    // scored by mean bigram log-score (hash-checked)
+    "q130_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    // rows-only: BPE vocabulary learning (10 merge iterations over the
+    // word-frequency table — an iterated argmax chain, not
+    // SQL-expressible; spec-matched against an independent token-array
+    // driver BPE)
+    "q131_bpe_learn" -> ((s, d) => TextOps.bpeLearn(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -311,6 +320,8 @@ object SparkEntry {
     "q114_synthetic_orders" -> 900L,
     // (q120_mmr_rerank + q122_key_overlap graduated to full hash
     // oracles r10)
+    // exactly `merges` = 10 rows on any corpus with >= 10 mergeable pairs
+    "q131_bpe_learn" -> 10L,
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -1817,6 +1828,39 @@ object SparkEntry {
         |    ((CAST(nx AS DOUBLE) / nt) * (CAST(ny AS DOUBLE) / nt))), 9)
         |    AS mi_term
         |FROM w CROSS JOIN t""".stripMargin,
+    // Stupid-backoff bigram LM scoring: the count tables, smoothing
+    // arithmetic, and 9dp-DECIMAL term fold are all exact, so DuckDB
+    // retrains the same LM on the same doc_id%10<8 partition and
+    // reproduces every per-doc mean log-score.
+    "q130_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tr AS (SELECT * FROM t WHERE doc_id % 10 < 8),
+        |cu AS (SELECT w, COUNT(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+        |ntr AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tr),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM (
+        |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM tr WHERE len(t) >= 2) GROUP BY 1, 2),
+        |db AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |    FROM t WHERE len(t) >= 2)
+        |  WHERE len(w1) > 0 AND len(w2) > 0),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(ln(CASE
+        |      WHEN cb.cb IS NOT NULL AND u1.cu IS NOT NULL
+        |        THEN CAST(cb.cb AS DOUBLE) / u1.cu
+        |      ELSE 0.4 * (COALESCE(u2.cu, 0) + 1) / (n + 1.0) END), 9)
+        |      AS DECIMAL(18, 9)) AS term
+        |  FROM db
+        |  LEFT JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+        |  LEFT JOIN cu u1 ON db.w1 = u1.w
+        |  LEFT JOIN cu u2 ON db.w2 = u2.w
+        |  CROSS JOIN ntr)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -409,6 +409,137 @@ object TextOps {
       .groupBy(col("pair")).agg(sum(col("n")).as("freq"))
       .orderBy(desc("freq"), asc("pair")).limit(k)
 
+  /** BPE vocabulary learning — the merge LOOP [[bpePairCounts]]'s
+    * docstring defers to a driver harness, run distributed: `merges`
+    * iterations of (count weighted adjacent pairs over the
+    * word-frequency table) → (argmax with freq-desc, pair-asc
+    * tie-break) → (apply the merge to every word). The classic
+    * tokenizer-training shape (Sennrich et al. 2016): all heavy work
+    * is VOCABULARY-bounded — words live as one row per DISTINCT word
+    * with its corpus frequency, so a 100 TB corpus trains on a
+    * ~10 M-row table after one corpus-wide counting pass.
+    *
+    * The merge step needs BPE's greedy left-to-right semantics
+    * ("a a a a a" + pair (a,a) → "aa aa a"). Words are stored
+    * space-joined (`"h e l l o"`, padded), and the merge is
+    * `regexp_replace` with non-consuming space lookarounds —
+    * `(?<= )\Ql\E \Qr\E(?= )` — exactly the reference implementation's
+    * `(?<!\S)l r(?!\S)` re.sub (Sennrich et al.'s learn_bpe): matches
+    * consume only the pair text, so occurrences sharing a boundary
+    * space ("x y x y") all merge in one pass, and identical-token runs
+    * split the way a greedy scan does. Tokens are regex-quoted, so
+    * punctuation in the corpus can't inject syntax. Each iteration is
+    * one map-side-combined count aggregation + a 1-row collect + one
+    * map; the mutating frame is localCheckpointed every few rounds so
+    * the plan doesn't deepen linearly in `merges`. Rows-only (an
+    * iterated argmax chain needs aggregates inside recursion, which
+    * SQL engines reject); spec-verified against an independent
+    * token-array driver BPE on planted words and the real fixture. */
+  def bpeLearn(spark: SparkSession, sfDir: String, merges: Int = 10): DataFrame =
+    bpeLearnFrom(
+      Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n")),
+      merges)
+
+  /** [[bpeLearn]] over an arbitrary `(word, n)` frequency frame —
+    * spec-visible for planted-corpus verification. */
+  private[graft] def bpeLearnFrom(wordFreq: DataFrame, merges: Int): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    // " h e l l o " — space-joined chars, padded so every adjacent
+    // pair (including edges) matches the " l r " search pattern
+    var words = wordFreq.select(col("n"),
+      concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("toks"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1
+    while (rank <= merges) {
+      val top = words
+        // fully-merged single-token words have no pairs left —
+        // sequence(1, 0) would DESCEND ([1,0]) and index out of bounds
+        .filter(size(split(trim(col("toks")), " ")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(split(trim(toks), ' ')) - 1), " +
+            "j -> struct(element_at(split(trim(toks), ' '), j) AS w1, " +
+            "element_at(split(trim(toks), ' '), j + 1) AS w2))")).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("n")).as("freq"))
+        .orderBy(desc("freq"), asc("w1"), asc("w2"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = merges + 1
+      else {
+        val r = top.head
+        val (w1, w2, freq) = (r.getString(0), r.getString(1), r.getLong(2))
+        out += ((rank.toLong, w1, w2, w1 + w2, freq))
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
+          java.util.regex.Pattern.quote(w2) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(w1 + w2)
+        words = words.withColumn("toks", regexp_replace(col("toks"), pat, rep))
+        // checkpoint every 4 merges: keeps the lineage (and codegen
+        // stack of nested replaces) shallow without paying a
+        // materialization per round
+        if (rank % 4 == 0) words = words.localCheckpoint()
+        rank += 1
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** CCNet-style language-model quality scoring: train a bigram LM
+    * with stupid backoff (Brants et al. 2007 — `S(w2|w1) =
+    * c(w1w2)/c(w1)` when the bigram was seen, else `0.4·(c(w2)+1)/
+    * (N+1)` add-one-smoothed unigram backoff) on the deterministic
+    * train partition (`doc_id % 10 < 8` — engine-portable, no RNG),
+    * then score EVERY document by its mean bigram log-score. Low
+    * scorers are boilerplate/gibberish relative to the corpus
+    * distribution; held-out docs (doc_id % 10 ≥ 8) genuinely exercise
+    * the backoff path since their bigrams may be unseen in train.
+    *
+    * Scale shape: the count tables are VOCABULARY-bounded (unigrams,
+    * observed bigrams), not corpus-bounded — two counting aggregations
+    * with map-side combine, then one keyed join from the doc-bigram
+    * stream onto each. Per-term log-scores round to 9dp DECIMAL before
+    * summation (order-independent fold, the [[sourceProfile]] entropy
+    * discipline), so the per-doc mean is partitioning-independent and
+    * the DuckDB oracle reproduces it exactly. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    val cu = toks(train).groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nTrain = toks(train).count()
+    val cb = train.select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
+          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val docBigrams = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
+          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    docBigrams
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), Seq("w1"), "left")
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), Seq("w2"), "left")
+      .withColumn("s",
+        when(col("cb").isNotNull && col("cu1").isNotNull,
+          col("cb").cast("double") / col("cu1"))
+          .otherwise(lit(0.4) * (coalesce(col("cu2"), lit(0L)) + 1).cast("double") /
+            (nTrain + 1.0)))
+      .withColumn("term", round(log(col("s")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // decimal sum → double FIRST, then divide: decimal-division
+        // scale rules differ between engines, double division doesn't
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("lm_score"))
+  }
+
   /** Per-source corpus report card — the domain-level curation stats a
     * web-corpus pipeline computes before reweighting or dropping a
     * source: document count, exact-duplicate burden, mean length, the

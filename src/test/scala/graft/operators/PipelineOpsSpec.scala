@@ -431,6 +431,55 @@ class PipelineOpsSpec extends SparkSpec {
       "MMR set is not more diverse than plain top-k")
   }
 
+  test("BPE learn matches an independent token-array driver BPE") {
+    // independent reference: greedy left-to-right merge over TOKEN
+    // ARRAYS (no string/regex machinery shared with the engine path)
+    def naiveBpe(freqs: Map[String, Long], merges: Int): Seq[(Long, String, String, String, Long)] = {
+      var words = freqs.map { case (w, n) => (w.toCharArray.map(_.toString).toVector, n) }.toVector
+      (1 to merges).flatMap { rank =>
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (ts, n) =>
+          ts.sliding(2).filter(_.length == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((w1, w2), freq) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+          words = words.map { case (ts, n) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < ts.length) {
+              if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+                out += w1 + w2; i += 2
+              } else { out += ts(i); i += 1 }
+            }
+            (out.toVector, n)
+          }
+          Some((rank.toLong, w1, w2, w1 + w2, freq))
+        }
+      }
+    }
+    // planted corpus exercising shared-boundary and identical-run
+    // merges (the semantics that distinguish greedy BPE from plain
+    // string replace)
+    val planted = Seq(("aaaaa", 3L), ("banana", 2L), ("abab", 5L), ("bandana", 1L))
+    val gotPlanted = TextOps.bpeLearnFrom(
+        planted.toDF("word", "n"), merges = 6)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(gotPlanted == naiveBpe(planted.toMap, 6),
+      s"planted diverged:\n$gotPlanted\nvs\n${naiveBpe(planted.toMap, 6)}")
+    // real fixture, 10 merges
+    val fixtureFreqs = graft.Tables.documents(spark, sf("0.001"))
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val got = TextOps.bpeLearn(spark, sf("0.001"), merges = 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == naiveBpe(fixtureFreqs, 10),
+      s"fixture diverged:\n$got\nvs\n${naiveBpe(fixtureFreqs, 10)}")
+  }
+
   test("BPE pair counts equal a naive recompute; top merge empties its own pair") {
     val k = 20
     val got = TextOps.bpePairCounts(spark, sf("0.001"), k).collect()
