@@ -83,7 +83,8 @@ object SparkEntry {
     // --- sliding window (T12 snapshot semantics) + media resize ---
     "q42_sliding_window" -> ((s, d) => SupplierStats.slidingEvents(s, d)),
     "q43_resize_meta" -> ((s, d) => Multimodal.resizeMeta(s, d)),
-    // rows-only: k-means cell means are float-order sensitive
+    // IVF probe top-k — hash-checked: the decimal-exact centroid fit
+    // is replayed by an unrolled-k-means oracle (see ivfKmeans)
     "q44_ann_ivf" -> ((s, d) => Ivf.topK(s, d)),
     "q45_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
     "q46_cdc_changelog" -> ((s, d) => Cdc.lineitemChangelogSummary(s, d)),
@@ -182,7 +183,6 @@ object SparkEntry {
     "q98_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
     // --- NDCG@k ranking quality (q76 companion) ---
     "q99_policy_ndcg" -> ((s, d) => graft.ml.PolicyEval.ndcgMetrics(s, d)),
-    // rows-only: count-min buckets come from xxhash64, engine-specific;
     // CMS guarantees (est ≥ exact, bounded overestimate) as
     // hash-checked booleans over the deterministic heavy-token row set;
     // merge invariance stays spec-asserted
@@ -240,15 +240,17 @@ object SparkEntry {
     "q125_benford_digits" -> ((s, d) => Analytics.benfordDigits(s, d)),
     // categorical mutual information (feature-selection statistic)
     "q126_feature_mi" -> ((s, d) => Analytics.featureMi(s, d)),
-    // rows-only: kNN labeling through IVF probes at nProbe < kClusters —
-    // the sub-quadratic scale configuration of q117 (fitted centroids are
-    // not SQL-expressible; prediction agreement vs brute spec-asserted)
+    // kNN labeling through IVF probes at nProbe < kClusters — the
+    // sub-quadratic scale configuration of q117, hash-checked via the
+    // unrolled-k-means oracle (prediction agreement vs brute also
+    // spec-asserted)
     "q127_knn_ivf" -> ((s, d) => Similarity.knnClassify(s, d, nProbe = 4)),
-    // rows-only: per-cell population / cohesion / label purity over the
-    // IVF cell layer (fitted centroids are not SQL-expressible)
+    // per-cell population / cohesion / label purity over the IVF cell
+    // layer — hash-checked (9dp-DECIMAL cos fold + unrolled-k-means
+    // oracle)
     "q128_cluster_profile" -> ((s, d) => Ivf.clusterProfile(s, d)),
-    // rows-only: SemDeDup-style within-cell embedding dedup — kept set
-    // spec-asserted against a brute within-cell replication
+    // SemDeDup-style within-cell embedding dedup — hash-checked; kept
+    // set also spec-asserted against a brute within-cell replication
     "q129_semantic_keep" -> ((s, d) => Ivf.semanticKeep(s, d)),
     // CCNet-style LM quality scoring: stupid-backoff bigram model
     // trained on the deterministic doc_id%10<8 partition, every doc
@@ -297,20 +299,14 @@ object SparkEntry {
     * map default to minimum 1 — emptiness is treated as breakage unless
     * declared otherwise. */
   def minRows: Map[String, Long] = Map(
-    // (q21/q22/q25/q29 graduated to full hash oracles — see oracleSql)
-    // every holdout query keeps a prediction as long as its probed cells
-    // are non-empty; 100 holdout vectors at sf0.01
-    "q127_knn_ivf" -> 90L,
-    // one row per non-empty cell (16 fitted; allow a couple empty)
-    "q128_cluster_profile" -> 10L,
-    // 500 vectors minus within-cell cosine>=0.4 dominated (16 observed)
-    "q129_semantic_keep" -> 450L,
+    // (q21/q22/q25/q29 graduated to full hash oracles — see oracleSql;
+    // the IVF family q44/q127/q128/q129 followed once the decimal-exact
+    // centroid fit made the k-means externally recomputable)
     // one row per document (500 at sf0.01; slack for future fixture trims)
     "q35_text_embedding" -> 400L,
     "q30_linucb_seed" -> 25L,   // exactly one row per arm (25 brands)
     "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
-    "q44_ann_ivf" -> 50L,       // 10 queries × top-5
     "q77_text_embedding_hashed" -> 400L, // one row per document
     // (q84/q85/q100 graduated to envelope-flag hash oracles r10)
     "q111_quality_model" -> 400L, // one row per document
@@ -351,6 +347,67 @@ object SparkEntry {
     s"""SELECT doc_id, s FROM (
        |  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM tok)
        |WHERE df <= ${operators.Dedup.DefaultMaxDf}""".stripMargin
+
+  // --- Unrolled-k-means IVF oracle scaffolding ---
+  // The engine's IVF layer became externally recomputable when the
+  // centroid fit went decimal-exact (partitioning-independent means):
+  // these fragments replay the EXACT fit — init = 16 lowest vec_ids,
+  // two Lloyd iterations, per-(cluster,dim) mean = decimal(28,12) sum
+  // over the float values / count, empty cluster keeps its previous
+  // centroid — plus the assignment arithmetic of NearestCentroids
+  // (ascending-dim squared-L2 in doubles, ties to the lowest cluster).
+  // Pinned to the fixture shape: k = 16 (= deriveK(n) for n <= 8192)
+  // and d = 64 (the one literal the lateral-range limitation forces);
+  // the Spark side stays generic.
+  private def ivfDist(e: String, c: String) =
+    s"list_sum(list_transform(range(1, len($e) + 1), " +
+      s"i -> (CAST($e[i] AS DOUBLE) - $c[i]) * (CAST($e[i] AS DOUBLE) - $c[i])))"
+  private def ivfDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def ivfAssign(src: String, cents: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, label,
+       |    (min(struct_pack(d := ${ivfDist(s"$src.embedding", s"$cents.c")}, cl := $cents.cluster))).cl AS cluster
+       |  FROM $src CROSS JOIN $cents
+       |  GROUP BY vec_id, embedding, label)""".stripMargin
+  private def ivfUpdate(assigned: String, prev: String, mtab: String, out: String) =
+    s"""$mtab AS (
+       |  SELECT cluster, i AS dim,
+       |    CAST(SUM(CAST(embedding[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM $assigned, range(1, 65) t(i)
+       |  GROUP BY cluster, i),
+       |$out AS (
+       |  SELECT $prev.cluster,
+       |    COALESCE(list($mtab.m ORDER BY $mtab.dim), $prev.c) AS c
+       |  FROM $prev LEFT JOIN $mtab ON $prev.cluster = $mtab.cluster
+       |  GROUP BY $prev.cluster, $prev.c)""".stripMargin
+  private val ivfNrm =
+    "sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+  /** c2 = the fitted centroid table; af = final assignment with norms. */
+  private val ivfKmeans =
+    s"""e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |${ivfAssign("e", "c0", "a1")},
+       |${ivfUpdate("a1", "c0", "m1", "c1")},
+       |${ivfAssign("e", "c1", "a2")},
+       |${ivfUpdate("a2", "c1", "m2", "c2")},
+       |${ivfAssign("e", "c2", "af0")},
+       |af AS (SELECT af0.*, $ivfNrm AS nrm FROM af0)""".stripMargin
+  /** Probe selection: the `nProbe` nearest centroids per query vector,
+    * (distance, cluster)-ordered — NearestCentroids' partial selection
+    * sort semantics. Expects a `qv(qid, qemb, ...)` CTE in scope. */
+  private def ivfProbes(nProbe: Int) =
+    s"""probes AS (
+       |  SELECT qid, cluster AS probe FROM (
+       |    SELECT qv.qid, c2.cluster,
+       |      row_number() OVER (PARTITION BY qv.qid
+       |        ORDER BY ${ivfDist("qv.qemb", "c2.c")}, c2.cluster) AS pr
+       |    FROM qv CROSS JOIN c2)
+       |  WHERE pr <= $nProbe)""".stripMargin
 
   // Near-dup pair graph → transitive closure → per-component min label,
   // as recursive SQL (DuckDB executes the UNION-dedup recursion to a
@@ -695,6 +752,78 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // IVF-family oracles over the unrolled k-means (see ivfKmeans):
+    // cell assignment, probe selection, cosine scoring, and vote/
+    // dominance logic are all engine-exact once the centroid fit is.
+    "q44_ann_ivf" ->
+      s"""WITH $ivfKmeans,
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM af WHERE vec_id < 10),
+         |${ivfProbes(4)},
+         |scored AS (
+         |  SELECT qv.qid, af.vec_id,
+         |    ROUND(${ivfDot("af.embedding", "qv.qemb")} / (af.nrm * qv.qnrm), 4) AS cos_sim
+         |  FROM af
+         |  JOIN probes ON af.cluster = probes.probe
+         |  JOIN qv ON probes.qid = qv.qid AND af.vec_id <> qv.qid)
+         |SELECT qid, vec_id AS nbr_id, rank, cos_sim FROM (
+         |  SELECT qid, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "q127_knn_ivf" ->
+      s"""WITH $ivfKmeans,
+         |lab AS (SELECT * FROM af WHERE vec_id % 5 <> 0),
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm, label AS true_label
+         |       FROM af WHERE vec_id % 5 = 0),
+         |${ivfProbes(4)},
+         |scored AS (
+         |  SELECT qv.qid, qv.true_label, lab.vec_id, lab.label,
+         |    ROUND(${ivfDot("lab.embedding", "qv.qemb")} / (lab.nrm * qv.qnrm), 4) AS cos_sim
+         |  FROM lab
+         |  JOIN probes ON lab.cluster = probes.probe
+         |  JOIN qv ON probes.qid = qv.qid AND lab.vec_id <> qv.qid),
+         |nbr AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10),
+         |votes AS (
+         |  SELECT qid, true_label, label, COUNT(*) AS votes,
+         |    CAST(SUM(CAST(cos_sim AS DECIMAL(18,4))) AS DOUBLE) AS sim_sum
+         |  FROM nbr GROUP BY qid, true_label, label)
+         |SELECT qid AS vec_id, label AS predicted_label, votes, sim_sum, true_label,
+         |  (label = true_label) AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+         |      FROM votes)
+         |WHERE vr = 1""".stripMargin,
+    "q128_cluster_profile" ->
+      s"""WITH $ivfKmeans,
+         |cn AS (
+         |  SELECT cluster, list_transform(c, v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS cf,
+         |    sqrt(list_sum(list_transform(c,
+         |      v -> CAST(CAST(v AS REAL) AS DOUBLE) * CAST(CAST(v AS REAL) AS DOUBLE)))) AS cnrm
+         |  FROM c2),
+         |pl AS (
+         |  SELECT af.cluster, af.label, COUNT(*) AS n_l,
+         |    SUM(CAST(ROUND(${ivfDot("af.embedding", "cn.cf")} / (af.nrm * cn.cnrm), 9)
+         |      AS DECIMAL(18,9))) AS cos_l
+         |  FROM af JOIN cn ON af.cluster = cn.cluster
+         |  GROUP BY af.cluster, af.label)
+         |SELECT cluster, CAST(SUM(n_l) AS BIGINT) AS n_vectors,
+         |  ROUND(CAST(SUM(cos_l) AS DOUBLE) / SUM(n_l), 4) AS avg_cos_centroid,
+         |  (min(struct_pack(k1 := -n_l, k2 := label))).k2 AS top_label,
+         |  ROUND(CAST((min(struct_pack(k1 := -n_l, k2 := label))).k1 * -1 AS DOUBLE)
+         |    / SUM(n_l), 4) AS purity
+         |FROM pl GROUP BY cluster""".stripMargin,
+    "q129_semantic_keep" ->
+      s"""WITH $ivfKmeans,
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${ivfDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.4)
+         |SELECT af.vec_id, CAST(af.cluster AS INT) AS cell
+         |FROM af WHERE af.vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin,
     // MMR rerank oracle: the greedy argmax fold is bounded (pool 100,
     // k 10) and every term is engine-exact 4dp/9dp-rounded IEEE
     // arithmetic, so a recursive CTE replays the selection — each step

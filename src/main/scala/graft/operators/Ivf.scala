@@ -129,14 +129,22 @@ object Ivf {
         Similarity.l2norm(col("embedding")).as("nrm"))
       .withColumn("cluster", assignExpr(centroids)(col("embedding")))
       .join(broadcast(cdf), "cluster")
+      // per-row cos rounds to 9dp DECIMAL before the two summation
+      // levels (the sourceProfile entropy discipline): decimal sums
+      // are order-independent, so the cell means are deterministic
+      // under any partitioning — and, with the decimal-exact centroid
+      // fit, the whole profile is externally recomputable (the q128
+      // oracle unrolls the same two Lloyd iterations in SQL)
       .withColumn("cos_c",
-        Similarity.dot(col("embedding"), col("centroid")) /
-          (col("nrm") * col("cnrm")))
+        round(Similarity.dot(col("embedding"), col("centroid")) /
+          (col("nrm") * col("cnrm")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
       .groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n_l"), sum(col("cos_c")).as("cos_l"))
     perLabel.groupBy(col("cluster"))
       .agg(sum(col("n_l")).as("n_vectors"),
-        round(sum(col("cos_l")) / sum(col("n_l")), 4).as("avg_cos_centroid"),
+        round(sum(col("cos_l")).cast("double") / sum(col("n_l")), 4)
+          .as("avg_cos_centroid"),
         max_by(struct(col("label"), col("n_l")),
           struct(col("n_l"), -col("label"))).as("top"))
       .select(col("cluster"), col("n_vectors"), col("avg_cos_centroid"),
