@@ -261,6 +261,9 @@ object SparkEntry {
     // SQL-expressible; spec-matched against an independent token-array
     // driver BPE)
     "q131_bpe_learn" -> ((s, d) => TextOps.bpeLearn(s, d)),
+    // rows-only: per-doc subword accounting under the learned BPE vocab
+    // (depends on the q131 merge chain; spec vs driver-side apply)
+    "q132_bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -318,6 +321,7 @@ object SparkEntry {
     // oracles r10)
     // exactly `merges` = 10 rows on any corpus with >= 10 mergeable pairs
     "q131_bpe_learn" -> 10L,
+    "q132_bpe_apply" -> 400L, // one row per document (500 at sf0.01)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in

@@ -486,6 +486,49 @@ object TextOps {
     out.toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** Tokenizer APPLICATION under the [[bpeLearn]]-learned vocabulary —
+    * the per-document accounting a pipeline runs after training a
+    * tokenizer: apply the learned merges to every word, count the
+    * resulting subword tokens per document, and report the
+    * compression vs raw characters. The merge chain applies to the
+    * DISTINCT-WORD table (vocabulary-bounded regex work, the same
+    * per-word representation bpeLearn trained on); documents then
+    * join word → token-count, so the corpus-bounded side carries one
+    * small int per word occurrence, never re-running regex per
+    * occurrence. Rows-only (depends on the learned merge chain);
+    * spec asserts exact agreement with a driver-side apply plus the
+    * compression invariant n_subwords ≤ n_chars. */
+  def bpeApply(spark: SparkSession, sfDir: String, merges: Int = 10): DataFrame = {
+    val learned = bpeLearn(spark, sfDir, merges).collect()
+    val docs = Tables.documents(spark, sfDir)
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2).distinct()
+      .withColumn("toks",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+    learned.foreach { r =>
+      val (w1, w2) = (r.getString(1), r.getString(2))
+      val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
+        java.util.regex.Pattern.quote(w2) + "(?= )"
+      vocab = vocab.withColumn("toks",
+        regexp_replace(col("toks"), pat, java.util.regex.Matcher.quoteReplacement(w1 + w2)))
+    }
+    val wordTokens = vocab.select(col("word"),
+      size(split(trim(col("toks")), " ")).cast("long").as("n_subwords"))
+    docs.select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("word"))
+      // single-char words bypass the vocab (they are their own token)
+      .join(broadcast(wordTokens), Seq("word"), "left")
+      .withColumn("n_tok", coalesce(col("n_subwords"),
+        when(length(col("word")) > 0, 1L).otherwise(0L)))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(when(length(col("word")) > 0, 1)).as("n_words"),
+        sum(col("n_tok")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_chars"), 4)
+          .as("subwords_per_char"))
+  }
+
   /** CCNet-style language-model quality scoring: train a bigram LM
     * with stupid backoff (Brants et al. 2007 — `S(w2|w1) =
     * c(w1w2)/c(w1)` when the bigram was seen, else `0.4·(c(w2)+1)/

@@ -480,6 +480,44 @@ class PipelineOpsSpec extends SparkSpec {
       s"fixture diverged:\n$got\nvs\n${naiveBpe(fixtureFreqs, 10)}")
   }
 
+  test("BPE apply matches a driver-side apply of the learned merges") {
+    val merges = TextOps.bpeLearn(spark, sf("0.001"), merges = 10)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => (r._2, r._3))
+    def applyWord(w: String): Int = {
+      var ts = w.toCharArray.map(_.toString).toVector
+      merges.foreach { case (w1, w2) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+            out += w1 + w2; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        ts = out.toVector
+      }
+      ts.length
+    }
+    val docRows = graft.Tables.documents(spark, sf("0.001"))
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+    val nCharsOf = docRows.map(d => d._1 -> d._3).toMap
+    val expected = docRows.map { case (id, text, nChars) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val nSub = ws.map(w => if (w.length >= 2) applyWord(w) else 1).sum.toLong
+      id -> ((id, ws.length.toLong, nSub,
+        BigDecimal(nSub.toDouble / nChars)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = TextOps.bpeApply(spark, sf("0.001"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case row @ (id, nw, nsub, _) =>
+      assert(row == expected(id), s"doc $id: $row vs ${expected(id)}")
+      assert(nsub <= nCharsOf(id), s"doc $id: subwords exceed chars")
+      assert(nsub >= nw, "merging cannot drop below one token per word")
+    }
+  }
+
   test("BPE pair counts equal a naive recompute; top merge empties its own pair") {
     val k = 20
     val got = TextOps.bpePairCounts(spark, sf("0.001"), k).collect()
