@@ -292,6 +292,8 @@ object SparkEntry {
     // quality-LR weights (q111) and LinUCB sufficient stats (q30/q31/q41)
     "quality_lr_weights" -> ((s, d) => { graft.ml.QualityLR.fittedWeights(s, d); () }),
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
+    // learned BPE merge table (q131/q132)
+    "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no

@@ -435,13 +435,31 @@ object TextOps {
     * iterated argmax chain needs aggregates inside recursion, which
     * SQL engines reject); spec-verified against an independent
     * token-array driver BPE on planted words and the real fixture. */
-  def bpeLearn(spark: SparkSession, sfDir: String, merges: Int = 10): DataFrame =
-    bpeLearnFrom(
-      Tables.documents(spark, sfDir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 2)
-        .groupBy(col("word")).agg(count(lit(1)).as("n")),
-      merges)
+  def bpeLearn(spark: SparkSession, sfDir: String, merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    learnedMerges(spark, sfDir, merges)
+      .toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** The learned merge table as a MATERIALIZED LAYER — one 10-iteration
+    * fit per (session, sfDir, merges), shared by [[bpeLearn]] (the
+    * query surface) and [[bpeApply]] (the tokenizer), same discipline
+    * as the IVF centroid fit. The value is merges×5 driver scalars. */
+  def learnedMerges(spark: SparkSession, sfDir: String,
+                    merges: Int): Array[(Long, String, String, String, Long)] =
+    mergeCache.getOrCompute(spark, (sfDir, merges)) {
+      import spark.implicits._
+      bpeLearnFrom(
+        Tables.documents(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("n")),
+        merges)
+        .as[(Long, String, String, String, Long)].collect()
+    }
+
+  private val mergeCache =
+    new graft.SessionCache[(String, Int), Array[(Long, String, String, String, Long)]]()
 
   /** [[bpeLearn]] over an arbitrary `(word, n)` frequency frame —
     * spec-visible for planted-corpus verification. */
@@ -499,15 +517,14 @@ object TextOps {
     * spec asserts exact agreement with a driver-side apply plus the
     * compression invariant n_subwords ≤ n_chars. */
   def bpeApply(spark: SparkSession, sfDir: String, merges: Int = 10): DataFrame = {
-    val learned = bpeLearn(spark, sfDir, merges).collect()
+    val learned = learnedMerges(spark, sfDir, merges)
     val docs = Tables.documents(spark, sfDir)
     var vocab = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2).distinct()
       .withColumn("toks",
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
-    learned.foreach { r =>
-      val (w1, w2) = (r.getString(1), r.getString(2))
+    learned.foreach { case (_, w1, w2, _, _) =>
       val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
         java.util.regex.Pattern.quote(w2) + "(?= )"
       vocab = vocab.withColumn("toks",
