@@ -56,9 +56,13 @@ object Tables {
     * UTC-instant micros — exactly the epoch value the file stores.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Runtime-settable SQLConf; set defensively in case the caller's
-    // session was not built through GraftSession.
+    // Runtime-settable SQLConfs; set defensively in case the caller's
+    // session was not built through GraftSession. The UTC pin matters
+    // for the NTZ branch below: cast(ntz as timestamp) reinterprets
+    // wall-clock micros through the SESSION timezone, so a non-UTC
+    // session would silently shift every ts_us.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(spark, sfDir, "events")
     val withUs = raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) surfaced as epoch-ns long

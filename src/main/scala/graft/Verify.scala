@@ -46,7 +46,36 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The IVF-family oracles (q44/q127/q128/q129) replay the k-means
+    // fit with k=16 and d=64 hard-pinned in SQL — valid only while the
+    // fixture keeps deriveK(n)=16 (n <= 8192) and 64-dim embeddings.
+    // If the driver regenerates testdata past either bound, drop those
+    // oracles with a NAMED cause (they fall back to rows-only) instead
+    // of letting them surface as hash mismatches that look like engine
+    // regressions.
+    val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
+      "q128_cluster_profile", "q129_semantic_keep")
+      .intersect(SparkEntry.oracleSql.keySet)
+    val ivfPinsHold =
+      try {
+        val k = graft.operators.Ivf.semanticK(spark, sfDir)
+        val d = Tables.embeddings(spark, sfDir)
+          .selectExpr("size(embedding) AS d").limit(1).collect()(0).getInt(0)
+        if (k != 16 || d != 64) {
+          System.err.println(
+            s"[verify] IVF fixture pins violated (semanticK=$k expected 16, " +
+              s"dim=$d expected 64) — dropping pinned oracles: " +
+              ivfOracleKeys.toSeq.sorted.mkString(", "))
+          false
+        } else true
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] IVF pin check failed (${e.getMessage}) — dropping pinned oracles")
+        false
+      }
+    val oracles =
+      if (ivfPinsHold) SparkEntry.oracleSql
+      else SparkEntry.oracleSql -- ivfOracleKeys
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of every declared query + any that crashed, so the gate

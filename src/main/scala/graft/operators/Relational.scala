@@ -252,7 +252,7 @@ object Relational {
     val ap = valuePercentilesApprox(spark, sfDir)
       .withColumnRenamed("p50", "ap50").withColumnRenamed("p90", "ap90")
       .withColumnRenamed("p99", "ap99").withColumnRenamed("p100", "ap100")
-    def okFlag(q: Double, apCol: String, lt: Column, le: Column) =
+    def okFlag(q: Double, lt: Column, le: Column) =
       (lt <= (lit(q) + eps) * col("n")) && (le >= (lit(q) - eps) * col("n"))
     Tables.events(spark, sfDir)
       .join(broadcast(ap), "event_type")
@@ -266,9 +266,9 @@ object Relational {
         sum(when(col("value") < col("ap99"), 1L).otherwise(0L)).as("lt99"),
         sum(when(col("value") <= col("ap99"), 1L).otherwise(0L)).as("le99"))
       .select(col("event_type"),
-        okFlag(0.5, "ap50", col("lt50"), col("le50")).as("p50_in_rank_window"),
-        okFlag(0.9, "ap90", col("lt90"), col("le90")).as("p90_in_rank_window"),
-        okFlag(0.99, "ap99", col("lt99"), col("le99")).as("p99_in_rank_window"),
+        okFlag(0.5, col("lt50"), col("le50")).as("p50_in_rank_window"),
+        okFlag(0.9, col("lt90"), col("le90")).as("p90_in_rank_window"),
+        okFlag(0.99, col("lt99"), col("le99")).as("p99_in_rank_window"),
         col("ap100").as("p100"))
   }
 

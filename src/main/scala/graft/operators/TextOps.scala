@@ -563,20 +563,32 @@ object TextOps {
     * summation (order-independent fold, the [[sourceProfile]] entropy
     * discipline), so the per-doc mean is partitioning-independent and
     * the DuckDB oracle reproduces it exactly. */
-  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoreFrom(Tables.documents(spark, sfDir))
+
+  /** [[lmScore]] over an explicit corpus frame (`doc_id`, `text`) —
+    * the planted-corpus entry point the spec drives with degenerate
+    * documents (empty text, single token) that the sf fixtures may
+    * never contain. */
+  def lmScoreFrom(docs: DataFrame): DataFrame = {
     def toks(df: DataFrame) = df.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
     val train = docs.filter(col("doc_id") % 10 < 8)
     val cu = toks(train).groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val nTrain = toks(train).count()
-    val cb = train.select(explode(expr(
+    // Guard size>=2 before the transform: for a single-token doc
+    // sequence(1, 0) descends to [1, 0] and element_at(arr, 0) throws.
+    // Mirrors the oracle's WHERE len(t) >= 2 (and tokenPairs/
+    // bpeLearnFrom, which guard the same way).
+    val cb = train.filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
         "transform(sequence(1, size(split(text, ' ')) - 1), " +
           "i -> struct(element_at(split(text, ' '), i) AS w1, " +
           "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cb"))
-    val docBigrams = docs.select(col("doc_id"), explode(expr(
+    val docBigrams = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(split(text, ' ')) - 1), " +
           "i -> struct(element_at(split(text, ' '), i) AS w1, " +
           "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))

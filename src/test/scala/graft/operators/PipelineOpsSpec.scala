@@ -651,4 +651,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(nSources >= 1)
   }
+
+  test("LM score survives degenerate docs (empty / single-token text)") {
+    // doc 0: empty text; doc 10: one token — both split to < 2 tokens,
+    // where an unguarded sequence(1, size-1) descends to [1, 0] and
+    // element_at(arr, 0) throws. They must be silently excluded (no
+    // bigrams to score), not crash the query; normal docs still score.
+    val docs = Seq(
+      (0L, ""),                    // empty → train partition
+      (10L, "lonely"),             // single token → train partition
+      (1L, "the cat sat"),         // train
+      (2L, "the cat ran"),         // train
+      (18L, "the dog sat")         // held-out (doc_id % 10 >= 8)
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScoreFrom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(!got.contains(0L) && !got.contains(10L),
+      s"degenerate docs must have no bigram rows: $got")
+    assert(got.keySet == Set(1L, 2L, 18L))
+    assert(got(1L)._1 == 2 && got(2L)._1 == 2 && got(18L)._1 == 2)
+    // seen-in-train bigrams score higher than backoff-only ones
+    assert(got(1L)._2 > got(18L)._2,
+      s"train doc should outscore held-out backoff doc: $got")
+  }
 }
