@@ -41,7 +41,15 @@ object Bench {
       System.err.println(f"[bench] layer $name%-28s $dt%8.2f s" + (if (ok) "" else "  (FAILED)"))
       (name, dt, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local iteration
+    // (SPARK_GRAFT_ONLY=q35_text_embedding,q77_...); unset = full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -133,8 +133,8 @@ object Features {
   /** Dense TF-IDF vector per doc over a BOUNDED (sorted) vocabulary:
     * the `maxVocab` highest-document-frequency terms (ties → term asc),
     * selected with a distributed top-k (TakeOrdered — never a global
-    * sort materialization) so the driver collect and the V×V gram
-    * eigensolve are `maxVocab`-bounded BY CONSTRUCTION at any corpus
+    * sort materialization) so the driver vocabulary collect is
+    * `maxVocab`-bounded BY CONSTRUCTION at any corpus
     * size — out-of-vocabulary tail terms simply contribute no
     * coordinates, the standard truncated-vocabulary TF-IDF semantics.
     * (The synthetic corpus vocabulary is far below the default cap, so
@@ -169,59 +169,152 @@ object Features {
     (vecs, v)
   }
 
-  /** F14: truncated-SVD embedding, k dims. The gram matrix GᵀG (V×V,
-    * vocab-bounded) is aggregated distributed, eigen-factored on the
-    * driver with a cyclic Jacobi solver ([[graft.ml.LinAlg.symEigDesc]]
-    * — for a symmetric PSD gram matrix the eigenvectors ARE the right
-    * singular vectors), and the V×k projection broadcast back — the
-    * corpus never leaves the executors. Right-singular-vector signs are
-    * canonicalized (first nonzero coordinate positive) so the embedding
-    * is deterministic across runs/partitionings. */
+  /** F14: truncated-SVD embedding, k dims, via DISTRIBUTED randomized
+    * subspace iteration (Halko, Martinsson & Tropp 2011) — the V×V
+    * gram matrix is never materialized, on the executors OR the
+    * driver. Each pass applies `A = GᵀG` to a V×l block (l = k + 6
+    * oversampling) as one map-side-combined aggregation over the
+    * document vectors; the only driver-sized object in the whole
+    * pipeline is that V×l iterate — the same V×k shape the final
+    * projection broadcast already requires — so vocabulary growth
+    * costs the driver O(V·k), never O(V²). Right-singular-vector
+    * signs are canonicalized (first nonzero coordinate positive) so
+    * the embedding is deterministic across runs. */
   def textEmbedding(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val (vecs, v) = tfidfVectors(spark, sfDir)
     svdProject(spark, vecs, v, k)
   }
 
-  /** Shared truncated-SVD projection: gram-aggregate the `vec` column
-    * (dimension `v`), eigen-factor on the driver, broadcast the V×k
-    * projection back. Works for the vocab-indexed AND the feature-hashed
-    * vector spaces — `v` is vocab size for one, the fixed hash dimension
-    * for the other. */
-  private def svdProject(spark: SparkSession, vecs: DataFrame, v: Int,
-                         k: Int): DataFrame = {
+  /** Shared truncated-SVD projection: randomized subspace iteration on
+    * the `vec` column (dimension `v`), Rayleigh–Ritz on the driver
+    * (l×l, config-bounded), broadcast the V×k projection back. Works
+    * for the vocab-indexed AND the feature-hashed vector spaces — `v`
+    * is vocab size for one, the fixed hash dimension for the other.
+    *
+    * Scale shape per pass: executors fold `Z = Σ_docs x·(xᵀQ)` into a
+    * V×l partition accumulator (map-side combine over the corpus —
+    * the corpus never moves), treeReduce ships V×l partials. Three
+    * A-applications (⇒ G⁶ in singular-value terms) plus one
+    * Rayleigh–Ritz pass; spectra of TF-IDF grams decay fast, so the
+    * dominant subspace converges well inside that. The l×l projected
+    * eigenproblem reuses the Jacobi solver ([[graft.ml.LinAlg.symEigDesc]])
+    * at block size, where it is trivially cheap. */
+  private[features] def svdProject(spark: SparkSession, vecs: DataFrame, v: Int,
+                                   k: Int): DataFrame = {
     import spark.implicits._
-    val gram = vecs.select(col("vec")).as[Array[Double]].rdd
-      .mapPartitions { it =>
-        val acc = new Array[Double](v * v)
+    val l = math.min(k + 6, v) // oversampled block width
+    val rows = vecs.select(col("vec")).as[Array[Double]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // One distributed pass: Z = A·Q = Σ_x x (xᵀ Q), Q and Z both V×l
+    // row-major. Per-partition V×l accumulator, fixed fold order
+    // inside a partition; the block rides to executors in the task
+    // closure (V·l doubles, k-bounded).
+    def applyGram(qMat: Array[Double]): Array[Double] =
+      rows.mapPartitions { it =>
+        val acc = new Array[Double](v * l)
+        val s = new Array[Double](l)
         it.foreach { x =>
+          java.util.Arrays.fill(s, 0.0)
           var i = 0
           while (i < v) {
             val xi = x(i)
             if (xi != 0.0) {
               var j = 0
-              while (j < v) { acc(i * v + j) += xi * x(j); j += 1 }
+              while (j < l) { s(j) += xi * qMat(i * l + j); j += 1 }
+            }
+            i += 1
+          }
+          i = 0
+          while (i < v) {
+            val xi = x(i)
+            if (xi != 0.0) {
+              var j = 0
+              while (j < l) { acc(i * l + j) += xi * s(j); j += 1 }
             }
             i += 1
           }
         }
         Iterator.single(acc)
+      }.treeReduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
       }
-      .treeReduce { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
-    val eigVecs = graft.ml.LinAlg.symEigDesc(gram, v)._2
+
+    // Modified Gram–Schmidt over the l columns of a V×l block; a
+    // rank-deficient column zeroes out (its Ritz value lands at ~0 and
+    // the corresponding embedding coordinate is 0 — harmless).
+    def orthonormalize(m: Array[Double]): Array[Double] = {
+      val q = m.clone()
+      var j = 0
+      while (j < l) {
+        var p = 0
+        while (p < j) {
+          var dot = 0.0
+          var i = 0
+          while (i < v) { dot += q(i * l + j) * q(i * l + p); i += 1 }
+          i = 0
+          while (i < v) { q(i * l + j) -= dot * q(i * l + p); i += 1 }
+          p += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < v) { nrm += q(i * l + j) * q(i * l + j); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 1e-12) { i = 0; while (i < v) { q(i * l + j) /= nrm; i += 1 } }
+        else { i = 0; while (i < v) { q(i * l + j) = 0.0; i += 1 } }
+        j += 1
+      }
+      q
+    }
+
+    // Seeded deterministic start block — same Ω every run.
+    val rng = new java.util.SplittableRandom(0x5eed5eedL)
+    var q = orthonormalize(Array.fill(v * l)(rng.nextDouble() * 2.0 - 1.0))
+    var z: Array[Double] = null
+    var pass = 0
+    while (pass < 3) { z = applyGram(q); q = orthonormalize(z); pass += 1 }
+    z = applyGram(q) // final A·Q for the Rayleigh–Ritz projection
+    rows.unpersist(blocking = false)
+
+    // B = Qᵀ(A·Q), l×l symmetric — eigen-factor at block size on the
+    // driver; Ritz vectors U = Q·W approximate the top right singular
+    // vectors, eigenvalue-descending by symEigDesc's contract.
+    val b = new Array[Double](l * l)
+    var p = 0
+    while (p < l) {
+      var j = 0
+      while (j < l) {
+        var dot = 0.0
+        var i = 0
+        while (i < v) { dot += q(i * l + p) * z(i * l + j); i += 1 }
+        b(p * l + j) = dot
+        j += 1
+      }
+      p += 1
+    }
+    val w = graft.ml.LinAlg.symEigDesc(b, l)._2
     val proj = new Array[Double](v * k) // column j = j-th right singular vector
     var j = 0
-    while (j < k) {
-      // canonical sign: first nonzero component positive
+    while (j < math.min(k, l)) {
+      val u = new Array[Double](v) // U[:, j] = Q · W[:, j]
       var i = 0
+      while (i < v) {
+        var dot = 0.0
+        p = 0
+        while (p < l) { dot += q(i * l + p) * w(p * l + j); p += 1 }
+        u(i) = dot
+        i += 1
+      }
+      // canonical sign: first nonzero component positive
+      i = 0
       var sign = 0.0
       while (i < v && sign == 0.0) {
-        val x = eigVecs(i * v + j)
-        if (math.abs(x) > 1e-12) sign = math.signum(x)
+        if (math.abs(u(i)) > 1e-12) sign = math.signum(u(i))
         i += 1
       }
       if (sign == 0.0) sign = 1.0
       i = 0
-      while (i < v) { proj(i * k + j) = eigVecs(i * v + j) * sign; i += 1 }
+      while (i < v) { proj(i * k + j) = u(i) * sign; i += 1 }
       j += 1
     }
     // native projection expression: the V×k matrix rides into codegen

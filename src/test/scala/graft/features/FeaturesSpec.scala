@@ -153,4 +153,57 @@ class FeaturesSpec extends SparkSpec {
       .as[(Long, Array[Double])].collect().toMap
     assert(emb.keys.forall(k => emb(k).sameElements(again(k))))
   }
+
+  test("distributed randomized SVD matches an exact driver eigensolve on a planted low-rank corpus") {
+    // 60 docs in a 12-dim space, built from 3 orthogonal base patterns
+    // with well-separated strengths (8, 4, 2) plus tiny deterministic
+    // noise — strong eigengaps so the exact top-3 eigenvectors are
+    // unique up to sign and subspace iteration must reproduce them.
+    val v = 12
+    val k = 3
+    val bases = Array(
+      Array.tabulate(v)(i => if (i < 4) 1.0 else 0.0),
+      Array.tabulate(v)(i => if (i >= 4 && i < 8) 1.0 else 0.0),
+      Array.tabulate(v)(i => if (i >= 8) 1.0 else 0.0))
+    val scales = Array(8.0, 4.0, 2.0)
+    val docs = (0 until 60).map { d =>
+      val x = new Array[Double](v)
+      for (b <- 0 until 3) {
+        val wgt = scales(b) * (1.0 + 0.1 * ((d * (b + 3)) % 7))
+        if (d % 3 == b || d % 5 == b) for (i <- 0 until v) x(i) += wgt * bases(b)(i)
+      }
+      for (i <- 0 until v) x(i) += 0.001 * (((d * 31 + i * 17) % 13) - 6)
+      (d.toLong, x)
+    }
+    val vecs = docs.toDF("doc_id", "vec")
+    val got = Features.svdProject(spark, vecs, v, k)
+      .as[(Long, Array[Double])].collect().toMap
+
+    // exact path: full V×V gram on the test driver, Jacobi eigensolve,
+    // same sign canonicalization, same projection
+    val gram = new Array[Double](v * v)
+    docs.foreach { case (_, x) =>
+      for (i <- 0 until v; j <- 0 until v) gram(i * v + j) += x(i) * x(j)
+    }
+    val eig = graft.ml.LinAlg.symEigDesc(gram, v)._2
+    val exact = docs.map { case (id, x) =>
+      id -> Array.tabulate(k) { j =>
+        var sign = 0.0
+        var i = 0
+        while (i < v && sign == 0.0) {
+          if (math.abs(eig(i * v + j)) > 1e-12) sign = math.signum(eig(i * v + j))
+          i += 1
+        }
+        if (sign == 0.0) sign = 1.0
+        (0 until v).map(i => x(i) * eig(i * v + j) * sign).sum
+      }
+    }.toMap
+    val maxNorm = exact.values.map(_.map(math.abs).max).max
+    docs.foreach { case (id, _) =>
+      got(id).zip(exact(id)).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-6 * maxNorm,
+          s"doc $id diverged: got ${got(id).toSeq} exact ${exact(id).toSeq}")
+      }
+    }
+  }
 }
