@@ -178,6 +178,29 @@ object Similarity {
         round(array_max(col("errs")), 6).as("max_abs_err"))
   }
 
+  /** Exactness ceiling for [[deriveNProbe]]: at or below this corpus
+    * size, probe-all kNN is both cheap (≤ ~n²/holdout ≈ 2²³ rounded-
+    * cosine evaluations, sub-second on one executor core) and the
+    * oracle-parity configuration; the small-fixture scales sit far
+    * under it. Same bound the IVF k-means oracle pins (deriveK's
+    * 16-cell floor holds to 8192), so one constant describes where
+    * "small corpus = exact by default" ends. */
+  val ProbeAllMaxVectors = 8192L
+
+  /** Derived probe count above the ceiling: 4 of the fitted cells —
+    * q127's audited configuration (1.95× at the 10× audit). With
+    * [[Ivf.deriveK]] cells of ~512 mean size, 4 probes keep ~2048
+    * candidates per query, two orders above the k=10 vote depth. */
+  val DefaultScaleNProbe = 4
+
+  /** Corpus-derived default probe count, the [[Ivf.deriveK]]
+    * discipline applied to the query side: probe-all (exact) while the
+    * corpus is small enough that exactness is free, the audited
+    * sub-quadratic setting beyond. */
+  def deriveNProbe(n: Long, nCentroids: Int): Int =
+    if (n <= ProbeAllMaxVectors) nCentroids
+    else math.min(DefaultScaleNProbe, nCentroids)
+
   /** kNN label propagation — the semi-supervised classifier a labeling
     * pipeline runs to extend a small labeled seed set over an unlabeled
     * corpus: each "unlabeled" vector (here `vec_id % holdout == 0`, a
@@ -192,27 +215,33 @@ object Similarity {
     * coarse-quantizer cell, every query probes its `nProbe` nearest
     * cells, and scoring is an EQUI-join on the cell id — a partitioned
     * hash join keyed on the cell, never a nested-loop over a broadcast
-    * of corpus/holdout. `nProbe <= 0` (the default) resolves to
-    * `kClusters` — probe-all: the probe set covers every cell, so the
+    * of corpus/holdout. `nProbe <= 0` (the default) resolves via
+    * [[deriveNProbe]] from the corpus size, mirroring [[Ivf.deriveK]]:
+    * at or below [[ProbeAllMaxVectors]] it probes ALL cells, so the
     * candidate set is provably the
     * full labeled corpus and the result is EXACTLY brute-force kNN —
     * regardless of where the fitted centroids landed — which keeps the
-    * DuckDB brute-force oracle hash-green. With `nProbe < kClusters`
-    * (q127's configuration) the scored pairs shrink to
-    * ~|corpus|·nProbe/kClusters: the sub-quadratic scale path, with
-    * prediction agreement vs brute asserted in the spec. The vote
-    * layer is identical in both modes. */
+    * DuckDB brute-force oracle hash-green; above the ceiling it
+    * resolves to [[DefaultScaleNProbe]], so a caller who never tuned
+    * anything gets the sub-quadratic path once probe-all's
+    * |corpus|·|holdout| scoring would dominate. With `nProbe <
+    * kClusters` (q127's pinned configuration) the scored pairs shrink
+    * to ~|corpus|·nProbe/kClusters, with prediction agreement vs brute
+    * asserted in the spec. The vote layer is identical in all modes. */
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
                   holdout: Int = 5, kClusters: Int = 16, nProbe: Int = -1,
                   iters: Int = 2): DataFrame = {
     val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
-    // default derives from the FITTED cell count (the fit returns
-    // min(kClusters, |corpus|) centroids) so both a non-default
-    // kClusters and a corpus smaller than kClusters keep the documented
-    // probe-all-is-exact contract instead of silently under-probing or
-    // tripping the nProbe <= nCentroids require
-    val probes = if (nProbe <= 0) centroids.length
-                 else math.min(nProbe, centroids.length)
+    // default derives from corpus size ([[deriveNProbe]], the
+    // [[Ivf.deriveK]] discipline): probe-all below the exactness
+    // ceiling — the fitted cell count, so both a non-default kClusters
+    // and a corpus smaller than kClusters keep the documented
+    // probe-all-is-exact contract — and the audited sub-quadratic
+    // nProbe above it, without the caller having to opt in at scale
+    val probes =
+      if (nProbe <= 0)
+        deriveNProbe(Tables.embeddings(spark, sfDir).count(), centroids.length)
+      else math.min(nProbe, centroids.length)
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))

@@ -90,6 +90,18 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     assert(agree > 0.15, s"agreement $agree not above the ~0.1 chance rate")
   }
 
+  test("deriveNProbe: probe-all up to the exactness ceiling, audited nProbe above") {
+    import Similarity.{deriveNProbe, ProbeAllMaxVectors, DefaultScaleNProbe}
+    // the ceiling itself is pinned: moving it silently changes which
+    // corpora get exact-by-default kNN (and the q117 oracle contract)
+    assert(ProbeAllMaxVectors == 8192L && DefaultScaleNProbe == 4)
+    assert(deriveNProbe(500L, 16) == 16, "fixture corpus must probe all cells")
+    assert(deriveNProbe(8192L, 16) == 16, "at the ceiling: still exact")
+    assert(deriveNProbe(8193L, 16) == 4, "past the ceiling: scale path")
+    assert(deriveNProbe(1_000_000L, 16) == 4)
+    assert(deriveNProbe(1_000_000L, 2) == 2, "never probe more cells than fitted")
+  }
+
   test("streaming dedup drops re-deliveries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
