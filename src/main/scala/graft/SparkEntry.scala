@@ -1116,15 +1116,24 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    // Per-op summary of the synthesized multi-version changelog — the
+    // same closed form as q67/q101/q123 (Cdc.versionedEnvelope rules):
+    // every key emits 'c'; h >= 4 adds 'u' (lsn+1); h >= 8 adds a
+    // payload-nulled 'd' (lsn+2); lsn base = (okey*10+lineno)*1000 +
+    // (duplicate_rank-1)*4.
     "q46_cdc_changelog" ->
-      """WITH env AS (
-        |  SELECT CASE WHEN (l_orderkey + l_linenumber) % 20 < 16 THEN 'c'
-        |              WHEN (l_orderkey + l_linenumber) % 20 < 19 THEN 'u'
-        |              ELSE 'd' END AS op,
-        |    CASE WHEN (l_orderkey + l_linenumber) % 20 >= 19 THEN NULL
-        |         ELSE l_partkey END AS part_id,
-        |    l_orderkey * 10 + l_linenumber AS lsn
-        |  FROM lineitem)
+      """WITH ranked AS (
+        |  SELECT *, ((l_orderkey * 31 + l_linenumber) % 10) AS h,
+        |    (l_orderkey * 10 + l_linenumber) * 1000 +
+        |      (row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |        ORDER BY l_partkey, l_quantity, l_extendedprice) - 1) * 4 AS base
+        |  FROM lineitem),
+        |env AS (
+        |  SELECT 'c' AS op, l_partkey AS part_id, base AS lsn FROM ranked
+        |  UNION ALL
+        |  SELECT 'u', l_partkey, base + 1 FROM ranked WHERE h >= 4
+        |  UNION ALL
+        |  SELECT 'd', NULL, base + 2 FROM ranked WHERE h >= 8)
         |SELECT op, COUNT(*) AS n, COUNT(part_id) AS n_with_payload,
         |  MAX(lsn) AS max_lsn
         |FROM env GROUP BY op""".stripMargin,

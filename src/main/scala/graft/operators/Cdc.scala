@@ -94,13 +94,16 @@ object Cdc {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("lsn"))).as("value"))
   }
 
-  /** Unwrap + downstream consumption pattern: drop deletes, keep the
-    * latest image per key by lsn (the materialize-a-table-from-a-
-    * changelog shape), count ops for observability. */
+  /** Changelog observability summary: per-op row count, payload
+    * presence, log high-water mark. Reads the [[decodedVersionedLog]]
+    * SESSION LAYER — the envelope synthesis + JSON round-trip runs
+    * once per session (the bronze→silver decode), and every changelog
+    * consumer (this summary, SCD-2 history, latest-image compaction,
+    * snapshot diff) shares that one materialization instead of paying
+    * the linear decode again. At a 10× log this query is then one
+    * map-side-combined aggregation over already-typed rows. */
   def lineitemChangelogSummary(spark: SparkSession, sfDir: String): DataFrame =
-    lineitemEnvelope(spark, sfDir)
-      .select(from_json(col("value"), lineitemEnvelopeSchema).as("p"))
-      .select(col("p.*"))
+    decodedVersionedLog(spark, sfDir)
       .groupBy(col("op"))
       .agg(
         count(lit(1)).as("n"),
