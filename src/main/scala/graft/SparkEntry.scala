@@ -320,10 +320,8 @@ object SparkEntry {
     // events-proportional rows-only minimum)
     "q114_synthetic_orders" -> 900L,
     // (q120_mmr_rerank + q122_key_overlap graduated to full hash
-    // oracles r10)
-    // exactly `merges` = 10 rows on any corpus with >= 10 mergeable pairs
-    "q131_bpe_learn" -> 10L,
-    "q132_bpe_apply" -> 400L, // one row per document (500 at sf0.01)
+    // oracles r10; q131/q132 BPE graduated r11 via the unrolled
+    // merge-loop replay — see bpeChain)
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -414,6 +412,46 @@ object SparkEntry {
        |        ORDER BY ${ivfDist("qv.qemb", "c2.c")}, c2.cluster) AS pr
        |    FROM qv CROSS JOIN c2)
        |  WHERE pr <= $nProbe)""".stripMargin
+
+  // --- BPE merge-loop replay (q131/q132): the greedy fit is fully
+  // deterministic — top pair by (freq DESC, w1 asc, w2 asc), then
+  // left-to-right non-overlapping re-tokenization — so DuckDB replays
+  // all 10 merge iterations over the distinct-word table the same way
+  // the q44 unroll replays Lloyd iterations. The space-lookaround
+  // regexp_replace the engine applies (TextOps.bpeLearnFrom) is
+  // equivalent to a left-to-right fold over the token list, which
+  // list_reduce expresses exactly; tokens ride as single-element
+  // lists so the accumulator and element types stay aligned.
+  private def bpeFold(prev: String, m: String) =
+    s"list_reduce(list_transform($prev.t, x -> [x]), " +
+      s"(acc, x) -> CASE WHEN acc[len(acc)] = $m.w1 AND x[1] = $m.w2 " +
+      s"THEN list_append(acc[1:len(acc)-1], $m.merged) " +
+      s"ELSE list_append(acc, x[1]) END)"
+  private val bpeMergeCount = 10
+  /** CTE chain `w0..w10` / `m1..m10`: per-iteration pair counts, the
+    * argmax merge row, and the re-tokenized word table. */
+  private val bpeChain: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """w0 AS (
+        |  SELECT word, string_split(word, '') AS t, n FROM (
+        |    SELECT w AS word, COUNT(*) AS n FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |    WHERE len(w) >= 2 GROUP BY 1))""".stripMargin)
+    for (i <- 1 to bpeMergeCount) {
+      val p = s"w${i - 1}"
+      ctes += s"""p$i AS (
+         |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2, n
+         |    FROM $p WHERE len(t) >= 2)
+         |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""m$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, w1, w2, w1 || w2 AS merged, freq
+         |  FROM p$i ORDER BY freq DESC, w1, w2 LIMIT 1)""".stripMargin
+      ctes += s"""w$i AS (
+         |  SELECT word, ${bpeFold(p, s"m$i")} AS t, n FROM $p CROSS JOIN m$i)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
 
   // Near-dup pair graph → transitive closure → per-component min label,
   // as recursive SQL (DuckDB executes the UNION-dedup recursion to a
@@ -2005,6 +2043,29 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // Greedy BPE fit replay — see the bpeChain scaladoc. Both the
+    // learned merge table and the tokenizer application fall out of
+    // the same unrolled chain: m1..m10 are the fit's output rows;
+    // w10 is every distinct word's final tokenization.
+    "q131_bpe_learn" ->
+      (s"WITH $bpeChain\n" +
+        """SELECT rank, w1 AS "left", w2 AS "right", merged, freq FROM (""" + "\n" +
+        (1 to bpeMergeCount).map(i => s"  SELECT * FROM m$i").mkString(" UNION ALL\n") +
+        "\n)"),
+    "q132_bpe_apply" ->
+      (s"WITH $bpeChain,\n" +
+        s"""wt AS (SELECT word, CAST(len(t) AS BIGINT) AS n_sub FROM w$bpeMergeCount),
+           |d AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS word
+           |      FROM documents),
+           |j AS (
+           |  SELECT doc_id, n_chars,
+           |    COALESCE(wt.n_sub, CASE WHEN len(d.word) > 0 THEN 1 ELSE 0 END) AS n_tok,
+           |    CASE WHEN len(d.word) > 0 THEN 1 ELSE 0 END AS is_word
+           |  FROM d LEFT JOIN wt ON d.word = wt.word)
+           |SELECT doc_id, CAST(SUM(is_word) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_subwords,
+           |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / n_chars, 4) AS subwords_per_char
+           |FROM j GROUP BY doc_id, n_chars""".stripMargin),
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (
