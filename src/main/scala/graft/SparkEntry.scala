@@ -309,12 +309,12 @@ object SparkEntry {
     // centroid fit made the k-means externally recomputable)
     // one row per document (500 at sf0.01; slack for future fixture trims)
     "q35_text_embedding" -> 400L,
-    "q30_linucb_seed" -> 25L,   // exactly one row per arm (25 brands)
-    "q31_linucb_topk" -> 60L,   // 20 contexts × top-3
+    // (q30/q31 graduated r11: the decimal-exact seed layer made the
+    // sufficient statistics externally recomputable — see luStats)
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
     "q77_text_embedding_hashed" -> 400L, // one row per document
-    // (q84/q85/q100 graduated to envelope-flag hash oracles r10)
-    "q111_quality_model" -> 400L, // one row per document
+    // (q84/q85/q100 graduated to envelope-flag hash oracles r10;
+    // q111 graduated r11 via the unrolled-IRLS replay — see lrChain)
     // one row per event; the smallest scale factor has 1 000 events, so
     // the minimum must be scale-safe at sf0.001 too (the one
     // events-proportional rows-only minimum)
@@ -488,6 +488,163 @@ object SparkEntry {
        |clusters AS (
        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.m, d.doc_id)) AS cluster_id
        |  FROM documents d LEFT JOIN minr m ON d.doc_id = m.doc_id)""".stripMargin
+
+  // --- Quality-LR IRLS replay (q111): the fit is deterministic by the
+  // decimal-term construction (QualityLR.newtonStep rounds every
+  // Hessian/gradient term to 12dp BEFORE the decimal sum, so the
+  // trajectory is partitioning-independent) plus trajectory pinning
+  // (QualityLR.train rounds β to 6dp after every step), which lets
+  // DuckDB replay the 4 Newton iterations the same way the q44 unroll
+  // replays Lloyd iterations. The 5×5 Newton solve is unrolled as a
+  // Cholesky factorization via lateral column aliases; the replay need
+  // not be bit-identical to the engine's explicit-inverse path — the
+  // ~1e-9 per-step divergence (solver path + libm exp skew through the
+  // 12dp term rounding) is absorbed by the 5e-7 pinning grid before the
+  // next step can amplify it (the weak labels are near-separable, so
+  // without pinning the mid-ascent trajectory amplifies sub-ulp noise
+  // ~10³ per step). Each lrb CTE projects ONLY the rounded β — the
+  // Cholesky intermediates must not leak into the next iteration's
+  // scope, where they would shadow its lateral aliases — and the
+  // per-iteration CTEs are MATERIALIZED so DuckDB doesn't inline the
+  // alias chains into an exponentially growing expression tree.
+  private val lrDim = graft.ml.QualityLR.Dim
+  /** SELECT list solving `H δ = g` (H SPD after the ridge) via unrolled
+    * Cholesky with lateral aliases, then `cᵢ = βprevᵢ + δᵢ`. `s` is the
+    * aggregate CTE alias (h_i_j upper-triangle + g_i), `b` the previous
+    * beta CTE alias (c0..c4). */
+  private def lrSolve(s: String, b: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until lrDim; j <- i until lrDim) {
+      val ridge = if (i == j) " + 0.001" else "" // QualityLR.train ridge
+      out += s"$s.h_${i}_$j$ridge AS a_${i}_$j"
+    }
+    def a(i: Int, j: Int) = if (i <= j) s"a_${i}_$j" else s"a_${j}_$i"
+    for (j <- 0 until lrDim) {
+      val diag = (0 until j).map(k => s" - l_${j}_$k * l_${j}_$k").mkString
+      out += s"sqrt(${a(j, j)}$diag) AS l_${j}_$j"
+      for (i <- j + 1 until lrDim) {
+        val sub = (0 until j).map(k => s" - l_${i}_$k * l_${j}_$k").mkString
+        out += s"(${a(i, j)}$sub) / l_${j}_$j AS l_${i}_$j"
+      }
+    }
+    for (i <- 0 until lrDim) {
+      val sub = (0 until i).map(k => s" - l_${i}_$k * z_$k").mkString
+      out += s"($s.g_$i$sub) / l_${i}_$i AS z_$i"
+    }
+    for (i <- (lrDim - 1) to 0 by -1) {
+      val sub = (i + 1 until lrDim).map(k => s" - l_${k}_$i * d_$k").mkString
+      out += s"(z_$i$sub) / l_${i}_$i AS d_$i"
+    }
+    out ++= (0 until lrDim).map(i => s"$b.c$i + d_$i AS c$i")
+    out.mkString(",\n    ")
+  }
+  private def lrDot(b: String) =
+    (0 until lrDim).map(i => s"x$i * $b.c$i").mkString(" + ")
+  /** One Newton iteration: aggregate CTE `lrs{k}` (15 Hessian + 5
+    * gradient decimal sums of 12dp-rounded terms at β = lrb{k-1}) and
+    * solve CTE `lrb{k}`. */
+  private def lrIter(k: Int): String = {
+    val hs = for (i <- 0 until lrDim; j <- i until lrDim) yield
+      s"CAST(SUM(CAST(ROUND(w * x$i * x$j, 12) AS DECIMAL(38,12))) AS DOUBLE) AS h_${i}_$j"
+    val gs = (0 until lrDim).map(i =>
+      s"CAST(SUM(CAST(ROUND((y - p) * x$i, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g_$i")
+    s"""lrs$k AS MATERIALIZED (
+       |  SELECT ${(hs ++ gs).mkString(",\n    ")}
+       |  FROM (SELECT q.*, p * (1.0 - p) AS w FROM (
+       |    SELECT lrf.*, 1.0 / (1.0 + exp(-(${lrDot("b")}))) AS p
+       |    FROM lrf CROSS JOIN lrb${k - 1} b) q)),
+       |lrb$k AS MATERIALIZED (
+       |  SELECT ${(0 until lrDim).map(i => s"ROUND(c$i, 6) AS c$i").mkString(", ")}
+       |  FROM (SELECT ${lrSolve("s", "b")}
+       |    FROM lrs$k s CROSS JOIN lrb${k - 1} b) sol)""".stripMargin
+  }
+  /** Feature frame (the q27 stats mapped through QualityLR.features) +
+    * β₀ = 0 + the 4 unrolled Newton iterations. */
+  private val lrChain: String =
+    """lrt AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |  FROM documents),
+      |lrf AS MATERIALIZED (
+      |  SELECT doc_id, 1.0 AS x0,
+      |    ln(CAST(n_chars AS DOUBLE) + 1.0) AS x1,
+      |    ROUND(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4) / 10.0 AS x2,
+      |    ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS x3,
+      |    ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS x4,
+      |    CAST(n_tokens >= 10 AND n_chars >= 50 AND n_stop > 0 AS DOUBLE) AS y
+      |  FROM lrt),
+      |lrb0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3, 0.0 AS c4)""".stripMargin +
+      ",\n" + (1 to 4).map(lrIter).mkString(",\n")
+
+  // --- LinUCB seed replay (q30/q31): since the model layer seeds
+  // through LinUCB.seedColumnar (decimal-exact sufficient statistics —
+  // every scaled product `round(xᵢxⱼ·1e12)` is an integer-valued
+  // double ≥ 0.005 from its rounding boundary, summed as an integer
+  // decimal), A and b are bit-recomputable by an external engine from
+  // the same parquet doubles. The 5×5 inverse the engine takes
+  // driver-side (LinAlg.invertRowMajor, partial-pivot Gauss-Jordan)
+  // is replayed here as a Cholesky factorization of A = I + Σxxᵀ via
+  // lateral aliases — solver paths differ by ~cond(A)·ε ≈ 1e-12
+  // relative, far inside the 9dp/6dp output rounding. Same hygiene as
+  // the IRLS replay: per-stage CTEs are MATERIALIZED and project only
+  // what the next stage consumes.
+  private val luDim = graft.ml.LinUCB.Dim
+  /** Feedback + per-arm sufficient statistics (shared by q30/q31). */
+  private val luStats: String = {
+    val sums =
+      (for (i <- 0 until luDim; j <- i until luDim)
+        yield s"CAST(SUM(CAST(ROUND(x$i * x$j * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12 AS s_${i}_$j") ++
+      (0 until luDim).map(i =>
+        s"CAST(SUM(CAST(ROUND(reward * x$i * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12 AS b_$i")
+    s"""luf AS (
+       |  SELECT p_brand AS arm,
+       |    1.0 AS x0, l_quantity / 50.0 AS x1, l_extendedprice / 100000.0 AS x2,
+       |    l_discount AS x3, l_tax AS x4,
+       |    CASE WHEN l_quantity * 0.012 + l_discount * 4.0 > 0.5
+       |      THEN 1.0 ELSE 0.0 END AS reward
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |lus AS MATERIALIZED (
+       |  SELECT arm, COUNT(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM luf GROUP BY arm)""".stripMargin
+  }
+  /** Lateral-alias Cholesky of A = I + Σxxᵀ over the per-arm stats
+    * row: `a_i_j` (ridged with the +I), then `l_i_j`. */
+  private def luCholAliases: Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until luDim; j <- i until luDim) {
+      val eye = if (i == j) " + 1.0" else "" // A = I + Σxxᵀ
+      out += s"s_${i}_$j$eye AS a_${i}_$j"
+    }
+    def a(i: Int, j: Int) = if (i <= j) s"a_${i}_$j" else s"a_${j}_$i"
+    for (j <- 0 until luDim) {
+      val diag = (0 until j).map(k => s" - l_${j}_$k * l_${j}_$k").mkString
+      out += s"sqrt(${a(j, j)}$diag) AS l_${j}_$j"
+      for (i <- j + 1 until luDim) {
+        val sub = (0 until j).map(k => s" - l_${i}_$k * l_${j}_$k").mkString
+        out += s"(${a(i, j)}$sub) / l_${j}_$j AS l_${i}_$j"
+      }
+    }
+    out.toSeq
+  }
+  /** Aliases solving `A w = rhs` through the factors: forward
+    * `L z = rhs` then back `Lᵀ w = z`; rhs(i) is an SQL expression.
+    * Produces `${tag}z_i` and `${tag}w_i`. */
+  private def luSolveAliases(tag: String, rhs: Int => String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until luDim) {
+      val sub = (0 until i).map(k => s" - l_${i}_$k * ${tag}z_$k").mkString
+      out += s"(${rhs(i)}$sub) / l_${i}_$i AS ${tag}z_$i"
+    }
+    for (i <- (luDim - 1) to 0 by -1) {
+      val sub = (i + 1 until luDim).map(k => s" - l_${k}_$i * ${tag}w_$k").mkString
+      out += s"(${tag}z_$i$sub) / l_${i}_$i AS ${tag}w_$i"
+    }
+    out.toSeq
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1020,6 +1177,54 @@ object SparkEntry {
         |       WHEN score_fr > 0 THEN 'fr'
         |       ELSE 'unknown' END) = lang AS agrees
         |FROM t""".stripMargin,
+    "q30_linucb_seed" ->
+      s"""WITH $luStats
+         |SELECT arm AS product_id, n,
+         |  ROUND(e0w_0, 9) AS ainv_00,
+         |  ROUND(e4w_4, 9) AS ainv_44,
+         |  ROUND(b_0, 6) AS b_0,
+         |  ROUND(b_4, 6) AS b_4
+         |FROM (SELECT arm, n, b_0, b_4,
+         |    ${(luCholAliases ++
+               luSolveAliases("e0", i => if (i == 0) "1.0" else "0.0") ++
+               luSolveAliases("e4", i => if (i == 4) "1.0" else "0.0"))
+                 .mkString(",\n    ")}
+         |  FROM lus) sol""".stripMargin,
+    "q31_linucb_topk" ->
+      s"""WITH $luStats,
+         |luchol AS MATERIALIZED (
+         |  SELECT arm,
+         |    ${// θᵀx = (L⁻¹b)·(L⁻¹x): both sides enter as FORWARD solves,
+             // so project ubz (L⁻¹b), not the full ubw = A⁻¹b
+             (0 until luDim).map(i => s"ubz_$i AS ub_$i").mkString(", ")},
+         |    ${(for (j <- 0 until luDim; i <- j until luDim) yield s"l_${i}_$j").mkString(", ")}
+         |  FROM (SELECT arm,
+         |      ${(luCholAliases ++ luSolveAliases("ub", i => s"b_$i")).mkString(",\n      ")}
+         |    FROM lus) sol),
+         |luctx AS (
+         |  SELECT range AS ctx_id, 1.0 AS cx0,
+         |    CAST(range % 10 AS DOUBLE) / 10.0 AS cx1,
+         |    CAST(range % 7 AS DOUBLE) / 7.0 AS cx2,
+         |    CAST(range % 3 AS DOUBLE) / 30.0 AS cx3,
+         |    0.05 AS cx4
+         |  FROM range(20)),
+         |scored AS (
+         |  SELECT ctx_id, arm,
+         |    ROUND(${(0 until luDim).map(i => s"ub_$i * uz_$i").mkString(" + ")}
+         |      + 0.5 * sqrt(${(0 until luDim).map(i => s"uz_$i * uz_$i").mkString(" + ")}), 6) AS score
+         |  FROM (SELECT ctx_id, arm,
+         |      ${(0 until luDim).map(i => s"ub_$i").mkString(", ")},
+         |      ${(0 until luDim).map { i =>
+                  val sub = (0 until i).map(k => s" - l_${i}_$k * uz_$k").mkString
+                  s"(cx$i$sub) / l_${i}_$i AS uz_$i"
+                }.mkString(",\n      ")}
+         |    FROM luctx CROSS JOIN luchol) u)
+         |SELECT ctx_id, arm AS product_id, rank, score FROM (
+         |  SELECT ctx_id, arm, score,
+         |    row_number() OVER (PARTITION BY ctx_id
+         |      ORDER BY score DESC, arm) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     "q32_customer_features" ->
       """WITH stats AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
         |SELECT c_custkey AS user_id,
@@ -1951,6 +2156,12 @@ object SparkEntry {
          |         THEN 'B'
          |       ELSE 'C' END AS abc_class
          |FROM c""".stripMargin,
+    "q111_quality_model" ->
+      s"""WITH $lrChain
+         |SELECT lrf.doc_id,
+         |  ROUND(1.0 / (1.0 + exp(-(${lrDot("b")}))), 6) AS quality_prob,
+         |  CAST(y AS BOOLEAN) AS heuristic_gate
+         |FROM lrf CROSS JOIN lrb4 b""".stripMargin,
     "q112_incremental_dedup" ->
       s"""WITH sh AS ($shingles),
          |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

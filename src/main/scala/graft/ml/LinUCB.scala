@@ -116,10 +116,19 @@ object LinUCB {
     * (seed once, publish, every consumer reads the store). q30/q31/q41
     * all consume this layer instead of re-running the corpus seed pass
     * each, the same materialization discipline as
-    * [[graft.operators.Dedup.materializedClusters]]. */
+    * [[graft.operators.Dedup.materializedClusters]].
+    *
+    * Since round 11 the layer seeds through [[seedColumnar]] (the
+    * decimal-exact sufficient statistics) rather than the double-fold
+    * [[SeedAggregator]]: the sums become independent of partial-merge
+    * order, so the fitted models are bit-stable across partitionings
+    * AND externally recomputable — which is what graduated q30/q31
+    * from rows-only to full DuckDB hash oracles. The Aggregator stays
+    * as the streaming/typed operator surface (A9/A10) and the spec
+    * asserts both paths agree to fp noise. */
   def seededModels(spark: SparkSession, sfDir: String): Array[Model] =
     modelCache.getOrCompute(spark, sfDir) {
-      seed(feedbackFromLineitem(spark, sfDir), Dim).collect()
+      seedColumnar(spark, sfDir).collect()
     }
 
   private val modelCache = new graft.SessionCache[String, Array[Model]]()
@@ -257,34 +266,48 @@ object LinUCB {
   /** Columnar variant of the seed: `A[i][j] = Σ xᵢxⱼ` and
     * `b[i] = Σ r·xᵢ` as d(d+1)/2 + d sum() aggregates over column
     * products with decimal-exact (order-independent) arithmetic.
-    * Spec-checked equal to the Aggregator path. MEASURED tradeoff at
-    * d=5 / 600k rows: the 20 decimal aggregates cost more than the
-    * typed path's encoder overhead (11.8 s vs 2.5 s at sf0.1), so the
-    * [[SeedAggregator]] stays the default; this form wins only when
-    * exact cross-run reproducibility of the raw sums is itself the
-    * requirement. */
+    * Spec-checked equal to the Aggregator path (to fp noise).
+    *
+    * Arithmetic chosen for BOTH speed and external recomputability:
+    * each product is scaled to 12dp and rounded to an integer-valued
+    * double (`round(xᵢ·xⱼ·1e12)`), summed as DECIMAL(20,0) — the
+    * per-row decimal conversion takes Spark's compact-long fast path
+    * (the earlier `cast(prod AS DECIMAL(28,12))` went double →
+    * BigDecimal.valueOf → string parse per term and cost 4.7× the
+    * typed path; the long-path closes most of that gap). Determinism
+    * is cross-ENGINE, not just cross-run: the feedback components are
+    * IEEE doubles an external engine derives identically from the
+    * parquet bits (`qty/50.0`, `price/1e5`, …), every scaled product
+    * sits ≥ 0.005 from a rounding boundary (the true values are
+    * ≤ 14dp rationals, so the ·1e12 fractional part is a multiple of
+    * 1/100) while fp error is ~1e-4, and an integer decimal sum has
+    * no order dependence — so DuckDB replays A and b bit-for-bit,
+    * which is what backs the q30/q31 hash oracles
+    * (`SparkEntry.luChol`). At 12dp the A entries agree with the
+    * unrounded double fold to ~√n·5e-13 — inside the spec's 1e-9. */
   def seedColumnar(spark: SparkSession, sfDir: String): Dataset[Model] = {
     import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
     val fb = feedbackFromLineitem(spark, sfDir).toDF()
     val x = (0 until Dim).map(i => element_at(col("x"), i + 1))
     val aggs =
       (for (i <- 0 until Dim; j <- i until Dim)
-        yield sum((x(i) * x(j)).cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        yield sum(round(x(i) * x(j) * lit(1e12)).cast(dec))
           .cast("double").as(s"a_${i}_$j")) ++
       (0 until Dim).map(i =>
-        sum((col("reward") * x(i)).cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        sum(round(col("reward") * x(i) * lit(1e12)).cast(dec))
           .cast("double").as(s"b_$i")) :+
       count(lit(1)).as("n")
     fb.groupBy(col("productId")).agg(aggs.head, aggs.tail: _*)
       .map { row =>
         val a = new Array[Double](Dim * Dim)
         for (i <- 0 until Dim; j <- i until Dim) {
-          val v = row.getAs[Double](s"a_${i}_$j")
+          val v = row.getAs[Double](s"a_${i}_$j") / 1e12
           a(i * Dim + j) = v
           a(j * Dim + i) = v
         }
         for (i <- 0 until Dim) a(i * Dim + i) += 1.0 // A = I + Σxxᵀ
-        val b = (0 until Dim).map(i => row.getAs[Double](s"b_$i")).toArray
+        val b = (0 until Dim).map(i => row.getAs[Double](s"b_$i") / 1e12).toArray
         Model(row.getString(0), invertRowMajor(a, Dim), b, Dim,
           row.getAs[Long]("n"))
       }

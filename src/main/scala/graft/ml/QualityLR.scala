@@ -97,17 +97,32 @@ object QualityLR {
     * feature derivation runs once, each Newton pass re-reads the narrow
     * (d+2)-column cache, and the blocks are released when the last step
     * finishes. Values are unchanged (the decimal-term sums are
-    * partitioning-independent by construction). */
+    * partitioning-independent by construction).
+    *
+    * Each step's β is rounded to 6dp (HALF_UP, matching SQL ROUND) —
+    * trajectory pinning. The weak labels are near-separable, so the
+    * 4-step trajectory is still mid-ascent (‖g‖ ≈ 45 after step 4)
+    * and would otherwise amplify sub-ulp arithmetic differences
+    * (solver path, libm exp skew) across steps; snapping β to a 5e-7
+    * grid after every step absorbs ~1e-9 drift before it can
+    * compound, which is what lets an external engine (the q111 DuckDB
+    * oracle) replay the whole fit to an identical β. Semantically the
+    * quantization is ~1e-8 relative on O(10..80) weights — noise. */
   def train(feats: DataFrame, iters: Int = 4,
             ridge: Double = 1e-3): Array[Double] = {
     val pinned = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var beta = new Array[Double](Dim)
       var it = 0
-      while (it < iters) { beta = newtonStep(pinned, beta, ridge); it += 1 }
+      while (it < iters) { beta = newtonStep(pinned, beta, ridge).map(round6); it += 1 }
       beta
     } finally pinned.unpersist(blocking = false): Unit
   }
+
+  /** 6dp HALF_UP — the exact arithmetic of SQL `ROUND(x, 6)`. */
+  private def round6(v: Double): Double =
+    new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Fitted weights, materialized once per (session, sfDir). */
   def fittedWeights(spark: SparkSession, sfDir: String): Array[Double] =

@@ -107,6 +107,28 @@ class LinUCBSpec extends SparkSpec {
     }
   }
 
+  test("columnar seed is bit-stable across shuffle layouts (the q30/q31 oracle premise)") {
+    // The decimal-exact sufficient statistics must not care how the
+    // partial aggregation is laid out: refit under a different shuffle
+    // width and assert BIT-equal models (sameElements on the raw
+    // doubles, not a tolerance) — this is the property that lets an
+    // external engine replay A and b exactly.
+    val base = seedColumnar(spark, sf())
+      .collect().map(m => m.productId -> m).toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val again = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      seedColumnar(spark, sf()).collect().map(m => m.productId -> m).toMap
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(base.keySet == again.keySet)
+    base.foreach { case (pid, m) =>
+      val o = again(pid)
+      assert(m.n == o.n, s"$pid n")
+      assert(m.aInv.sameElements(o.aInv), s"$pid aInv not bit-equal")
+      assert(m.b.sameElements(o.b), s"$pid b not bit-equal")
+    }
+  }
+
   test("seed + topK run on the driver testdata and rank deterministically") {
     val out = LinUCB.topKQuery(spark, sf())
     val rows = out.collect()

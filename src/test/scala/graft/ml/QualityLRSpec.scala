@@ -55,7 +55,9 @@ class QualityLRSpec extends SparkSpec {
         for (j <- 0 until d) acc += hInv(i * d + j) * g(j).doubleValue()
         next(i) += acc
       }
-      beta = next
+      // trajectory pinning, same as QualityLR.train
+      beta = next.map(v => new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
     }
     w1.zip(beta).foreach { case (a, b) =>
       assert(math.abs(a - b) < 1e-9, s"weights diverge: $a vs $b")
