@@ -79,17 +79,39 @@ object TextOps {
     * — in a real pipeline the dedup labels are materialized once and
     * every consumer reads them; re-running the shingle join + label
     * propagation inside the filter (the round-5 shape) doubled the
-    * dedup cost. The quality/lang predicates are map-side column math,
-    * so the only shuffles are the label-join keys (plan-audited: zero
-    * shingle explodes in this operator's plan). */
+    * dedup cost.
+    *
+    * The quality and language predicates all derive from the SAME
+    * tokenization, so they are computed in one select over one
+    * documents scan (round 11 — previously this composed the q27 and
+    * q28 query surfaces and joined them on doc_id: a second corpus
+    * scan plus a corpus-keyed join shuffle, the 10× audit's worst
+    * ratio). Semantics are identical to
+    * `qualityScore ⋈ langId ⋈ clusters`; the q62 oracle pins that.
+    * The only remaining shuffle is the label join. */
   def corpusFilter(spark: SparkSession, sfDir: String,
                    clusters: DataFrame): DataFrame = {
-    val quality = qualityScore(spark, sfDir)
-      .select(col("doc_id"), col("n_tokens"), col("passes_quality"))
-    val lang = langId(spark, sfDir).select(col("doc_id"), col("lang_pred"))
-    quality.join(lang, "doc_id").join(clusters, "doc_id")
-      .filter(col("passes_quality") && col("lang_pred") === "en" &&
-        col("doc_id") === col("cluster_id"))
+    def hits(words: Seq[String]): Column = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
+    }
+    val keep = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        hits(Seq("the", "a", "and", "of", "to", "in", "is")))
+      .withColumn("score_en", hits(Seq("the", "a", "and", "of", "is")))
+      .withColumn("score_es", hits(Seq("el", "la", "los", "de", "es")))
+      .withColumn("score_de", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("score_fr", hits(Seq("le", "la", "les", "de", "est")))
+      // passes_quality (q27 gate) && lang_pred == "en" (q28 argmax):
+      // the en branch of the when-chain, inlined as its condition
+      .filter(
+        col("n_tokens") >= 10 && col("n_chars") >= 50 && col("n_stop") > 0 &&
+          col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+          col("score_en") >= col("score_fr") && col("score_en") > 0)
+      .select(col("doc_id"), col("n_tokens"))
+    keep.join(clusters, "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("n_tokens"))
   }
 

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static consistency of the driver contract — no session needed.
+  * The correctness gate is only as strong as the oracle map's
+  * bookkeeping: a query added without an oracle, or an oracle dropped
+  * in a refactor, must break a NAMED spec here rather than silently
+  * weakening CORRECTNESS to a rows-only check. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  /** The documented no-oracle set (SparkEntry scaladoc): every member
+    * is bound to engine-internal randomness or rotation-ambiguous
+    * factorization, and each is covered by ScalaTest cross-checks. */
+  private val declaredNoOracle = Set(
+    "q35_text_embedding",        // SVD subspace (sign/rotation-ambiguous)
+    "q77_text_embedding_hashed", // same, feature-hashed vocab
+    "q114_synthetic_orders",     // splitmix/xxhash seeded generation
+    "q41_policy_eval_linucb")    // 3 of 5 policies draw via xxhash64; pooled-AUC bucket edges
+
+  test("every oracle and minRows key names a real query") {
+    val qs = SparkEntry.queries.keySet
+    val badOracle = SparkEntry.oracleSql.keySet -- qs
+    assert(badOracle.isEmpty, s"oracles for unknown queries: $badOracle")
+    val badMin = SparkEntry.minRows.keySet -- qs
+    assert(badMin.isEmpty, s"minRows for unknown queries: $badMin")
+  }
+
+  test("the rows-only set is exactly the declared no-oracle list") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == declaredNoOracle,
+      s"undeclared rows-only: ${rowsOnly -- declaredNoOracle}; " +
+        s"stale declarations: ${declaredNoOracle -- rowsOnly}")
+  }
+
+  test("no oracle SQL is trivially empty or unbalanced") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      val opens = sql.count(_ == '(')
+      val closes = sql.count(_ == ')')
+      assert(opens == closes, s"$name: unbalanced parens ($opens vs $closes)")
+    }
+  }
+}

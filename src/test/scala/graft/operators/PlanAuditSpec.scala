@@ -218,6 +218,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("word_shingles"), s"q62 re-runs the shingle join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"corpus filter degenerated:\n$p")
+    // round 11: quality + language predicates fused into ONE documents
+    // pass — a second scan would mean the filter regressed to composing
+    // the q27 ⋈ q28 query surfaces (the 10× audit's old worst ratio)
+    val docScans = "documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 1, s"q62 scans documents $docScans times (want 1):\n$p")
     val k = plan(Dedup.clusterKeep(spark, sf()))
     assert(!k.contains("word_shingles"), s"q61 re-runs the shingle join:\n$k")
   }
