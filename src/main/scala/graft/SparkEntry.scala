@@ -7,11 +7,16 @@ import graft.operators._
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2),
   * each with a DuckDB-equivalent oracle where the semantics are
-  * SQL-expressible. Queries whose derivation depends on Spark-specific
-  * hashes (xxhash64-based MinHash/SimHash/SRP-LSH, the custom Fnv1a64
-  * expression) or on approximate sketches have no oracle entry → the
-  * driver records a rows-only check; their correctness is covered by
-  * ScalaTest cross-checks against the exact variants instead.
+  * SQL-expressible. 128 of 132 queries carry full hash oracles
+  * (including replayed iterative fits: the k-means unroll for the IVF
+  * family, the BPE merge loop, the IRLS quality-LR fit, and the LinUCB
+  * sufficient-statistics + Cholesky scoring replay). The four without
+  * — pinned by name in `SparkEntrySpec` — are bound to Spark-internal
+  * xxhash64/splitmix draws (q114 synthetic generation; three of q41's
+  * five policies) or rotation-ambiguous SVD factors (q35/q77); the
+  * driver records a rows-only check for those and their correctness is
+  * covered by ScalaTest cross-checks against exact reference
+  * implementations instead.
   */
 object SparkEntry {
 

@@ -53,8 +53,13 @@ object Verify {
     // oracles with a NAMED cause (they fall back to rows-only) instead
     // of letting them surface as hash mismatches that look like engine
     // regressions.
+    // q117's oracle is the brute-force (probe-all-equivalent) kNN; it
+    // is only the engine's behavior while the corpus sits at or below
+    // the probe-all exactness ceiling (deriveNProbe switches to the
+    // sub-quadratic nProbe=4 configuration above it, where q127's
+    // pinned-nProbe oracle is the checked surface).
     val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
-      "q128_cluster_profile", "q129_semantic_keep")
+      "q128_cluster_profile", "q129_semantic_keep", "q117_knn_classify")
       .intersect(SparkEntry.oracleSql.keySet)
     val ivfPinsHold =
       try {
