@@ -1468,14 +1468,22 @@ object SparkEntry {
         |FROM latest WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q54_session_window" ->
       """WITH t AS (
-        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
-        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      AS prev_us
+        |  SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+        |    -- event_id tiebreak: with duplicate timestamps, LAG and the
+        |    -- running SUM below are SEPARATE window computations — ordered
+        |    -- by ts alone their tie orders may disagree, landing the break
+        |    -- flag mid-tie-group and splitting one session in two. Spark's
+        |    -- native session_window is merge-based and tie-robust; the
+        |    -- replay must pin one total order to match it.
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
         |  FROM events),
         |s AS (
         |  SELECT user_id, value, ts_us,
+        |    -- strict > : an event landing EXACTLY at the session close
+        |    -- merges - spec-pinned against a planted exact-gap event
         |    CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_no
         |  FROM t)

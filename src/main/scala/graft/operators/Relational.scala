@@ -196,6 +196,10 @@ object Relational {
     * shuffle on user_id, no global sort. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // Boundary convention: an event EXACTLY gap after its predecessor
+    // stays in the session (strict `>` below) — the same semantics as
+    // Spark's native session_window (q54), which merges windows whose
+    // ranges touch (spec-pinned with a planted exact-gap event).
     val gapUs = 30L * 60 * 1000000 // 30 min
     Tables.events(spark, sfDir)
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))

@@ -65,6 +65,34 @@ class JoinsAndAnalyticsSpec extends SparkSpec {
     assert(native == manual, s"native $native vs manual $manual sessions")
   }
 
+  test("session_window boundary: an event EXACTLY gap after its predecessor MERGES") {
+    // Pins the boundary semantics the q54 oracle mirrors (strict `>`
+    // in its gap break): an event landing exactly at the previous
+    // session's close extends the session — Spark merges windows
+    // whose ranges touch. Also pins robustness to duplicate
+    // timestamps: ten copies of one event must not split a session
+    // (the tie-order hazard a 10× replay lake exposed in the first
+    // cut of the q54 oracle, where LAG and the running SUM disagreed
+    // on tie order and split one session in two).
+    import java.sql.Timestamp
+    val gapMs = 30L * 60 * 1000
+    val t0 = 1700000000000L
+    val planted = (Seq(
+      (1L, new Timestamp(t0)),
+      (1L, new Timestamp(t0 + gapMs)),         // exactly at the close
+      (1L, new Timestamp(t0 + 3 * gapMs))) ++  // clearly past: new session
+      Seq.fill(10)((1L, new Timestamp(t0 + 3 * gapMs)))) // duplicate ts storm
+      .toDF("user_id", "ts").repartition(4)
+    val sessions = planted
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"session_window.start"), $"n")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.toSeq}")
+    assert(sessions(0) == (t0 * 1000, 2L), s"exact-gap event must merge: ${sessions.toSeq}")
+    assert(sessions(1) == ((t0 + 3 * gapMs) * 1000, 11L), s"duplicates must not split: ${sessions.toSeq}")
+  }
+
   test("session windows of one user never overlap") {
     val rows = Analytics.sessionWindows(spark, sf())
       .select($"user_id", $"session_start_us", $"session_end_us")
