@@ -78,15 +78,38 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","layers_sec":$layerTotal,""" +
         s""""queries":$qs,"layers":$ls,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the full per-query map to a file: a consumer that
-    // only captures a truncated log tail would otherwise lose the
-    // early queries' timings (round-5 artifact had "parsed": null).
+    // The FULL artifact (full query names, full precision, layer map)
+    // goes to a stable file — a consumer that only captures a
+    // truncated log tail would otherwise lose the early queries'
+    // timings (rounds 5 and 11 recorded "parsed": null).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        false
+      }
+    // Stdout gets a COMPACT twin of the same measurements, sized to
+    // survive a 2000-char tail capture whole: query keys shortened to
+    // their unique qNN prefix, 3dp times (sub-ms noise anyway), the
+    // layer map left to the file (its total stays inline). ~1.9 kB at
+    // 132 queries vs ~5 kB for the full line. "full" names the
+    // companion carrying the unabridged map.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortNames = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val collide = shortNames.diff(shortNames.distinct).toSet
+    val qsShort = results.collect { case (k, v, true) =>
+      val sk = k.takeWhile(_ != '_')
+      "\"" + (if (collide(sk)) k else sk) + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val fullRef = if (wrote) s""","full":"$out"""" else ""
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","layers_sec":${r3(layerTotal)},""" +
+        s""""queries":$qsShort,"errors":$errs,"sf":"$sfDir"$fullRef}""")
     spark.stop()
   }
 }

@@ -294,6 +294,10 @@ object SparkEntry {
     // decoded CDC changelog: envelope synthesis + JSON parse +
     // localCheckpoint (q101/q123/q67/q46)
     "cdc_decoded_log" -> ((s, d) => { operators.Cdc.decodedVersionedLog(s, d); () }),
+    // quality-LR design matrix: the tokenization pass behind both the
+    // IRLS fit and the q111 scoring surface, checkpointed once (narrow
+    // d+2-column frame; builds before the weights layer alphabetically)
+    "quality_features" -> ((s, d) => { graft.ml.QualityLR.materializedFeatures(s, d); () }),
     // quality-LR weights (q111) and LinUCB sufficient stats (q30/q31/q41)
     "quality_lr_weights" -> ((s, d) => { graft.ml.QualityLR.fittedWeights(s, d); () }),
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),

@@ -53,14 +53,36 @@ object Verify {
     // oracles with a NAMED cause (they fall back to rows-only) instead
     // of letting them surface as hash mismatches that look like engine
     // regressions.
+    val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
+      "q128_cluster_profile", "q129_semantic_keep")
+      .intersect(SparkEntry.oracleSql.keySet)
     // q117's oracle is the brute-force (probe-all-equivalent) kNN; it
     // is only the engine's behavior while the corpus sits at or below
     // the probe-all exactness ceiling (deriveNProbe switches to the
     // sub-quadratic nProbe=4 configuration above it, where q127's
-    // pinned-nProbe oracle is the checked surface).
-    val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
-      "q128_cluster_profile", "q129_semantic_keep", "q117_knn_classify")
+    // pinned-nProbe oracle is the checked surface). Guarded on the
+    // corpus COUNT directly — the quantity deriveNProbe actually
+    // branches on — not inferred via semanticK==16, which only implied
+    // n <= 8192 while deriveK's 16-cell floor happened to equal the
+    // probe-all ceiling; retuning either constant must not silently
+    // decouple this guard from the engine's branch.
+    val knnOracleKeys = Set("q117_knn_classify")
       .intersect(SparkEntry.oracleSql.keySet)
+    val knnPinsHold =
+      try {
+        val n = Tables.embeddings(spark, sfDir).count()
+        val ok = n <= graft.operators.Similarity.ProbeAllMaxVectors
+        if (!ok) System.err.println(
+          s"[verify] kNN probe-all pin violated (corpus n=$n > ceiling " +
+            s"${graft.operators.Similarity.ProbeAllMaxVectors}: deriveNProbe " +
+            s"selects the sub-quadratic path, brute-force oracle no longer " +
+            s"the engine's behavior) — dropping pinned oracles: " +
+            knnOracleKeys.toSeq.sorted.mkString(", "))
+        ok
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] kNN pin check failed (${e.getMessage}) — dropping pinned oracles")
+        false
+      }
     val ivfPinsHold =
       try {
         val k = graft.operators.Ivf.semanticK(spark, sfDir)
@@ -105,6 +127,7 @@ object Verify {
       }
     val oracles = SparkEntry.oracleSql --
       (if (ivfPinsHold) Set.empty[String] else ivfOracleKeys) --
+      (if (knnPinsHold) Set.empty[String] else knnOracleKeys) --
       (if (luPinsHold) Set.empty[String] else luOracleKeys)
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

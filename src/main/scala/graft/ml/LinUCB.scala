@@ -270,7 +270,7 @@ object LinUCB {
     *
     * Arithmetic chosen for BOTH speed and external recomputability:
     * each product is scaled to 12dp and rounded to an integer-valued
-    * double (`round(xᵢ·xⱼ·1e12)`), summed as DECIMAL(20,0) — the
+    * double (`round(xᵢ·xⱼ·1e12)`), summed as DECIMAL(38,0) — the
     * per-row decimal conversion takes Spark's compact-long fast path
     * (the earlier `cast(prod AS DECIMAL(28,12))` went double →
     * BigDecimal.valueOf → string parse per term and cost 4.7× the
@@ -283,11 +283,15 @@ object LinUCB {
     * 1/100) while fp error is ~1e-4, and an integer decimal sum has
     * no order dependence — so DuckDB replays A and b bit-for-bit,
     * which is what backs the q30/q31 hash oracles
-    * (`SparkEntry.luChol`). At 12dp the A entries agree with the
-    * unrounded double fold to ~√n·5e-13 — inside the spec's 1e-9. */
+    * (`SparkEntry.luStats` / `SparkEntry.luCholAliases`). At 12dp the
+    * A entries agree with the unrounded double fold to ~√n·5e-13 —
+    * inside the spec's 1e-9. The 38-digit accumulator makes the
+    * per-arm row ceiling a non-issue: terms are ≤ ~1e14, so overflow
+    * would need ~1e24 rows in ONE arm (a 20-digit sum overflowed —
+    * and then NPE'd on the null — at a plausible ~1e8 rows/arm). */
   def seedColumnar(spark: SparkSession, sfDir: String): Dataset[Model] = {
     import spark.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val fb = feedbackFromLineitem(spark, sfDir).toDF()
     val x = (0 until Dim).map(i => element_at(col("x"), i + 1))
     val aggs =

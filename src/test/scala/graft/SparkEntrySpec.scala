@@ -36,9 +36,30 @@ class SparkEntrySpec extends AnyFunSuite {
   test("no oracle SQL is trivially empty or unbalanced") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
-      val opens = sql.count(_ == '(')
-      val closes = sql.count(_ == ')')
+      // Count parens only in SQL code: strip single-quoted string
+      // literals (handling '' escapes, where a regex or constant like
+      // '(' is legitimately unbalanced) and `--` line comments before
+      // counting, so the balance check sees structure, not text.
+      val code = new StringBuilder
+      var i = 0
+      var inStr = false
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (inStr) {
+          if (c == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 1 // '' escape
+            else inStr = false
+          }
+        } else if (c == '\'') inStr = true
+        else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        } else code += c
+        i += 1
+      }
+      val opens = code.count(_ == '(')
+      val closes = code.count(_ == ')')
       assert(opens == closes, s"$name: unbalanced parens ($opens vs $closes)")
+      assert(!inStr, s"$name: unterminated string literal")
     }
   }
 }
