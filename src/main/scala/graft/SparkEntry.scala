@@ -7,16 +7,18 @@ import graft.operators._
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2),
   * each with a DuckDB-equivalent oracle where the semantics are
-  * SQL-expressible. 128 of 132 queries carry full hash oracles
-  * (including replayed iterative fits: the k-means unroll for the IVF
-  * family, the BPE merge loop, the IRLS quality-LR fit, and the LinUCB
-  * sufficient-statistics + Cholesky scoring replay). The four without
-  * — pinned by name in `SparkEntrySpec` — are bound to Spark-internal
-  * xxhash64/splitmix draws (q114 synthetic generation; three of q41's
-  * five policies) or rotation-ambiguous SVD factors (q35/q77); the
-  * driver records a rows-only check for those and their correctness is
-  * covered by ScalaTest cross-checks against exact reference
-  * implementations instead.
+  * SQL-expressible. 129 of 132 queries carry hash oracles (including
+  * replayed iterative fits — the k-means unroll for the IVF family,
+  * the BPE merge loop, the IRLS quality-LR fit, the LinUCB
+  * sufficient-statistics + Cholesky scoring replay — and the q114
+  * generation envelope, where the splitmix-bound draws' CONTRACT
+  * hash-checks even though the values can't). The three without —
+  * pinned by name in `SparkEntrySpec` — are bound to Spark-internal
+  * xxhash64 draws (three of q41's five policies) or
+  * rotation-ambiguous SVD factors (q35/q77); the driver records a
+  * rows-only check for those and their correctness is covered by
+  * ScalaTest cross-checks against exact reference implementations
+  * instead.
   */
 object SparkEntry {
 
@@ -216,7 +218,10 @@ object SparkEntry {
     "q113_value_drift" -> ((s, d) => Analytics.valueDrift(s, d)),
     // rows-only: deterministic datagen twins of the reference producer
     // (seeded UUID + regexify — splitmix64 streams, not SQL-expressible)
-    "q114_synthetic_orders" -> ((s, d) => graft.sources.Sources.syntheticOrders(s, d)),
+    // envelope form (r12): the drawn values are splitmix-bound, but the
+    // generator's CONTRACT (row/FK closure, UUID uniqueness+format,
+    // supplier domain + χ²-vs-uniform, price arithmetic) hash-checks
+    "q114_synthetic_orders" -> ((s, d) => graft.sources.Sources.syntheticOrdersChecked(s, d)),
     // embedding-space drift between corpus splits (decimal-exact means)
     "q115_embedding_drift" -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // per-segment z-score standardization (integer-cents exact moments)
@@ -323,11 +328,9 @@ object SparkEntry {
     "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
     "q77_text_embedding_hashed" -> 400L, // one row per document
     // (q84/q85/q100 graduated to envelope-flag hash oracles r10;
-    // q111 graduated r11 via the unrolled-IRLS replay — see lrChain)
-    // one row per event; the smallest scale factor has 1 000 events, so
-    // the minimum must be scale-safe at sf0.001 too (the one
-    // events-proportional rows-only minimum)
-    "q114_synthetic_orders" -> 900L,
+    // q111 graduated r11 via the unrolled-IRLS replay — see lrChain;
+    // q114 graduated r12 to an envelope-flag hash oracle — the drawn
+    // values stay splitmix-bound, the generator contract hash-checks)
     // (q120_mmr_rerank + q122_key_overlap graduated to full hash
     // oracles r10; q131/q132 BPE graduated r11 via the unrolled
     // merge-loop replay — see bpeChain)
@@ -2464,6 +2467,17 @@ object SparkEntry {
         |  ROUND(sqrt(saa), 6) AS norm_mean_a,
         |  ROUND(sqrt(sbb), 6) AS norm_mean_b
         |FROM s""".stripMargin,
+    // q114: generation envelope (q84/q100 pattern) — DuckDB replays the
+    // event-side counts; the flag columns assert the splitmix-bound
+    // draws' contract (uniqueness, format, domain, χ², price math) and
+    // must all come back TRUE for the hash to match
+    "q114_synthetic_orders" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_order_ids,
+        |  CAST(8 AS BIGINT) AS n_suppliers,
+        |  TRUE AS price_is_rounded_value, TRUE AS uuid_v4_format,
+        |  TRUE AS supplier_in_domain, TRUE AS supplier_chi2_ok
+        |FROM events""".stripMargin,
     "q113_value_drift" ->
       """WITH ev AS (
         |  SELECT event_type, value,

@@ -15,7 +15,8 @@ class SparkEntrySpec extends AnyFunSuite {
   private val declaredNoOracle = Set(
     "q35_text_embedding",        // SVD subspace (sign/rotation-ambiguous)
     "q77_text_embedding_hashed", // same, feature-hashed vocab
-    "q114_synthetic_orders",     // splitmix/xxhash seeded generation
+    // (q114 carries an envelope oracle since r12: the splitmix draws
+    // stay unreplayable, but the generation contract hash-checks)
     "q41_policy_eval_linucb")    // 3 of 5 policies draw via xxhash64; pooled-AUC bucket edges
 
   test("every oracle and minRows key names a real query") {
