@@ -7,18 +7,19 @@ import graft.operators._
 
 /** Driver contract — one entry per implemented operator (SURVEY.md §2),
   * each with a DuckDB-equivalent oracle where the semantics are
-  * SQL-expressible. 129 of 132 queries carry hash oracles (including
-  * replayed iterative fits — the k-means unroll for the IVF family,
-  * the BPE merge loop, the IRLS quality-LR fit, the LinUCB
-  * sufficient-statistics + Cholesky scoring replay — and the q114
-  * generation envelope, where the splitmix-bound draws' CONTRACT
-  * hash-checks even though the values can't). The three without —
-  * pinned by name in `SparkEntrySpec` — are bound to Spark-internal
-  * xxhash64 draws (three of q41's five policies) or
-  * rotation-ambiguous SVD factors (q35/q77); the driver records a
-  * rows-only check for those and their correctness is covered by
-  * ScalaTest cross-checks against exact reference implementations
-  * instead.
+  * SQL-expressible. Since r12 ALL 132 queries carry hash oracles:
+  * replayed iterative fits (the k-means unroll for the IVF family, the
+  * BPE merge loop, the IRLS quality-LR fit, the LinUCB
+  * sufficient-statistics + Cholesky scoring replay) where the math is
+  * externally recomputable, and envelope-flag oracles (q84/q85/q100
+  * sketches, q114 generation, q35/q77 SVD projection, q41 policy
+  * benchmark) where a value is engine-bound — splitmix/xxhash64 draw
+  * chains or solver-defined subspaces — but its CONTRACT is not: the
+  * deterministic part of the output is replayed exactly and the
+  * engine-bound part surfaces as boolean guarantees that hash-mismatch
+  * the round they break. The engine-bound values themselves stay
+  * covered by ScalaTest cross-checks against exact reference
+  * implementations.
   */
 object SparkEntry {
 
@@ -75,7 +76,12 @@ object SparkEntry {
     "q32_customer_features" -> ((s, d) => graft.features.Features.customerFeatures(s, d)),
     "q33_time_context" -> ((s, d) => graft.features.Features.timeContext(s, d)),
     "q34_tfidf_topterms" -> ((s, d) => graft.features.Features.tfidfTopTerms(s, d)),
-    "q35_text_embedding" -> ((s, d) => graft.features.Features.textEmbeddingQuery(s, d)),
+    // envelope-checked since r12 (the q114 pattern): the solver-bound
+    // embedding VALUES stay spec-covered (FeaturesSpec determinism +
+    // near-dup preservation); the query surface is the pipeline's
+    // oracle-checkable contract — exact per-doc TF-IDF energy + the
+    // projection guarantees as flags
+    "q35_text_embedding" -> ((s, d) => graft.features.Features.textEmbeddingCheckedQuery(s, d)),
     "q36_context_vectors" -> ((s, d) => graft.features.Features.contextVectors(s, d)
       .selectExpr("event_id", "round(element_at(context_vector, 6), 6) AS acctbal_scaled",
         "CAST(element_at(context_vector, 1) AS BIGINT) AS seg_auto",
@@ -86,7 +92,12 @@ object SparkEntry {
     "q39_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     // --- offline policy evaluation (A12) ---
     "q40_policy_eval" -> ((s, d) => graft.ml.PolicyEval.evalSqlPolicies(s, d)),
-    "q41_policy_eval_linucb" -> ((s, d) => graft.ml.PolicyEval.evalLinUCB(s, d)),
+    // envelope-checked since r12: n/ctr exact for all five policies,
+    // the two deterministic policies' AUCs replayed end-to-end by
+    // DuckDB (seed stats → Cholesky scoring → the same 4096-bucket
+    // Mann-Whitney histogram); the three seeded policies carry
+    // contract flags (see PolicyEval.evalLinUCBChecked scaladoc)
+    "q41_policy_eval_linucb" -> ((s, d) => graft.ml.PolicyEval.evalLinUCBChecked(s, d)),
     // --- sliding window (T12 snapshot semantics) + media resize ---
     "q42_sliding_window" -> ((s, d) => SupplierStats.slidingEvents(s, d)),
     "q43_resize_meta" -> ((s, d) => Multimodal.resizeMeta(s, d)),
@@ -142,10 +153,11 @@ object SparkEntry {
     "q75_skew_salted" -> ((s, d) => SkewJoin.saltedSupplierRevenue(s, d)),
     // --- ranking metrics (precision@k / recall@k, A12 companion) ---
     "q76_policy_ranking" -> ((s, d) => graft.ml.PolicyEval.rankingMetrics(s, d)),
-    // rows-only: feature-hashed (open-vocab) twin of q35 — hashed
-    // buckets come from xxhash64, which no external engine reproduces
+    // feature-hashed (open-vocab) twin of q35; envelope-checked since
+    // r12 — the xxhash64 bucket assignment stays unreplayable, the
+    // projection contract hash-checks
     "q77_text_embedding_hashed" -> ((s, d) =>
-      graft.features.Features.textEmbeddingHashedQuery(s, d)),
+      graft.features.Features.textEmbeddingHashedCheckedQuery(s, d)),
     // --- repetition/diversity quality signals (Gopher-style filters) ---
     "q78_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // --- eval-set decontamination + corpus token accounting ---
@@ -318,22 +330,17 @@ object SparkEntry {
     * map default to minimum 1 — emptiness is treated as breakage unless
     * declared otherwise. */
   def minRows: Map[String, Long] = Map(
-    // (q21/q22/q25/q29 graduated to full hash oracles — see oracleSql;
-    // the IVF family q44/q127/q128/q129 followed once the decimal-exact
-    // centroid fit made the k-means externally recomputable)
-    // one row per document (500 at sf0.01; slack for future fixture trims)
-    "q35_text_embedding" -> 400L,
-    // (q30/q31 graduated r11: the decimal-exact seed layer made the
-    // sufficient statistics externally recomputable — see luStats)
-    "q41_policy_eval_linucb" -> 5L, // one row per model-based policy
-    "q77_text_embedding_hashed" -> 400L, // one row per document
-    // (q84/q85/q100 graduated to envelope-flag hash oracles r10;
-    // q111 graduated r11 via the unrolled-IRLS replay — see lrChain;
-    // q114 graduated r12 to an envelope-flag hash oracle — the drawn
-    // values stay splitmix-bound, the generator contract hash-checks)
-    // (q120_mmr_rerank + q122_key_overlap graduated to full hash
-    // oracles r10; q131/q132 BPE graduated r11 via the unrolled
-    // merge-loop replay — see bpeChain)
+    // EMPTY since r12: every query now carries an oracle. The
+    // graduation trail — q21/q22/q25/q29 to full hash oracles; the IVF
+    // family q44/q127/q128/q129 once the decimal-exact centroid fit
+    // made the k-means externally recomputable; q84/q85/q100 to
+    // envelope-flag oracles r10; q120/q122 to full hash oracles r10;
+    // q30/q31 (decimal-exact seed + Cholesky replay, see luStats),
+    // q111 (unrolled IRLS, see lrChain) and q131/q132 (unrolled BPE
+    // merge loop, see bpeChain) r11; q114 (generation envelope) and
+    // finally q35/q77/q41 (projection / policy-benchmark envelopes)
+    // r12. The map stays as the declared mechanism should a future
+    // operator genuinely defeat even an envelope oracle.
   )
 
   // Shared SQL fragments (kept in one place so Spark and DuckDB stay in
@@ -657,6 +664,33 @@ object SparkEntry {
     }
     out.toSeq
   }
+
+  // --- SVD-embedding envelope (q35/q77): the projected VALUES are
+  // solver-bound (no SQL engine replays an SVD, and the fitted subspace
+  // is only defined up to the iteration's tolerance), so the checked
+  // query surfaces the pipeline's contract instead — per-doc TF-IDF
+  // energy, which DuckDB recomputes bit-for-bit (6dp·6dp products are
+  // exact 12dp decimals, decimal-summed), plus the projection
+  // guarantees as flags (finiteness, contraction, basis orthonormality,
+  // captured energy ≥ 0.5 — measured 0.795-0.837 across the SFs). The
+  // same oracle text serves both queries: the two pipelines share the
+  // TF-IDF input frame, and everything past it is flag-checked.
+  private val svdEnvelopeOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, tf.term,
+      |    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      |SELECT doc_id,
+      |  ROUND(CAST(SUM(CAST(ROUND(tfidf * tfidf, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS tfidf_norm2,
+      |  CAST(10 AS BIGINT) AS n_dims,
+      |  TRUE AS finite, TRUE AS contractive,
+      |  TRUE AS proj_orthonormal, TRUE AS capture_ok
+      |FROM scored GROUP BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1270,6 +1304,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3""".stripMargin,
+    "q35_text_embedding" -> svdEnvelopeOracle,
     "q36_context_vectors" ->
       """WITH stats AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer)
         |SELECT e.event_id,
@@ -1334,6 +1369,58 @@ object SparkEntry {
         |    / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc,
         |  ROUND(SUM(y) / COUNT(*), 6) AS ctr, COUNT(*) AS n
         |FROM rndranked""".stripMargin,
+    // q41: policy-benchmark envelope — n/ctr exact for all 5 policies;
+    // the two DETERMINISTIC policies (linucb α=0.1, lin_greedy α=0)
+    // replay end-to-end: decimal-exact per-arm sufficient statistics
+    // (the q30 seed replay), one Cholesky forward/back solve PER
+    // INTERACTION for w = A⁻¹x (the engine scores mean = b·w,
+    // var = x·w — replayed in the same form, solver paths differ
+    // ~cond(A)·ε, far inside the 9dp score rounding), then the same
+    // 4096-bucket Mann-Whitney histogram as aucPerPolicyApprox. The
+    // three splitmix-seeded policies keep auc_det NULL and hash-check
+    // through their contract flags instead (evalLinUCBChecked scaladoc).
+    "q41_policy_eval_linucb" ->
+      s"""WITH $luStats,
+         |luchol AS MATERIALIZED (
+         |  SELECT arm, ${(0 until luDim).map(i => s"b_$i").mkString(", ")},
+         |    ${(for (j <- 0 until luDim; i <- j until luDim) yield s"l_${i}_$j").mkString(", ")}
+         |  FROM (SELECT arm,
+         |      ${(0 until luDim).map(i => s"b_$i").mkString(", ")},
+         |      ${luCholAliases.mkString(",\n      ")}
+         |    FROM lus) sol),
+         |sc AS MATERIALIZED (
+         |  SELECT y, ROUND(mu, 9) AS s_g,
+         |    ROUND(mu + 0.1 * sqrt(GREATEST(va, 0.0)), 9) AS s_u
+         |  FROM (SELECT reward AS y,
+         |      ${luSolveAliases("v", i => s"x$i").mkString(",\n      ")},
+         |      ${(0 until luDim).map(i => s"b_$i * vw_$i").mkString(" + ")} AS mu,
+         |      ${(0 until luDim).map(i => s"x$i * vw_$i").mkString(" + ")} AS va
+         |    FROM luf JOIN luchol USING (arm)) u),
+         |melted AS (
+         |  SELECT 'lin_greedy' AS policy, s_g AS s, y FROM sc
+         |  UNION ALL SELECT 'linucb', s_u, y FROM sc),
+         |rngq AS (SELECT policy, MIN(s) AS lo, MAX(s) AS hi FROM melted GROUP BY 1),
+         |binned AS (
+         |  SELECT policy,
+         |    CASE WHEN hi <= lo THEN 0
+         |         ELSE CAST(LEAST(floor((s - lo) / (hi - lo) * 4096), 4095) AS INT) END AS bkt,
+         |    COUNT(*) AS cnt, SUM(y) AS pos
+         |  FROM melted JOIN rngq USING (policy) GROUP BY 1, 2),
+         |cum AS (SELECT policy, cnt, pos,
+         |    SUM(cnt) OVER (PARTITION BY policy ORDER BY bkt) AS c FROM binned),
+         |det AS (
+         |  SELECT policy,
+         |    ROUND((SUM(pos * (2 * c - cnt + 1)) / 2.0 - SUM(pos) * (SUM(pos) + 1.0) / 2.0)
+         |      / (SUM(pos) * (SUM(cnt) - SUM(pos))), 6) AS auc_det,
+         |    ROUND(SUM(pos) / SUM(cnt), 6) AS ctr,
+         |    CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM cum GROUP BY 1),
+         |base AS (SELECT ROUND(SUM(reward) / COUNT(*), 6) AS ctr,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM luf)
+         |SELECT policy, auc_det, ctr, n, TRUE AS auc_in_01, TRUE AS policy_contract FROM det
+         |UNION ALL
+         |SELECT p.policy, CAST(NULL AS DOUBLE) AS auc_det, b.ctr, b.n, TRUE, TRUE
+         |FROM (VALUES ('lin_ts'), ('lin_eps'), ('clusters_ts')) p(policy) CROSS JOIN base b""".stripMargin,
     "q42_sliding_window" ->
       """WITH assigned AS (
         |  SELECT event_type, value,
@@ -1750,6 +1837,7 @@ object SparkEntry {
         |    / SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END), 6) AS r_macro,
         |  COUNT(*) AS n_groups
         |FROM pg GROUP BY policy""".stripMargin,
+    "q77_text_embedding_hashed" -> svdEnvelopeOracle,
     "q78_repetition_stats" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -99,13 +99,15 @@ object Verify {
         System.err.println(s"[verify] IVF pin check failed (${e.getMessage}) — dropping pinned oracles")
         false
       }
-    // The LinUCB seed replay (q30/q31) assumes the lineitem money
-    // columns are 2dp rationals and quantities integral — that is what
-    // keeps every scaled product round(xi*xj*1e12) >= 0.005 away from
-    // its rounding boundary, so Spark and DuckDB can't disagree. If the
-    // driver regenerates testdata at finer granularity, drop the pinned
+    // The LinUCB seed replay (q30/q31, and q41's deterministic-policy
+    // AUC replay since r12) assumes the lineitem money columns are 2dp
+    // rationals and quantities integral — that is what keeps every
+    // scaled product round(xi*xj*1e12) >= 0.005 away from its rounding
+    // boundary, so Spark and DuckDB can't disagree. If the driver
+    // regenerates testdata at finer granularity, drop the pinned
     // oracles with a NAMED cause instead of surfacing hash mismatches.
-    val luOracleKeys = Set("q30_linucb_seed", "q31_linucb_topk")
+    val luOracleKeys = Set("q30_linucb_seed", "q31_linucb_topk",
+      "q41_policy_eval_linucb")
       .intersect(SparkEntry.oracleSql.keySet)
     val luPinsHold =
       try {

@@ -201,6 +201,20 @@ object Features {
     * at block size, where it is trivially cheap. */
   private[features] def svdProject(spark: SparkSession, vecs: DataFrame, v: Int,
                                    k: Int): DataFrame = {
+    val proj = svdBasis(spark, vecs, v, k)
+    // native projection expression: the V×k matrix rides into codegen
+    // as a reference object, the per-row fold is one static JVM call
+    vecs.select(col("doc_id"),
+      graft.functions.matVecProject(col("vec"), proj, v, k).as("embedding"))
+  }
+
+  /** The fitted V×k projection basis behind [[svdProject]] (row-major,
+    * column j = j-th sign-canonicalized Ritz vector) — exposed so the
+    * envelope queries (q35/q77) can assert the basis contract
+    * (orthonormal columns, zero columns only for rank deficiency)
+    * driver-side without re-fitting. */
+  private[features] def svdBasis(spark: SparkSession, vecs: DataFrame, v: Int,
+                                 k: Int): Array[Double] = {
     import spark.implicits._
     val l = math.min(k + 6, v) // oversampled block width
     val rows = vecs.select(col("vec")).as[Array[Double]].rdd
@@ -317,10 +331,7 @@ object Features {
       while (i < v) { proj(i * k + j) = u(i) * sign; i += 1 }
       j += 1
     }
-    // native projection expression: the V×k matrix rides into codegen
-    // as a reference object, the per-row fold is one static JVM call
-    vecs.select(col("doc_id"),
-      graft.functions.matVecProject(col("vec"), proj, v, k).as("embedding"))
+    proj
   }
 
   /** Flat query surface for the embedding (first 4 dims as columns). */
@@ -345,7 +356,11 @@ object Features {
     * partitioning-independent. */
   private[graft] def tfidfHashedVectors(spark: SparkSession, sfDir: String,
                                         dim: Int = 256): DataFrame = {
-    val scores = tfidf(spark, sfDir)
+    // cached for the same reason tfidfVectors caches: the envelope
+    // query (q77) reads the TF-IDF postings once more for its exact
+    // per-doc energy column, and Spark's cache matches by plan, so one
+    // cache serves every tfidf() call in the session
+    val scores = tfidf(spark, sfDir).cache()
     val bucket = pmod(xxhash64(col("term")), lit(dim)).cast("int")
     val sign = when(pmod(xxhash64(col("term"), lit(1)), lit(2)) === 0, 1.0)
       .otherwise(-1.0)
@@ -379,6 +394,127 @@ object Features {
       element_at(col("embedding"), 2).as("e1"),
       element_at(col("embedding"), 3).as("e2"),
       element_at(col("embedding"), 4).as("e3"))
+
+  // --- Envelope (checked) query surfaces for the SVD embeddings ---
+  //
+  // The embedding VALUES are solver-bound (the fitted subspace is only
+  // defined up to the iteration's convergence tolerance, and no external
+  // SQL engine can replay an SVD), so q35/q77 spent eleven rounds as
+  // rows-only checks. The envelope promotion applies the q84/q114
+  // pattern: the query output becomes the oracle-checkable CONTRACT of
+  // the pipeline — per-doc exact input-side values DuckDB recomputes
+  // bit-for-bit, plus boolean flags asserting the projection guarantees
+  // (finiteness, contraction, basis orthonormality, captured energy).
+  // A broken solver, a scrambled scatter, or a misaligned projection
+  // flips a flag and hash-mismatches the round it happens; the raw
+  // embedding surface stays spec-covered (determinism + near-dup
+  // preservation in FeaturesSpec).
+
+  /** Max deviation of the fitted basis from "orthonormal or zero"
+    * columns: off-diagonal |PᵢᵀPⱼ| and diagonal |‖Pⱼ‖²−1| (a zeroed
+    * rank-deficient column contributes |0| / |0−0|). Driver-side on the
+    * V×k basis — k²·V work, corpus-independent. */
+  private def basisResidual(proj: Array[Double], v: Int, k: Int): Double = {
+    var worst = 0.0
+    var a = 0
+    while (a < k) {
+      var b = a
+      while (b < k) {
+        var dot = 0.0
+        var i = 0
+        while (i < v) { dot += proj(i * k + a) * proj(i * k + b); i += 1 }
+        val dev =
+          if (a != b) math.abs(dot)
+          else if (dot < 0.25) math.abs(dot) // zeroed column: ‖Pⱼ‖² ≈ 0
+          else math.abs(dot - 1.0)
+        if (dev > worst) worst = dev
+        b += 1
+      }
+      a += 1
+    }
+    worst
+  }
+
+  /** Shared envelope build: per-doc exact TF-IDF energy (decimal —
+    * DuckDB replays it bit-for-bit) + the projection contract flags.
+    * `vecs` is the projected input space (vocab-indexed or hashed);
+    * contraction is asserted against ITS per-doc energy, capture as the
+    * decimal-summed global ratio (partitioning-independent by
+    * construction — double sums across docs would inherit partial-agg
+    * order). */
+  private def embeddingEnvelope(spark: SparkSession, sfDir: String,
+                                vecs: DataFrame, v: Int, k: Int,
+                                captureFloor: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val proj = svdBasis(spark, vecs, v, k)
+    // residual measured ~5e-15 across the three SFs for both spaces;
+    // the 1e-8 bound is the contract, not the observation
+    val orthoOk = basisResidual(proj, v, k) <= 1e-8
+
+    // cached: the capture aggregate below is an ACTION on this frame,
+    // and the final per-doc select reads it again — without the cache
+    // the whole vector pipeline + projection would run twice. The
+    // frame is tiny (one row per doc: two norms + the k-dim embedding).
+    val scored = vecs.select(col("doc_id"),
+      graft.functions.matVecProject(col("vec"), proj, v, k).as("emb"),
+      expr("aggregate(vec, 0D, (a, x) -> a + x * x)").as("vec_n2"))
+      .withColumn("emb_n2", expr("aggregate(emb, 0D, (a, e) -> a + e * e)"))
+      .withColumn("finite", expr(
+        "forall(emb, e -> e IS NOT NULL AND NOT isnan(e) AND abs(e) < 'Infinity')"))
+      // P has (near-)orthonormal columns ⇒ ‖Px‖ ≤ ‖x‖; the slack covers
+      // the basis tolerance asserted above plus fold rounding
+      .withColumn("contractive",
+        col("emb_n2") <= col("vec_n2") * (1.0 + 1e-6) + 1e-9)
+      .cache()
+
+    // Captured energy Σ‖Px‖²/Σ‖x‖² — both sums in fixed-scale decimal so
+    // the ratio (and the flag) is exact under any partitioning.
+    val cap = scored.agg(
+      sum(round(col("emb_n2"), 9).cast(DecimalType(38, 9))).as("se"),
+      sum(round(col("vec_n2"), 9).cast(DecimalType(38, 9))).as("sv"))
+      .select((col("se") / col("sv")).cast("double")).head().getDouble(0)
+    val captureOk = cap >= captureFloor
+
+    // Exact-checked column: per-doc TF-IDF energy over the FULL term
+    // frame (not the vocab-capped vector), which is what DuckDB
+    // recomputes — 6dp·6dp products are exact 12dp decimals, summed in
+    // decimal, so the value is engine- and partitioning-exact. (The
+    // contraction flag above deliberately uses the vector-space energy;
+    // the frame energy only upper-bounds it once the vocab cap binds.)
+    val frameN2 = tfidf(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(round(sum(round(col("tfidf") * col("tfidf"), 12)
+        .cast(DecimalType(38, 12))).cast("double"), 6).as("tfidf_norm2"))
+
+    scored.join(frameN2, "doc_id").select(
+      col("doc_id"),
+      col("tfidf_norm2"),
+      lit(k.toLong).as("n_dims"),
+      col("finite"),
+      col("contractive"),
+      lit(orthoOk).as("proj_orthonormal"),
+      lit(captureOk).as("capture_ok"))
+  }
+
+  /** q35's checked form: the dense-vocabulary SVD embedding's envelope.
+    * Capture floor 0.50 — measured 0.795/0.815/0.821 (sf0.1/0.01/0.001)
+    * with k=10, so the floor has a wide margin while still refuting a
+    * junk subspace (a random rank-10 basis over this corpus captures
+    * ~k/V ≈ 0.32 of the energy at best). */
+  def textEmbeddingCheckedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vecs, v) = tfidfVectors(spark, sfDir)
+    embeddingEnvelope(spark, sfDir, vecs, v, k = 10, captureFloor = 0.50)
+  }
+
+  /** q77's checked form: the feature-hashed SVD embedding's envelope
+    * (capture measured 0.813–0.837 across the three SFs; same 0.50
+    * floor — a random rank-10 basis in the 256-dim hashed space
+    * captures ~0.04). */
+  def textEmbeddingHashedCheckedQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 256
+    embeddingEnvelope(spark, sfDir, tfidfHashedVectors(spark, sfDir, dim),
+      dim, k = 10, captureFloor = 0.50)
+  }
 
   /** F15: context assembly — fixed-order feature vector from the joined
     * feature frames (user one-hots + time context), the exact shape the

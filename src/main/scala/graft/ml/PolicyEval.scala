@@ -145,6 +145,54 @@ object PolicyEval {
     aucPerPolicyApprox(meltedLinPolicies(spark, sfDir),
       col("policy"), col("s"), col("y"))
 
+  /** q41's checked form (the q84/q114 envelope pattern, applied to the
+    * policy benchmark): `n` and `ctr` are exact for every policy, and
+    * the two DETERMINISTIC policies' AUCs (`linucb`, `lin_greedy` — no
+    * seeded draw anywhere in their scores) surface as `auc_det`, which
+    * DuckDB replays end-to-end from lineitem: decimal-exact sufficient
+    * statistics (the q30 seed replay) → per-row Cholesky scoring (the
+    * q31 pattern, one forward/back solve per interaction) → the SAME
+    * 4096-bucket Mann-Whitney histogram as [[aucPerPolicyApprox]]. The
+    * three splitmix-seeded policies (`lin_ts`, `lin_eps`,
+    * `clusters_ts`) keep `auc_det` NULL — their draw chains are
+    * xxhash64-bound — but carry contract flags instead:
+    *   - `auc_in_01`   — the statistic is a valid probability;
+    *   - `policy_contract` — the roster's ranking claim, per policy:
+    *     `lin_ts` (ν=0.05) tracks the greedy posterior mean within
+    *     0.05 (measured gap ≤ 2e-5 at all three SFs); `lin_eps`
+    *     (ε=0.1) degrades the greedy AUC by at most 0.1 (measured
+    *     ~0.04); `clusters_ts`'s cluster-coarsened posterior lands in
+    *     the near-noise band [0.2, 0.8] (measured 0.501–0.523 — it
+    *     must NOT rival the per-arm linear models, that's the
+    *     benchmark's own finding, and a beats-coin flag would sit a
+    *     hair above 0.5 with no margin).
+    * A solver regression, a broken seed layer, or a scoring-path change
+    * now hash-mismatches the round it happens instead of hiding behind
+    * a rows-only check. */
+  def evalLinUCBChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val auc = evalLinUCB(spark, sfDir)
+    // greedy's AUC broadcast across the 5-row result (window over the
+    // tiny finished aggregate, not over the interaction frame)
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    auc
+      .withColumn("auc_gd",
+        max(when(col("policy") === "lin_greedy", col("auc"))).over(w))
+      .select(
+        col("policy"),
+        when(col("policy").isin("linucb", "lin_greedy"), col("auc"))
+          .as("auc_det"),
+        col("ctr"), col("n"),
+        (col("auc") >= 0.0 && col("auc") <= 1.0).as("auc_in_01"),
+        when(col("policy") === "clusters_ts",
+            col("auc") >= 0.2 && col("auc") <= 0.8)
+          .when(col("policy") === "lin_eps",
+            col("auc_gd") - col("auc") >= -0.01 &&
+              col("auc_gd") - col("auc") <= 0.1)
+          .otherwise(abs(col("auc") - col("auc_gd")) <= 0.05)
+          .as("policy_contract"))
+  }
+
   /** The melted `(policy, s, y)` frame behind [[evalLinUCB]]. */
   private[ml] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -9,15 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * weakening CORRECTNESS to a rows-only check. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  /** The documented no-oracle set (SparkEntry scaladoc): every member
-    * is bound to engine-internal randomness or rotation-ambiguous
-    * factorization, and each is covered by ScalaTest cross-checks. */
-  private val declaredNoOracle = Set(
-    "q35_text_embedding",        // SVD subspace (sign/rotation-ambiguous)
-    "q77_text_embedding_hashed", // same, feature-hashed vocab
-    // (q114 carries an envelope oracle since r12: the splitmix draws
-    // stay unreplayable, but the generation contract hash-checks)
-    "q41_policy_eval_linucb")    // 3 of 5 policies draw via xxhash64; pooled-AUC bucket edges
+  /** The documented no-oracle set (SparkEntry scaladoc) — EMPTY since
+    * r12: the last three rows-only queries graduated to envelope
+    * oracles (q35/q77 via the projection-contract envelope, q41 via
+    * the deterministic-policy AUC replay + contract flags). The set
+    * stays as the declared mechanism should a future operator
+    * genuinely defeat even an envelope oracle. */
+  private val declaredNoOracle = Set.empty[String]
 
   test("every oracle and minRows key names a real query") {
     val qs = SparkEntry.queries.keySet

@@ -154,6 +154,25 @@ class FeaturesSpec extends SparkSpec {
     assert(emb.keys.forall(k => emb(k).sameElements(again(k))))
   }
 
+  test("embedding envelope queries: one row per doc, every contract flag true") {
+    // The r12 oracle surface for q35/q77 — the parity gate hash-checks
+    // it against DuckDB; this spec pins the same contract inside `sbt
+    // test` so a projection regression fails a NAMED test without
+    // needing the oracle loop.
+    val nDocs = graft.Tables.documents(spark, sf("0.01")).count()
+    for (env <- Seq(Features.textEmbeddingCheckedQuery(spark, sf("0.01")),
+                    Features.textEmbeddingHashedCheckedQuery(spark, sf("0.01")))) {
+      val rows = env.collect()
+      assert(rows.length.toLong == nDocs)
+      assert(rows.forall(_.getAs[Long]("n_dims") == 10L))
+      assert(rows.forall(_.getAs[Boolean]("finite")), "non-finite embedding")
+      assert(rows.forall(_.getAs[Boolean]("contractive")), "projection expanded a vector")
+      assert(rows.forall(_.getAs[Boolean]("proj_orthonormal")), "basis not orthonormal")
+      assert(rows.forall(_.getAs[Boolean]("capture_ok")), "captured energy below floor")
+      assert(rows.forall(_.getAs[Double]("tfidf_norm2") > 0.0))
+    }
+  }
+
   test("distributed randomized SVD matches an exact driver eigensolve on a planted low-rank corpus") {
     // 60 docs in a 12-dim space, built from 3 orthogonal base patterns
     // with well-separated strengths (8, 4, 2) plus tiny deterministic

@@ -33,6 +33,31 @@ class PolicyAndStoreSpec extends SparkSpec {
       s"clusters_ts ${lin("clusters_ts")} vs random ${sql("random")}")
   }
 
+  test("checked policy benchmark: auc_det surfaces exactly the deterministic policies, flags hold") {
+    // q41's r12 envelope surface: the parity gate replays auc_det in
+    // DuckDB; this spec pins the Spark-side shape — auc_det must be
+    // the UNMASKED aucPerPolicyApprox value for the two deterministic
+    // policies, NULL for the three seeded ones, with every contract
+    // flag true.
+    val plain = PolicyEval.evalLinUCB(spark, sf("0.01")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val checked = PolicyEval.evalLinUCBChecked(spark, sf("0.01")).collect()
+    assert(checked.length == 5)
+    checked.foreach { r =>
+      val p = r.getString(r.fieldIndex("policy"))
+      val det = Option(r.get(r.fieldIndex("auc_det"))).map(_.asInstanceOf[Double])
+      if (p == "linucb" || p == "lin_greedy")
+        assert(det.contains(plain(p)), s"$p auc_det $det != ${plain(p)}")
+      else assert(det.isEmpty, s"$p unexpectedly deterministic: $det")
+      assert(r.getAs[Boolean]("auc_in_01"), s"$p auc out of [0,1]")
+      assert(r.getAs[Boolean]("policy_contract"), s"$p contract flag false")
+    }
+    // n is the full interaction count, identical for every policy row
+    val ns = checked.map(_.getAs[Long]("n")).distinct
+    assert(ns.length == 1 && ns.head ==
+      graft.Tables.lineitem(spark, sf("0.01")).count())
+  }
+
   test("bucketed approximate AUC tracks the exact statistic within 0.01") {
     import org.apache.spark.sql.functions.col
     for (melted <- Seq(PolicyEval.meltedSqlPolicies(spark, sf("0.01")),
