@@ -40,7 +40,12 @@ object ScaleBench {
     // backs deriveK's claim that within-cell pair work stays ~n*target
     // (at 50k vectors the derived k is ~98, exercising growth past the
     // 16-cell floor the fixture scales sit on)
-    "q129_semantic_keep")
+    "q129_semantic_keep",
+    // round 12: the envelope-checked SVD embeddings — the 10x lake
+    // token-prefixes 9/10 copies so the vocabulary ALSO grows 10x,
+    // exercising the V-linear driver block (V x l) and the per-doc
+    // energy/capture additions the checked forms introduced
+    "q35_text_embedding", "q77_text_embedding_hashed")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted oracle-parity dump: run only the NAMED queries against an
+  * arbitrary lake (e.g. the ScaleBench 10× replica under
+  * `target/scale-sf1`) and write the same `outDir/<name>/` parquet +
+  * `oracle_sql.json` layout `graft.Verify` produces, restricted to
+  * those names — so `tools/parity_check.py` can adjudicate a handful
+  * of oracles at a scale the full 132-query dump would make
+  * impractically slow (the round-11 10× parity experiment was cut at
+  * the recursive-CTE oracle for exactly that reason).
+  *
+  * Usage: `runMain graft.tools.VerifyOne <sfDir> <outDir> <query>...`
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: VerifyOne <sfDir> <outDir> <query>...")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      System.err.println(s"[verify-one] wrote $name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val oracles = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"queries":${names.sorted.map(q).mkString("[", ",", "]")},""" +
+        s""""failed":[],"min_rows":{}}""")
+    spark.stop()
+  }
+}
