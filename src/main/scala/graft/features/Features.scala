@@ -414,7 +414,7 @@ object Features {
     * columns: off-diagonal |PᵢᵀPⱼ| and diagonal |‖Pⱼ‖²−1| (a zeroed
     * rank-deficient column contributes |0| / |0−0|). Driver-side on the
     * V×k basis — k²·V work, corpus-independent. */
-  private def basisResidual(proj: Array[Double], v: Int, k: Int): Double = {
+  private[features] def basisResidual(proj: Array[Double], v: Int, k: Int): Double = {
     var worst = 0.0
     var a = 0
     while (a < k) {

@@ -173,6 +173,32 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("basis residual refutes broken bases, accepts orthonormal and rank-deficient ones") {
+    // The envelope's orthonormality flag is only as good as its power
+    // to REFUTE: feed basisResidual hand-made bases and check it
+    // separates the legitimate shapes (orthonormal columns; a zeroed
+    // rank-deficient column) from the broken ones (unnormalized,
+    // correlated, or partially-scrambled columns).
+    val v = 6; val k = 3
+    def colMajor(cols: Seq[Array[Double]]): Array[Double] = {
+      val m = new Array[Double](v * k)
+      for (j <- cols.indices; i <- 0 until v) m(i * k + j) = cols(j)(i)
+      m
+    }
+    val e = (j: Int) => Array.tabulate(v)(i => if (i == j) 1.0 else 0.0)
+    // identity-like: residual ~0
+    assert(Features.basisResidual(colMajor(Seq(e(0), e(1), e(2))), v, k) < 1e-12)
+    // zeroed third column (rank deficiency): still accepted
+    assert(Features.basisResidual(
+      colMajor(Seq(e(0), e(1), Array.fill(v)(0.0))), v, k) < 1e-12)
+    // unnormalized column: refuted
+    assert(Features.basisResidual(
+      colMajor(Seq(e(0).map(_ * 1.001), e(1), e(2))), v, k) > 1e-8)
+    // correlated columns: refuted
+    val mix = e(0).zip(e(1)).map { case (a, b) => (a + b) / math.sqrt(2.0) }
+    assert(Features.basisResidual(colMajor(Seq(e(0), mix, e(2))), v, k) > 1e-8)
+  }
+
   test("distributed randomized SVD matches an exact driver eigensolve on a planted low-rank corpus") {
     // 60 docs in a 12-dim space, built from 3 orthogonal base patterns
     // with well-separated strengths (8, 4, 2) plus tiny deterministic
