@@ -243,6 +243,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!hashed.contains("ScalaUDF"), s"UDF in the hashed embedding path:\n$hashed")
   }
 
+  test("envelope queries: native projection, no UDF, q41's only window is policy-bounded") {
+    // r12 checked forms. q35/q77: the envelope adds per-doc energies
+    // and the exact-energy join on top of the projection — still zero
+    // UDFs, still mat_vec_project (the analyzed plan carries the
+    // expression names; the physical string fuses them into
+    // projections).
+    for (df <- Seq(graft.features.Features.textEmbeddingCheckedQuery(spark, sf()),
+                   graft.features.Features.textEmbeddingHashedCheckedQuery(spark, sf()))) {
+      val p = plan(df)
+      assert(!p.contains("ScalaUDF"), s"UDF in the envelope path:\n$p")
+      assert(df.queryExecution.analyzed.toString.contains("mat_vec_project"),
+        s"native projection missing:\n${df.queryExecution.analyzed}")
+    }
+    // q41: the greedy-AUC broadcast window must sit ABOVE the finished
+    // per-policy aggregate (5 rows — policy-cardinality-bounded), never
+    // over the melted interaction frame; scoring stays native.
+    val df41 = graft.ml.PolicyEval.evalLinUCBChecked(spark, sf())
+    val p41 = plan(df41)
+    assert(!p41.contains("ScalaUDF"), s"UDF in the policy scoring path:\n$p41")
+    assert(p41.contains("linucb_score") && p41.contains("lints_score"),
+      s"native scoring expressions missing:\n$p41")
+    // exactly two windows, both cardinality-bounded BY CONSTRUCTION:
+    // the greedy-AUC broadcast over the 5-row finished aggregate, and
+    // the Mann-Whitney cumulative count partitioned by policy over the
+    // <= 4096-bucket histogram. A third window — or the broadcast one
+    // sinking below the aggregate onto the melted interaction frame —
+    // is the regression this guards.
+    val windows = "Window \\[".r.findAllIn(p41).length
+    assert(windows == 2, s"unexpected window count $windows:\n$p41")
+    // plans print sink-first: the post-aggregation broadcast window
+    // appears BEFORE the aggregates in the string
+    assert(p41.indexOf("Window [") < p41.indexOf("HashAggregate"),
+      s"greedy window not above the finished aggregate:\n$p41")
+    // the cumulative window stays policy-partitioned (bucket-bounded)
+    assert(p41.contains("windowspecdefinition(policy"),
+      s"cumulative window lost its policy partitioning:\n$p41")
+  }
+
   test("decontamination: benchmark grams broadcast, corpus side map-only") {
     val p = plan(TextOps.decontamination(spark, sf()))
     assert(p.contains("BroadcastHashJoin"),
