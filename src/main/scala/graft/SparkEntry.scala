@@ -67,9 +67,11 @@ object SparkEntry {
     // contract they exist for is hash-checked (raw values stay on
     // TextOps.fingerprints)
     "q29_fingerprints" -> ((s, d) => TextOps.fingerprintsChecked(s, d)),
-    // --- LinUCB bandit (rows-only: matrix inversion is not
-    // SQL-expressible in DuckDB; correctness is ScalaTest vs Breeze
-    // ground truth + streaming-vs-batch agreement) ---
+    // --- LinUCB bandit (hash-checked since r11: the decimal-exact
+    // seed layer makes A and b externally recomputable, and the
+    // Gauss-Jordan inverse is replayed as a Cholesky solve — see
+    // luStats/luCholAliases; ScalaTest-vs-Breeze remains as the
+    // independent cross-check) ---
     "q30_linucb_seed" -> ((s, d) => graft.ml.LinUCB.seedQuery(s, d)),
     "q31_linucb_topk" -> ((s, d) => graft.ml.LinUCB.topKQuery(s, d)),
     // --- feature pipeline ---

@@ -68,21 +68,37 @@ object Verify {
     // decouple this guard from the engine's branch.
     val knnOracleKeys = Set("q117_knn_classify")
       .intersect(SparkEntry.oracleSql.keySet)
-    val knnPinsHold =
-      try {
-        val n = Tables.embeddings(spark, sfDir).count()
-        val ok = n <= graft.operators.Similarity.ProbeAllMaxVectors
-        if (!ok) System.err.println(
-          s"[verify] kNN probe-all pin violated (corpus n=$n > ceiling " +
-            s"${graft.operators.Similarity.ProbeAllMaxVectors}: deriveNProbe " +
-            s"selects the sub-quadratic path, brute-force oracle no longer " +
-            s"the engine's behavior) — dropping pinned oracles: " +
-            knnOracleKeys.toSeq.sorted.mkString(", "))
-        ok
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] kNN pin check failed (${e.getMessage}) — dropping pinned oracles")
-        false
+    // q23's oracle hard-codes the 6-plane band geometry; above the SRP
+    // ceiling deriveSrpPlanes refines the bands (sub-quadratic bucket
+    // occupancy) and the replay is no longer the engine's behavior.
+    val srpOracleKeys = Set("q23_embedding_pairs")
+      .intersect(SparkEntry.oracleSql.keySet)
+    val embeddingCount: Option[Long] =
+      try Some(Tables.embeddings(spark, sfDir).count())
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] embeddings count failed (${e.getMessage}) — dropping corpus-pinned oracles")
+        None
       }
+    val knnPinsHold = embeddingCount.exists { n =>
+      val ok = n <= graft.operators.Similarity.ProbeAllMaxVectors
+      if (!ok) System.err.println(
+        s"[verify] kNN probe-all pin violated (corpus n=$n > ceiling " +
+          s"${graft.operators.Similarity.ProbeAllMaxVectors}: deriveNProbe " +
+          s"selects the sub-quadratic path, brute-force oracle no longer " +
+          s"the engine's behavior) — dropping pinned oracles: " +
+          knnOracleKeys.toSeq.sorted.mkString(", "))
+      ok
+    }
+    val srpPinsHold = embeddingCount.exists { n =>
+      val ok = n <= graft.operators.Dedup.SrpOracleMaxVectors
+      if (!ok) System.err.println(
+        s"[verify] SRP band-geometry pin violated (corpus n=$n > ceiling " +
+          s"${graft.operators.Dedup.SrpOracleMaxVectors}: deriveSrpPlanes " +
+          s"refines the bands past the oracle's 6-plane replay) — " +
+          s"dropping pinned oracles: ${srpOracleKeys.toSeq.sorted.mkString(", ")}")
+      ok
+    }
     val ivfPinsHold =
       try {
         val k = graft.operators.Ivf.semanticK(spark, sfDir)
@@ -130,6 +146,7 @@ object Verify {
     val oracles = SparkEntry.oracleSql --
       (if (ivfPinsHold) Set.empty[String] else ivfOracleKeys) --
       (if (knnPinsHold) Set.empty[String] else knnOracleKeys) --
+      (if (srpPinsHold) Set.empty[String] else srpOracleKeys) --
       (if (luPinsHold) Set.empty[String] else luOracleKeys)
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

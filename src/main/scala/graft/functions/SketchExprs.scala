@@ -295,11 +295,22 @@ object SrpBucket {
   * the sign reproducible). Band keys are then bit-slices of the
   * signature (`shiftright(sig, band·r) & (2^r − 1)`) — derived in plain
   * SQL on both sides.
+  *
+  * `planeOffset` starts the signature at a later plane of the SAME
+  * global weight sequence (bit p = sign of plane `planeOffset + p`), so
+  * a geometry wider than 64 total planes — the corpus-derived band
+  * refinement [[graft.operators.Dedup.deriveSrpPlanes]] switches to
+  * above the oracle ceiling — computes one signature PER BAND instead
+  * of bit-slicing one packed long. At the default geometry the per-band
+  * form is bit-identical to the packed slices: band b's key is the
+  * signs of planes [b·r, b·r + r), either way.
   */
-case class PortableSrpSig(child: Expression, numPlanes: Int)
+case class PortableSrpSig(child: Expression, numPlanes: Int,
+                          planeOffset: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(numPlanes >= 1 && numPlanes <= 64,
     s"srp_sig_portable needs 1 <= numPlanes <= 64, got $numPlanes")
+  require(planeOffset >= 0, s"srp_sig_portable needs planeOffset >= 0, got $planeOffset")
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -310,7 +321,7 @@ case class PortableSrpSig(child: Expression, numPlanes: Int)
 
   @transient private lazy val weights: Array[Array[Double]] =
     Array.tabulate(numPlanes, SrpBucket.MaxDims) { (p, i) =>
-      PortableSrpSig.weight(p, i)
+      PortableSrpSig.weight(planeOffset + p, i)
     }
 
   override def nullSafeEval(input: Any): Any = {

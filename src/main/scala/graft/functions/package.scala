@@ -29,7 +29,8 @@ package object functions {
 
   /** Engine-portable SRP signature (integer-arithmetic weights — an
     * external SQL engine can recompute it; see [[PortableSrpSig]]). */
-  def srpSigPortable(c: Column, planes: Int): Column = wrap(PortableSrpSig(ex(c), planes))
+  def srpSigPortable(c: Column, planes: Int, planeOffset: Int = 0): Column =
+    wrap(PortableSrpSig(ex(c), planes, planeOffset))
 
   /** Distinct word n-gram shingles of a string column (null if < n
     * tokens). */
@@ -122,7 +123,8 @@ package object functions {
     "simhash60" -> (exprs => SimHash60(exprs.head)),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs(1)))),
     "srp_bucket" -> (exprs => SrpBucket(exprs.head, intArg(exprs(1)))),
-    "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)))),
+    "srp_sig_portable" -> (exprs => PortableSrpSig(exprs.head, intArg(exprs(1)),
+      if (exprs.length > 2) intArg(exprs(2)) else 0)),
     "word_shingles" -> (exprs => WordShingles(exprs.head, intArg(exprs(1)))),
     "zorder2" -> (exprs => ZOrderInterleave(exprs.head, exprs(1), intArg(exprs(2)))),
     "seeded_uniform" -> (exprs => SeededUniformExpr(exprs.head)),

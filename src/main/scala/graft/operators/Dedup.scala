@@ -65,6 +65,36 @@ object Dedup {
     * DuckDB oracles apply the identical cap. */
   val DefaultMaxDf = 64L
 
+  /** Expected per-band bucket occupancy ceiling the derived SRP band
+    * width targets: one more plane per band whenever doubling the
+    * bucket count is needed to keep `n / 2^planes` at or below this.
+    * 128 keeps the classic 6-plane width for every driver fixture
+    * (n ≤ 8192 = 128·2⁶) while bounding in-bucket pair work to
+    * ~n·occupancy at any corpus size — the quadratic-in-bucket blowup
+    * a FIXED 64-bucket geometry hits at 1000×. */
+  val SrpTargetBucketOccupancy = 128L
+
+  /** Corpus-size ceiling of the 6-plane (48-total-plane) geometry the
+    * q23 DuckDB oracle hard-codes: at or below this the derived width
+    * IS 6 and the oracle replays the engine's buckets exactly; above
+    * it the engine refines bands and Verify drops the oracle with a
+    * named cause (the knnPinsHold pattern — the sub-quadratic path
+    * must not surface as a fake hash mismatch). */
+  val SrpOracleMaxVectors: Long = SrpTargetBucketOccupancy << 6 // 8192
+
+  /** Smallest band width (≥ the classic 6) whose bucket count keeps
+    * expected occupancy ≤ [[SrpTargetBucketOccupancy]]; capped at 14
+    * (16 384 buckets/band — past ~2 M vectors occupancy grows again,
+    * but by then per-band keys should come from a wider-band re-tuning,
+    * not unbounded key width). Pure integer arithmetic — the DuckDB
+    * side of any future above-ceiling oracle can replay the SAME
+    * threshold ladder without floating-point log edge cases. */
+  def deriveSrpPlanes(n: Long): Int = {
+    var pp = 6
+    while ((SrpTargetBucketOccupancy << pp) < n && pp < 14) pp += 1
+    pp
+  }
+
   /** Posting list with the document-frequency cap applied: df per
     * shingle as a groupBy-count (map-side partial aggregation collapses
     * the hot shingle to one row per mapper — never k rows spilling in
@@ -515,19 +545,39 @@ object Dedup {
     * all-pairs form). Candidate volume on the near-random synthetic
     * corpus ≈ bands/2^planes ≈ 13% of all pairs; on a real corpus with
     * actual near-dup structure the collision mass concentrates in the
-    * duplicate clusters, which is what makes the shape scale. */
+    * duplicate clusters, which is what makes the shape scale.
+    *
+    * `planesPerBand = 0` (the q23 default) DERIVES the band width from
+    * the corpus — the [[graft.operators.Ivf.deriveK]] /
+    * [[Similarity.deriveNProbe]] discipline: at a FIXED width the
+    * per-band bucket count is constant, so in-bucket pair work grows
+    * quadratically with the corpus (5 k vectors / 64 buckets ≈ 78 per
+    * bucket, but 5 M / 64 ≈ 78 k → ~3×10⁹ in-bucket pairs per band —
+    * the 1000× scale-killer). [[deriveSrpPlanes]] widens bands one
+    * plane at a time so expected occupancy stays ≤
+    * [[SrpTargetBucketOccupancy]]; each extra plane halves occupancy at
+    * the cost of one more sign-agreement factor on recall (the standard
+    * LSH r/b trade). At or below [[SrpOracleMaxVectors]] the derived
+    * width IS the classic 6 — every driver fixture sits there, which is
+    * what keeps the DuckDB oracle's hard-coded 48-plane replay valid;
+    * Verify drops the q23 oracle above the ceiling with a named cause
+    * (the knnPinsHold pattern). Band keys come from one per-band
+    * offset signature ([[graft.functions.PortableSrpSig]] with
+    * `planeOffset = band·width` — bit-identical to slicing one packed
+    * signature at the default width, spec-pinned, but not limited to
+    * 64 total planes). */
   def embeddingPairsBucketed(spark: SparkSession, sfDir: String, threshold: Double,
-                             planesPerBand: Int = 6, bands: Int = 8): DataFrame = {
-    val nPlanes = planesPerBand * bands
-    val mask = (1 << planesPerBand) - 1
-    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
+                             planesPerBand: Int = 0, bands: Int = 8): DataFrame = {
+    val base = Similarity.spread(Tables.embeddings(spark, sfDir))
+    val pp =
+      if (planesPerBand > 0) planesPerBand
+      else deriveSrpPlanes(base.count())
+    val e = base
       .select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("nrm"),
-        graft.functions.srpSigPortable(col("embedding"), nPlanes).as("sig"))
-    val bk = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"struct(b AS band, shiftright(sig, CAST(b*$planesPerBand AS INT)) & $mask AS bkey))"))
-        .as("b"))
+        Similarity.l2norm(col("embedding")).as("nrm"))
+    val bandKeys = (0 until bands).map(b => struct(lit(b).as("band"),
+      graft.functions.srpSigPortable(col("embedding"), pp, b * pp).as("bkey")))
+    val bk = e.select(col("vec_id"), explode(array(bandKeys: _*)).as("b"))
       .select(col("vec_id"), col("b.band"), col("b.bkey"))
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * the recursive-CTE oracle for exactly that reason).
   *
   * Usage: `runMain graft.tools.VerifyOne <sfDir> <outDir> <query>...`
+  *
+  * CAVEAT: unlike `graft.Verify`, this dump does NOT apply the
+  * fixture-pin guards — the corpus-pinned oracles (q117's probe-all
+  * kNN, q23's 6-plane SRP geometry, the IVF family's k=16/d=64
+  * unroll, the LinUCB replays' 2dp-money premise) are only valid on
+  * lakes inside their pins. Above a ceiling (e.g. the 10× lake's 50 k
+  * vectors for q117/q23) a mismatch is the DROPPED-oracle condition,
+  * not an engine bug.
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {

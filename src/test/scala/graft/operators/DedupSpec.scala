@@ -226,6 +226,44 @@ class DedupSpec extends SparkSpec {
       s"quadratic join in plan:\n$plan")
   }
 
+  test("per-band offset SRP signatures are bit-identical to packed-signature slices") {
+    // The r12 band-key refactor (offset signatures generalize past 64
+    // total planes for the derived geometry) must not move a single
+    // bucket at the classic width: band b's key from
+    // srp_sig_portable(emb, 6, b*6) must equal bits [6b, 6b+6) of the
+    // old packed 48-plane signature, vector for vector.
+    val checks = (0 until 8).map(b =>
+      graft.functions.srpSigPortable(col("embedding"), 6, b * 6) ===
+        shiftright(graft.functions.srpSigPortable(col("embedding"), 48), b * 6)
+          .bitwiseAND(lit(63L)))
+    val bad = Similarity.spread(graft.Tables.embeddings(spark, sf("0.01")))
+      .filter(!checks.reduce(_ && _)).count()
+    assert(bad == 0, s"$bad vectors with diverging band keys")
+  }
+
+  test("derived SRP band width follows the occupancy ladder") {
+    // <= 8192 vectors (every driver fixture): the classic 6 — the
+    // regime where the q23 oracle's hard-coded replay is valid
+    assert(Dedup.deriveSrpPlanes(500) == 6)
+    assert(Dedup.deriveSrpPlanes(Dedup.SrpOracleMaxVectors) == 6)
+    // one plane per doubling past the ceiling
+    assert(Dedup.deriveSrpPlanes(Dedup.SrpOracleMaxVectors + 1) == 7)
+    assert(Dedup.deriveSrpPlanes(50000) == 9)   // the 10x ScaleBench lake
+    assert(Dedup.deriveSrpPlanes(1000000) == 13)
+    // width cap: key size stops growing even for absurd corpora
+    assert(Dedup.deriveSrpPlanes(Long.MaxValue / 2) == 14)
+  }
+
+  test("q23's derived default equals the pinned classic geometry on the fixture") {
+    val derived = Dedup.embeddingPairsBucketed(spark, sf("0.01"), 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val pinned = Dedup.embeddingPairsBucketed(spark, sf("0.01"), 0.4,
+      planesPerBand = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(derived == pinned,
+      "derived width diverged from 6 below the oracle ceiling")
+  }
+
   test("portable SRP weight formula matches its documented arithmetic") {
     // the same expression the DuckDB oracle embeds - if this drifts, the
     // q23 oracle silently diverges
