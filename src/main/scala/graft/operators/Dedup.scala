@@ -255,6 +255,18 @@ object Dedup {
     // above. The default stays within the guarantee; callers asking for
     // a larger radius accept documented recall loss (or should raise
     // the band count).
+    //
+    // Scale note: unlike q23's SRP bands, this geometry CANNOT derive
+    // from corpus size — widening a band breaks the pigeonhole
+    // exactness, so bucket count is pinned at 4 x 2^15 and expected
+    // occupancy grows linearly with the corpus (n = 5 M docs -> ~150
+    // per bucket, fine; n = 5 B -> ~150 k, quadratic in-bucket pain).
+    // The 1000x remedy that PRESERVES exactness is the Manku et al.
+    // (WWW'07) multi-table generalization: C(B, B-h) tables, each
+    // keyed on a WIDER (B-h)-band concatenation — e.g. hamming 3 over
+    // 6 x 10-bit bands -> 20 tables of 30-bit keys, 2^30 buckets. Same
+    // join shape, more tables; not built because no fixture (nor the
+    // 10x lake) leaves the comfortable regime of the 4-band form.
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), j -> " +
           "struct(j AS band, shiftright(simhash, CAST(j*15 AS INT)) & 32767 AS bh))")).as("b"))
