@@ -247,29 +247,62 @@ object Dedup {
       .withColumn("simhash", graft.functions.simhash60(col("shingles")))
       .select(col("doc_id"), col("simhash"))
 
+  /** Corpus-size ceiling of the classic 4×15-bit banding: expected
+    * bucket occupancy reaches [[SrpTargetBucketOccupancy]] at
+    * 128·2¹⁵ ≈ 4.2 M docs. Below it the single-band tables are the
+    * cheaper exact scheme (4 keys/doc); above it [[simhashPairs]]
+    * switches to the Manku-style 20-table scheme — and the q22 oracle
+    * stays valid THROUGH the switch, because both schemes are exact at
+    * hamming ≤ 3 and the final filtered pair set is scheme-independent
+    * (spec-pinned equality). */
+  val SimHashClassicMaxDocs: Long = SrpTargetBucketOccupancy << 15
+
+  /** The two exact candidate schemes as slice tables: per table, the
+    * (shift, width) signature slices whose concatenation is that
+    * table's bucket key. Classic = 4 single-band tables of 15 bits
+    * (pigeonhole: ≤ 3 flips touch ≤ 3 of 4 bands → some band matches).
+    * Manku (WWW'07) = 6 bands of 10 bits, one table per 3-of-6 band
+    * combination (C(6,3) = 20): ≤ 3 flips touch ≤ 3 bands, so some
+    * UNTOUCHED 3-subset matches on its full 30-bit key — 2¹⁵ → 2³⁰
+    * buckets, occupancy back to negligible at billions of docs, same
+    * equi-join shape, 20 keys/doc instead of 4. */
+  private[operators] val SimHashClassicTables: Seq[Seq[(Int, Int)]] =
+    (0 until 4).map(j => Seq((15 * j, 15)))
+  private[operators] val SimHashMankuTables: Seq[Seq[(Int, Int)]] =
+    (0 until 6).combinations(3).map(_.map(b => (10 * b, 10)).toSeq).toSeq
+
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(spark, sfDir)
-    // 4 bands of 15 bits, pigeonhole: a pair at hamming <= 3 cannot
-    // differ in all 4 bands, so at least one band matches exactly →
-    // banding is EXACT (full recall) for maxHamming <= 3, probabilistic
-    // above. The default stays within the guarantee; callers asking for
-    // a larger radius accept documented recall loss (or should raise
-    // the band count).
-    //
-    // Scale note: unlike q23's SRP bands, this geometry CANNOT derive
-    // from corpus size — widening a band breaks the pigeonhole
-    // exactness, so bucket count is pinned at 4 x 2^15 and expected
-    // occupancy grows linearly with the corpus (n = 5 M docs -> ~150
-    // per bucket, fine; n = 5 B -> ~150 k, quadratic in-bucket pain).
-    // The 1000x remedy that PRESERVES exactness is the Manku et al.
-    // (WWW'07) multi-table generalization: C(B, B-h) tables, each
-    // keyed on a WIDER (B-h)-band concatenation — e.g. hamming 3 over
-    // 6 x 10-bit bands -> 20 tables of 30-bit keys, 2^30 buckets. Same
-    // join shape, more tables; not built because no fixture (nor the
-    // 10x lake) leaves the comfortable regime of the 4-band form.
-    val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0, 3), j -> " +
-          "struct(j AS band, shiftright(simhash, CAST(j*15 AS INT)) & 32767 AS bh))")).as("b"))
+    // Scheme derivation — the deriveSrpPlanes discipline for the
+    // hamming family: both schemes have FULL recall at hamming ≤ 3
+    // (banding is exact, so the filtered output is identical either
+    // way — the oracle needs no guard), the choice is purely a bucket-
+    // occupancy cost decision. Callers asking for a radius past the
+    // pigeonhole guarantee stay on the classic scheme and accept the
+    // documented probabilistic recall.
+    val useManku = maxHamming <= 3 &&
+      Tables.documents(spark, sfDir).count() > SimHashClassicMaxDocs
+    simhashPairsScheme(simhashSignatures(spark, sfDir),
+      if (useManku) SimHashMankuTables else SimHashClassicTables, maxHamming)
+  }
+
+  /** Banded candidate join + exact hamming verify over an explicit
+    * slice-table scheme — package-visible so the scheme-equality spec
+    * can force the Manku tables on a fixture-sized corpus. */
+  private[operators] def simhashPairsScheme(sig: DataFrame,
+      tables: Seq[Seq[(Int, Int)]], maxHamming: Int): DataFrame = {
+    val keys = tables.zipWithIndex.map { case (slices, t) =>
+      var off = 0
+      val key = slices.map { case (shift, width) =>
+        val part = shiftright(col("simhash"), shift)
+          .bitwiseAND(lit((1L << width) - 1))
+        val placed = shiftleft(part, off)
+        off += width
+        placed
+      }.reduce(_ bitwiseOR _)
+      struct(lit(t).as("band"), key.as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bh"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

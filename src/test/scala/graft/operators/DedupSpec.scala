@@ -264,6 +264,27 @@ class DedupSpec extends SparkSpec {
       "derived width diverged from 6 below the oracle ceiling")
   }
 
+  test("Manku multi-table SimHash emits exactly the classic pair set") {
+    // Both schemes are EXACT at hamming <= 3 (pigeonhole over 4x15
+    // single bands; any-untouched-3-of-6-bands over the 20 Manku
+    // tables), so the filtered output must be scheme-independent —
+    // which is also why the q22 oracle needs no ceiling guard when
+    // simhashPairs derives the scheme from corpus size.
+    assert(Dedup.SimHashMankuTables.length == 20) // C(6,3)
+    assert(Dedup.SimHashMankuTables.forall(_.map(_._2).sum == 30))
+    val sig = Dedup.simhashSignatures(spark, sf("0.01")).cache()
+    def pairs(tables: Seq[Seq[(Int, Int)]]) =
+      Dedup.simhashPairsScheme(sig, tables, 3)
+        .select("doc_i", "doc_j", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+    val classic = pairs(Dedup.SimHashClassicTables)
+    val manku = pairs(Dedup.SimHashMankuTables)
+    assert(classic.nonEmpty, "fixture should contain hamming <= 3 pairs")
+    assert(manku == classic,
+      s"schemes diverged: only-classic ${classic -- manku}, only-manku ${manku -- classic}")
+    sig.unpersist()
+  }
+
   test("portable SRP weight formula matches its documented arithmetic") {
     // the same expression the DuckDB oracle embeds - if this drifts, the
     // q23 oracle silently diverges
