@@ -322,6 +322,16 @@ object SparkEntry {
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
     // learned BPE merge table (q131/q132)
     "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
+    // TF-IDF postings: tokenize + explode + doc-freq join, checkpointed
+    // once; q34 and both envelope layers below read it
+    "tfidf_postings" ->
+      ((s, d) => { graft.features.Features.materializedTfidf(s, d); () }),
+    // SVD-embedding envelopes (q35/q77): subspace iteration + capture
+    // action + basis-residual check, materialized per (sfDir, space)
+    "svd_envelope_dense" ->
+      ((s, d) => { graft.features.Features.textEmbeddingCheckedQuery(s, d); () }),
+    "svd_envelope_hashed" ->
+      ((s, d) => { graft.features.Features.textEmbeddingHashedCheckedQuery(s, d); () }),
   )
 
   /** Expected minimum output rows for rows-only queries (those with no
@@ -608,10 +618,14 @@ object SparkEntry {
   // the same parquet doubles. The 5×5 inverse the engine takes
   // driver-side (LinAlg.invertRowMajor, partial-pivot Gauss-Jordan)
   // is replayed here as a Cholesky factorization of A = I + Σxxᵀ via
-  // lateral aliases — solver paths differ by ~cond(A)·ε ≈ 1e-12
-  // relative, far inside the 9dp/6dp output rounding. Same hygiene as
-  // the IRLS replay: per-stage CTEs are MATERIALIZED and project only
-  // what the next stage consumes.
+  // lateral aliases — for q30/q31 the solver paths differ by
+  // ~cond(A)·ε ≈ 1e-12 relative, far inside the 9dp/6dp output
+  // rounding; q41's scoring goes further: since r12 the engine scores
+  // its deterministic policies through the SAME chol(A) forward/back
+  // solves (PolicyMath.linUcbCholScore mirrors luCholAliases /
+  // luSolveAliases term for term), so that replay is bit-exact by
+  // construction. Same hygiene as the IRLS replay: per-stage CTEs are
+  // MATERIALIZED and project only what the next stage consumes.
   private val luDim = graft.ml.LinUCB.Dim
   /** Feedback + per-arm sufficient statistics (shared by q30/q31). */
   private val luStats: String = {
@@ -1375,9 +1389,10 @@ object SparkEntry {
     // the two DETERMINISTIC policies (linucb α=0.1, lin_greedy α=0)
     // replay end-to-end: decimal-exact per-arm sufficient statistics
     // (the q30 seed replay), one Cholesky forward/back solve PER
-    // INTERACTION for w = A⁻¹x (the engine scores mean = b·w,
-    // var = x·w — replayed in the same form, solver paths differ
-    // ~cond(A)·ε, far inside the 9dp score rounding), then the same
+    // INTERACTION for w = A⁻¹x (mean = b·w, var = x·w — the ENGINE
+    // scores these two policies through the identical chol(A) float
+    // chain, PolicyMath.linUcbCholScore, so the replay is bit-exact by
+    // construction), then the same
     // 4096-bucket Mann-Whitney histogram as aucPerPolicyApprox. The
     // three splitmix-seeded policies keep auc_det NULL and hash-check
     // through their contract flags instead (evalLinUCBChecked scaladoc).

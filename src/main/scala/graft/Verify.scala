@@ -4,6 +4,45 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    * Shared with [[graft.tools.VerifyOne]] (via [[writeArtifacts]]) so
+    * the two dumps can never drift on escaping rules. */
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The `oracle_sql.json` + `manifest.json` pair both dump tools emit
+    * for `tools/parity_check.py` — one writer, so a future escaping or
+    * schema fix can't land in one tool and miss the other. The manifest
+    * lists every declared query plus any that crashed, so the gate can
+    * fail on MISSING outputs instead of silently skipping a broken
+    * rows-only query; `min_rows` declares minimum output sizes for
+    * rows-only queries (a declared-may-be-empty query is not a
+    * failure). */
+  private[graft] def writeArtifacts(outDir: String,
+                                    oracles: Iterable[(String, String)],
+                                    queryNames: Iterable[String],
+                                    failed: Iterable[String],
+                                    minRows: Map[String, Long]): Unit = {
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
+        .mkString("{", ",", "}"))
+    val manifest = queryNames.toSeq.sorted.map(jsonQuote).mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map(jsonQuote).mkString("[", ",", "]")
+    val minRowsJson = minRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonQuote(k)}:$v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"queries":$manifest,"failed":$failedJson,"min_rows":$minRowsJson}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,18 +73,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // The IVF-family oracles (q44/q127/q128/q129) replay the k-means
     // fit with k=16 and d=64 hard-pinned in SQL — valid only while the
     // fixture keeps deriveK(n)=16 (n <= 8192) and 64-dim embeddings.
@@ -148,21 +175,8 @@ object Verify {
       (if (knnPinsHold) Set.empty[String] else knnOracleKeys) --
       (if (srpPinsHold) Set.empty[String] else srpOracleKeys) --
       (if (luPinsHold) Set.empty[String] else luOracleKeys)
-    val json = oracles
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of every declared query + any that crashed, so the gate
-    // (tools/parity_check.py) can fail on MISSING outputs instead of
-    // silently skipping a broken rows-only query.
-    val manifest = SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
-    val failedJson = failed.sorted.map(q).mkString("[", ",", "]")
-    // min_rows: declared minimum output sizes for rows-only queries, so
-    // the gate checks emptiness against intent (a declared-may-be-empty
-    // query is not a failure) rather than assuming rows>0 everywhere.
-    val minRowsJson = SparkEntry.minRows.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      s"""{"queries":$manifest,"failed":$failedJson,"min_rows":$minRowsJson}""")
+    writeArtifacts(outDir, oracles, SparkEntry.queries.keys, failed,
+      SparkEntry.minRows)
     if (failed.nonEmpty) {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
     }

@@ -119,12 +119,29 @@ object Features {
         round(col("tf") * col("idf"), 6).as("tfidf"))
   }
 
+  /** The MATERIALIZED TF-IDF postings layer: [[tfidf]] computed once
+    * per (session, sfDir) and re-entered as a checkpointed frame — the
+    * q34/q35/q77 pipelines all read the same postings. (Previously each
+    * reader carried an ad-hoc `.cache()`, which pinned the corpus-sized
+    * frame for the session lifetime outside the [[graft.SessionCache]]
+    * eviction discipline and deduplicated across call sites only via
+    * Spark's plan-equality cache match — one silent plan divergence
+    * away from a doubled resident copy.) The layer is LRU-bounded and
+    * releases its executor blocks on eviction. */
+  def materializedTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfCache.getOrCompute(spark, sfDir) {
+      tfidf(spark, sfDir).localCheckpoint()
+    }
+
+  private val tfidfCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** Top-scoring term per document (deterministic tie-break) — the
     * oracle-checkable face of the TF-IDF pipeline. */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("term"))
-    tfidf(spark, sfDir)
+    materializedTfidf(spark, sfDir)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
@@ -143,7 +160,7 @@ object Features {
     * vocabulary at all. */
   private def tfidfVectors(spark: SparkSession, sfDir: String,
                            maxVocab: Int = 2048): (DataFrame, Int) = {
-    val scores = tfidf(spark, sfDir).cache()
+    val scores = materializedTfidf(spark, sfDir)
     val vocab = scores.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("term")).limit(maxVocab)
       .select("term").collect().map(_.getString(0)).sorted
@@ -356,11 +373,7 @@ object Features {
     * partitioning-independent. */
   private[graft] def tfidfHashedVectors(spark: SparkSession, sfDir: String,
                                         dim: Int = 256): DataFrame = {
-    // cached for the same reason tfidfVectors caches: the envelope
-    // query (q77) reads the TF-IDF postings once more for its exact
-    // per-doc energy column, and Spark's cache matches by plan, so one
-    // cache serves every tfidf() call in the session
-    val scores = tfidf(spark, sfDir).cache()
+    val scores = materializedTfidf(spark, sfDir)
     val bucket = pmod(xxhash64(col("term")), lit(dim)).cast("int")
     val sign = when(pmod(xxhash64(col("term"), lit(1)), lit(2)) === 0, 1.0)
       .otherwise(-1.0)
@@ -444,28 +457,56 @@ object Features {
     * order). */
   private def embeddingEnvelope(spark: SparkSession, sfDir: String,
                                 vecs: DataFrame, v: Int, k: Int,
-                                captureFloor: Double): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val proj = svdBasis(spark, vecs, v, k)
-    // residual measured ~5e-15 across the three SFs for both spaces;
-    // the 1e-8 bound is the contract, not the observation
-    val orthoOk = basisResidual(proj, v, k) <= 1e-8
+                                captureFloor: Double,
+                                space: String): DataFrame =
+    envelopeCache.getOrCompute(spark, (sfDir, space)) {
+      buildEnvelope(spark, sfDir, vecs, v, k, captureFloor)
+    }
 
-    // cached: the capture aggregate below is an ACTION on this frame,
-    // and the final per-doc select reads it again — without the cache
-    // the whole vector pipeline + projection would run twice. The
-    // frame is tiny (one row per doc: two norms + the k-dim embedding).
-    val scored = vecs.select(col("doc_id"),
+  /** Per-(session, sfDir, space) materialization of the envelope —
+    * everything in the build (subspace iteration, the capture action,
+    * the basis-residual check) is expensive and deterministic, and the
+    * result is tiny (one row per doc: the exact energy + five flags),
+    * so it lives in the LRU-bounded layer cache like the other
+    * materialized layers, not behind a per-call `.cache()` pinned for
+    * the session lifetime. */
+  private val envelopeCache = new graft.SessionCache[(String, String), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
+  /** The lazy per-doc projection plan the envelope materializes —
+    * exposed separately so the plan audit can assert on the BUILD
+    * pipeline (native `mat_vec_project`, zero UDFs) now that the
+    * query-facing envelope frame is a checkpointed layer whose plan is
+    * just the `LogicalRDD` face. */
+  private[graft] def envelopeProjection(vecs: DataFrame, proj: Array[Double],
+                                        v: Int, k: Int): DataFrame =
+    vecs.select(col("doc_id"),
       graft.functions.matVecProject(col("vec"), proj, v, k).as("emb"),
       expr("aggregate(vec, 0D, (a, x) -> a + x * x)").as("vec_n2"))
       .withColumn("emb_n2", expr("aggregate(emb, 0D, (a, e) -> a + e * e)"))
       .withColumn("finite", expr(
         "forall(emb, e -> e IS NOT NULL AND NOT isnan(e) AND abs(e) < 'Infinity')"))
       // P has (near-)orthonormal columns ⇒ ‖Px‖ ≤ ‖x‖; the slack covers
-      // the basis tolerance asserted above plus fold rounding
+      // the asserted basis tolerance plus fold rounding
       .withColumn("contractive",
         col("emb_n2") <= col("vec_n2") * (1.0 + 1e-6) + 1e-9)
-      .cache()
+
+  private def buildEnvelope(spark: SparkSession, sfDir: String,
+                            vecs: DataFrame, v: Int, k: Int,
+                            captureFloor: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val proj = svdBasis(spark, vecs, v, k)
+    // residual measured ~5e-15 across the three SFs for both spaces;
+    // the 1e-8 bound is the contract, not the observation
+    val orthoOk = basisResidual(proj, v, k) <= 1e-8
+
+    // checkpointed: the capture aggregate below is an ACTION on this
+    // frame, and the final per-doc select reads it again — without the
+    // materialization the whole vector pipeline + projection would run
+    // twice. The frame is tiny (one row per doc: two norms + the k-dim
+    // embedding), and its blocks are released explicitly below once the
+    // final envelope frame is materialized.
+    val scored = envelopeProjection(vecs, proj, v, k).localCheckpoint()
 
     // Captured energy Σ‖Px‖²/Σ‖x‖² — both sums in fixed-scale decimal so
     // the ratio (and the flag) is exact under any partitioning.
@@ -481,12 +522,12 @@ object Features {
     // decimal, so the value is engine- and partitioning-exact. (The
     // contraction flag above deliberately uses the vector-space energy;
     // the frame energy only upper-bounds it once the vocab cap binds.)
-    val frameN2 = tfidf(spark, sfDir)
+    val frameN2 = materializedTfidf(spark, sfDir)
       .groupBy("doc_id")
       .agg(round(sum(round(col("tfidf") * col("tfidf"), 12)
         .cast(DecimalType(38, 12))).cast("double"), 6).as("tfidf_norm2"))
 
-    scored.join(frameN2, "doc_id").select(
+    val out = scored.join(frameN2, "doc_id").select(
       col("doc_id"),
       col("tfidf_norm2"),
       lit(k.toLong).as("n_dims"),
@@ -494,6 +535,12 @@ object Features {
       col("contractive"),
       lit(orthoOk).as("proj_orthonormal"),
       lit(captureOk).as("capture_ok"))
+      .localCheckpoint()
+    // the envelope frame is materialized above; the intermediate scored
+    // checkpoint's blocks can be released now instead of at layer
+    // eviction (only `out` lives in the envelope layer)
+    graft.SessionCache.unpersistCheckpoint(scored)
+    out
   }
 
   /** q35's checked form: the dense-vocabulary SVD embedding's envelope.
@@ -503,7 +550,8 @@ object Features {
     * ~k/V ≈ 0.32 of the energy at best). */
   def textEmbeddingCheckedQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val (vecs, v) = tfidfVectors(spark, sfDir)
-    embeddingEnvelope(spark, sfDir, vecs, v, k = 10, captureFloor = 0.50)
+    embeddingEnvelope(spark, sfDir, vecs, v, k = 10, captureFloor = 0.50,
+      space = "dense")
   }
 
   /** q77's checked form: the feature-hashed SVD embedding's envelope
@@ -513,7 +561,7 @@ object Features {
   def textEmbeddingHashedCheckedQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = 256
     embeddingEnvelope(spark, sfDir, tfidfHashedVectors(spark, sfDir, dim),
-      dim, k = 10, captureFloor = 0.50)
+      dim, k = 10, captureFloor = 0.50, space = "hashed")
   }
 
   /** F15: context assembly — fixed-order feature vector from the joined

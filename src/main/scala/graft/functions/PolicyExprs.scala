@@ -48,6 +48,54 @@ object PolicyMath {
     mean + alpha * math.sqrt(math.max(varTerm, 0.0))
   }
 
+  /** The same UCB score computed through the CHOLESKY factors of A
+    * instead of the precomputed inverse: `w = A⁻¹x` via forward solve
+    * `L z = x` then back solve `Lᵀ w = z`, `mean = b·w`,
+    * `var = x·w`. The float-operation chain (subtraction order inside
+    * each solve step, term order of the two dot products, the
+    * `max(·,0)` guard under the sqrt) mirrors the q41 oracle's lateral
+    * aliases (`SparkEntry.luCholAliases`/`luSolveAliases`) EXACTLY, so
+    * given bit-identical stats (the decimal-exact seed layer) the two
+    * engines produce bit-identical scores — the oracle is exact by
+    * construction, not merely "solver gap far inside the rounding"
+    * (the r12 review's residual probabilistic premise). `l` is the
+    * d×d row-major lower factor of A itself (NOT of A⁻¹, which is what
+    * the TS draw uses). α = 0 returns `mean` directly, matching the
+    * oracle's `ROUND(mu, 9)` with no `+ 0.0·√·` term (a `-0.0` mean
+    * must not flip sign through `+ 0.0`). */
+  def linUcbCholScore(x: ArrayData, b: ArrayData, l: ArrayData,
+                      alpha: Double): Double = {
+    val d = x.numElements()
+    val z = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = x.getDouble(i)
+      var k = 0
+      while (k < i) { acc -= l.getDouble(i * d + k) * z(k); k += 1 }
+      z(i) = acc / l.getDouble(i * d + i)
+      i += 1
+    }
+    val w = new Array[Double](d)
+    i = d - 1
+    while (i >= 0) {
+      var acc = z(i)
+      var k = i + 1
+      while (k < d) { acc -= l.getDouble(k * d + i) * w(k); k += 1 }
+      w(i) = acc / l.getDouble(i * d + i)
+      i -= 1
+    }
+    var mean = b.getDouble(0) * w(0)
+    var varTerm = x.getDouble(0) * w(0)
+    i = 1
+    while (i < d) {
+      mean += b.getDouble(i) * w(i)
+      varTerm += x.getDouble(i) * w(i)
+      i += 1
+    }
+    if (alpha == 0.0) mean
+    else mean + alpha * math.sqrt(math.max(varTerm, 0.0))
+  }
+
   /** Thompson-sampling score `x·θ + ν·x·(Lz)` with deterministic
     * splitmix64/Box-Muller normals — exactly
     * [[graft.ml.LinUCB.scoreTSPre]] over ArrayData. */
@@ -137,6 +185,32 @@ case class LinUcbScore(first: Expression, second: Expression,
       newThird: Expression): LinUcbScore =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "linucb_score"
+}
+
+/** LinUCB serving score through the Cholesky factors of A (the q41
+  * oracle-exact form): `linucb_chol_score(x, b, lcholA)` with
+  * plan-time α. */
+case class LinUcbCholScore(first: Expression, second: Expression,
+                           third: Expression, alpha: Double)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    PolicyMath.requireDoubleArrays("linucb_chol_score",
+      Seq(first, second, third))
+
+  override def nullSafeEval(x: Any, b: Any, l: Any): Any =
+    PolicyMath.linUcbCholScore(x.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], alpha)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, b, l) =>
+      s"${ev.value} = graft.functions.PolicyMath.linUcbCholScore($x, $b, $l, $alpha);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LinUcbCholScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "linucb_chol_score"
 }
 
 /** LinTS score as a native expression:

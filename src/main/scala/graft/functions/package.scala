@@ -53,6 +53,13 @@ package object functions {
   def linucbScore(x: Column, aInv: Column, b: Column, alpha: Double): Column =
     wrap(LinUcbScore(ex(x), ex(aInv), ex(b), alpha))
 
+  /** LinUCB score through chol(A) — forward/back solves replaying the
+    * q41 oracle's float chain exactly (codegen'd; α fixed at plan
+    * time). */
+  def linucbCholScore(x: Column, b: Column, lcholA: Column,
+                      alpha: Double): Column =
+    wrap(LinUcbCholScore(ex(x), ex(b), ex(lcholA), alpha))
+
   /** Deterministic LinTS score `x·θ + ν·x·(L z(seed))` (codegen'd). */
   def linTsScore(x: Column, theta: Column, lchol: Column, seed: Column,
                  nu: Double): Column =

@@ -127,11 +127,22 @@ object LinUCB {
     * as the streaming/typed operator surface (A9/A10) and the spec
     * asserts both paths agree to fp noise. */
   def seededModels(spark: SparkSession, sfDir: String): Array[Model] =
-    modelCache.getOrCompute(spark, sfDir) {
-      seedColumnar(spark, sfDir).collect()
+    seededArms(spark, sfDir).map(_._1)
+
+  /** chol(A) per arm from the same layer build — the exact factors the
+    * q41 oracle replays; see [[seedColumnarWithChol]]. */
+  private[graft] def seededCholA(spark: SparkSession,
+                                 sfDir: String): Map[String, Array[Double]] =
+    seededArms(spark, sfDir).map { case (m, c) => m.productId -> c }.toMap
+
+  private def seededArms(spark: SparkSession,
+                         sfDir: String): Array[(Model, Array[Double])] =
+    armCache.getOrCompute(spark, sfDir) {
+      seedColumnarWithChol(spark, sfDir).collect()
     }
 
-  private val modelCache = new graft.SessionCache[String, Array[Model]]()
+  private val armCache =
+    new graft.SessionCache[String, Array[(Model, Array[Double])]]()
 
   /** Serving-side score for one (context, model) pair:
     * `x·θ + α·√(xᵀA⁻¹x)`, `θ = A⁻¹b` (`eda_recommender.py:78-92`). */
@@ -291,6 +302,20 @@ object LinUCB {
     * and then NPE'd on the null — at a plausible ~1e8 rows/arm). */
   def seedColumnar(spark: SparkSession, sfDir: String): Dataset[Model] = {
     import spark.implicits._
+    seedColumnarWithChol(spark, sfDir).map(_._1)
+  }
+
+  /** [[seedColumnar]] plus the Cholesky lower factor of the exact A per
+    * arm (computed from the decimal sums BEFORE inversion, so it is
+    * bit-equal to the q41 oracle's lateral-alias factorization of
+    * `a_i_j = s_i_j (+1.0)` — [[LinAlg.choleskyLower]]'s subtraction
+    * chain matches the SQL's left-associated alias chain term for
+    * term). The published [[Model]] keeps the reference's Redis shape
+    * (A⁻¹ + b, `RedisSinkWriter.kt:55-62`); the factor rides the
+    * session layer only, for the oracle-exact q41 scoring path. */
+  private[graft] def seedColumnarWithChol(
+      spark: SparkSession, sfDir: String): Dataset[(Model, Array[Double])] = {
+    import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val fb = feedbackFromLineitem(spark, sfDir).toDF()
     val x = (0 until Dim).map(i => element_at(col("x"), i + 1))
@@ -312,8 +337,9 @@ object LinUCB {
         }
         for (i <- 0 until Dim) a(i * Dim + i) += 1.0 // A = I + Σxxᵀ
         val b = (0 until Dim).map(i => row.getAs[Double](s"b_$i") / 1e12).toArray
-        Model(row.getString(0), invertRowMajor(a, Dim), b, Dim,
+        val model = Model(row.getString(0), invertRowMajor(a, Dim), b, Dim,
           row.getAs[Long]("n"))
+        (model, LinAlg.choleskyLower(a, Dim))
       }
   }
 

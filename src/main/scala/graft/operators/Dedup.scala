@@ -613,10 +613,15 @@ object Dedup {
     * 64 total planes). */
   def embeddingPairsBucketed(spark: SparkSession, sfDir: String, threshold: Double,
                              planesPerBand: Int = 0, bands: Int = 8): DataFrame = {
-    val base = Similarity.spread(Tables.embeddings(spark, sfDir))
+    val raw = Tables.embeddings(spark, sfDir)
+    val base = Similarity.spread(raw)
+    // Derive from the RAW table's count: a parquet row-group metadata
+    // read, vs counting through `spread`'s repartition, which would
+    // execute a full shuffle of the vector payload just to be thrown
+    // away (repartition preserves cardinality, so the value is equal).
     val pp =
       if (planesPerBand > 0) planesPerBand
-      else deriveSrpPlanes(base.count())
+      else deriveSrpPlanes(raw.count())
     val e = base
       .select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))

@@ -1,7 +1,5 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
 /** Targeted oracle-parity dump: run only the NAMED queries against an
@@ -45,21 +43,9 @@ object VerifyOne {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       System.err.println(s"[verify-one] wrote $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val oracles = names.flatMap(n => graft.SparkEntry.oracleSql.get(n).map(n -> _))
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      s"""{"queries":${names.sorted.map(q).mkString("[", ",", "]")},""" +
-        s""""failed":[],"min_rows":{}}""")
+    graft.Verify.writeArtifacts(outDir, oracles, names, failed = Nil,
+      minRows = Map.empty)
     spark.stop()
   }
 }

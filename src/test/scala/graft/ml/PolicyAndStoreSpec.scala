@@ -58,6 +58,61 @@ class PolicyAndStoreSpec extends SparkSpec {
       graft.Tables.lineitem(spark, sf("0.01")).count())
   }
 
+  test("chol(A) scoring factors A itself, tracks the serving path, and the expression matches the driver helper bit-for-bit") {
+    // The r12 oracle-exact q41 path scores the deterministic policies
+    // through chol(A) solves. Three refutations: (1) L·Lᵀ·A⁻¹ ≈ I —
+    // catches wiring chol(A⁻¹) (the TS draw's factor) into the scorer,
+    // where the product would be ~A⁻² instead; (2) the chol score
+    // agrees with the A⁻¹ serving path to solver noise; (3) the
+    // codegen'd expression and the driver helper return identical bits
+    // (the helper is what the exactness argument vs luSolveAliases is
+    // written against).
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val models = LinUCB.seededModels(spark, sf("0.001"))
+    val chol = LinUCB.seededCholA(spark, sf("0.001"))
+    val d = LinUCB.Dim
+    val xs = Seq(
+      Array(1.0, 0.3, 0.7, 0.04, 0.05),
+      Array(1.0, 0.9, 0.1, 0.0, 0.02),
+      Array(1.0, 0.02, 1.9, 0.1, 0.08))
+    models.take(5).foreach { m =>
+      val l = chol(m.productId)
+      val a = Array.tabulate(d * d) { idx =>
+        val (i, j) = (idx / d, idx % d)
+        var s = 0.0
+        var k = 0
+        while (k <= math.min(i, j)) { s += l(i * d + k) * l(j * d + k); k += 1 }
+        s // = (L·Lᵀ)(i,j), which must be A(i,j)
+      }
+      for (i <- 0 until d; j <- 0 until d) {
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += a(i * d + k) * m.aInv(k * d + j); k += 1 }
+        val expect = if (i == j) 1.0 else 0.0
+        assert(math.abs(s - expect) < 1e-6,
+          s"arm ${m.productId}: (L·Lᵀ)·A⁻¹ at ($i,$j) = $s, expected $expect")
+      }
+      xs.foreach { x =>
+        val row = Seq((x, m.b, l)).toDF("x", "b", "l").select(
+          graft.functions.linucbCholScore(col("x"), col("b"), col("l"), 0.1).as("s"),
+          graft.functions.linucbCholScore(col("x"), col("b"), col("l"), 0.0).as("g"))
+          .collect()(0)
+        val (sChol, gChol) = (row.getDouble(0), row.getDouble(1))
+        assert(math.abs(sChol - LinUCB.score(x, m, 0.1)) < 1e-9,
+          s"arm ${m.productId}: chol UCB $sChol vs serving ${LinUCB.score(x, m, 0.1)}")
+        assert(math.abs(gChol - LinUCB.score(x, m, 0.0)) < 1e-9,
+          s"arm ${m.productId}: chol greedy $gChol vs serving ${LinUCB.score(x, m, 0.0)}")
+        val direct = graft.functions.PolicyMath.linUcbCholScore(
+          ArrayData.toArrayData(x), ArrayData.toArrayData(m.b),
+          ArrayData.toArrayData(l), 0.1)
+        assert(java.lang.Double.doubleToLongBits(direct) ==
+          java.lang.Double.doubleToLongBits(sChol),
+          s"arm ${m.productId}: expression/driver bit mismatch $direct vs $sChol")
+      }
+    }
+  }
+
   test("bucketed approximate AUC tracks the exact statistic within 0.01") {
     import org.apache.spark.sql.functions.col
     for (melted <- Seq(PolicyEval.meltedSqlPolicies(spark, sf("0.01")),

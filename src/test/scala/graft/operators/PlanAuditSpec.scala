@@ -149,11 +149,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("policy scoring runs through native expressions, no ScalaUDF") {
     // q41's five policies and q31's serving top-k: the scoring subtree
-    // must stay inside whole-stage codegen (linucb_score / lints_score /
-    // seeded draws), never fall back to a per-row Scala UDF.
+    // must stay inside whole-stage codegen (linucb_chol_score since r12
+    // — the deterministic policies score through chol(A) solves, the
+    // q41-oracle-exact path — plus lints_score / seeded draws), never
+    // fall back to a per-row Scala UDF.
     val q41 = plan(graft.ml.PolicyEval.evalLinUCB(spark, sf()))
     assert(!q41.contains("ScalaUDF"), s"UDF in the q41 scoring path:\n$q41")
-    assert(q41.contains("linucb_score") && q41.contains("lints_score"),
+    assert(q41.contains("linucb_chol_score") && q41.contains("lints_score"),
       s"native policy expressions missing:\n$q41")
     val q31 = plan(graft.ml.LinUCB.topKQuery(spark, sf()))
     assert(!q31.contains("ScalaUDF"), s"UDF in the q31 serving path:\n$q31")
@@ -244,17 +246,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("envelope queries: native projection, no UDF, q41's only window is policy-bounded") {
-    // r12 checked forms. q35/q77: the envelope adds per-doc energies
-    // and the exact-energy join on top of the projection — still zero
-    // UDFs, still mat_vec_project (the analyzed plan carries the
-    // expression names; the physical string fuses them into
-    // projections).
+    // r12 checked forms. q35/q77 now read a MATERIALIZED envelope
+    // layer (the SessionCache discipline), so their query-facing plan
+    // is the checkpointed LogicalRDD face; the BUILD pipeline is
+    // audited directly through Features.envelopeProjection — still
+    // zero UDFs, still mat_vec_project.
+    val vecs = graft.features.Features.tfidfHashedVectors(spark, sf())
+    val build = graft.features.Features.envelopeProjection(
+      vecs, new Array[Double](256 * 10), 256, 10)
+    assert(!plan(build).contains("ScalaUDF"),
+      s"UDF in the envelope build path:\n${plan(build)}")
+    assert(build.queryExecution.analyzed.toString.contains("mat_vec_project"),
+      s"native projection missing:\n${build.queryExecution.analyzed}")
     for (df <- Seq(graft.features.Features.textEmbeddingCheckedQuery(spark, sf()),
                    graft.features.Features.textEmbeddingHashedCheckedQuery(spark, sf()))) {
       val p = plan(df)
       assert(!p.contains("ScalaUDF"), s"UDF in the envelope path:\n$p")
-      assert(df.queryExecution.analyzed.toString.contains("mat_vec_project"),
-        s"native projection missing:\n${df.queryExecution.analyzed}")
+      // the query face must BE the materialized layer — a full rebuild
+      // plan here means the layer discipline regressed
+      assert(df.queryExecution.analyzed.toString.contains("LogicalRDD"),
+        s"envelope query no longer reads the materialized layer:\n${df.queryExecution.analyzed}")
     }
     // q41: the greedy-AUC broadcast window must sit ABOVE the finished
     // per-policy aggregate (5 rows — policy-cardinality-bounded), never
@@ -262,7 +273,7 @@ class PlanAuditSpec extends SparkSpec {
     val df41 = graft.ml.PolicyEval.evalLinUCBChecked(spark, sf())
     val p41 = plan(df41)
     assert(!p41.contains("ScalaUDF"), s"UDF in the policy scoring path:\n$p41")
-    assert(p41.contains("linucb_score") && p41.contains("lints_score"),
+    assert(p41.contains("linucb_chol_score") && p41.contains("lints_score"),
       s"native scoring expressions missing:\n$p41")
     // exactly two windows, both cardinality-bounded BY CONSTRUCTION:
     // the greedy-AUC broadcast over the 5-row finished aggregate, and
