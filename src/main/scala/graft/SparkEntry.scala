@@ -322,6 +322,9 @@ object SparkEntry {
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
     // learned BPE merge table (q131/q132)
     "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
+    // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
+    // counting passes over the train split, checkpointed once
+    "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),
     // TF-IDF postings: tokenize + explode + doc-freq join, checkpointed
     // once; q34 and both envelope layers below read it
     "tfidf_postings" ->

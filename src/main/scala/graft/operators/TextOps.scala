@@ -580,59 +580,133 @@ object TextOps {
     *
     * Scale shape: the count tables are VOCABULARY-bounded (unigrams,
     * observed bigrams), not corpus-bounded — two counting aggregations
-    * with map-side combine, then one keyed join from the doc-bigram
-    * stream onto each. Per-term log-scores round to 9dp DECIMAL before
-    * summation (order-independent fold, the [[sourceProfile]] entropy
+    * with map-side combine. The per-key log-terms are precomputed IN
+    * those small tables (see [[LmModel]]), so the corpus-sized bigram
+    * stream makes exactly two keyed joins — (w1,w2) against the seen
+    * table, w2 against the backoff table — each pulling in one narrow
+    * 9dp decimal column; the w1-unigram join the naive formula implies
+    * runs at vocab×vocab scale inside the model build instead. Per-term
+    * log-scores round to 9dp DECIMAL before summation
+    * (order-independent fold, the [[sourceProfile]] entropy
     * discipline), so the per-doc mean is partitioning-independent and
-    * the DuckDB oracle reproduces it exactly. */
+    * the DuckDB oracle reproduces it exactly. The trained model is a
+    * session layer ([[materializedLmModel]]): the two train-corpus
+    * counting passes run once per (session, lake), the same
+    * build-once discipline as `bpe_merges` and `quality_lr_weights`. */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame =
-    lmScoreFrom(Tables.documents(spark, sfDir))
+    lmScoreWith(Tables.documents(spark, sfDir),
+      materializedLmModel(spark, sfDir))
 
   /** [[lmScore]] over an explicit corpus frame (`doc_id`, `text`) —
     * the planted-corpus entry point the spec drives with degenerate
     * documents (empty text, single token) that the sf fixtures may
-    * never contain. */
-  def lmScoreFrom(docs: DataFrame): DataFrame = {
-    def toks(df: DataFrame) = df.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
-    val train = docs.filter(col("doc_id") % 10 < 8)
-    val cu = toks(train).groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val nTrain = toks(train).count()
-    // Guard size>=2 before the transform: for a single-token doc
-    // sequence(1, 0) descends to [1, 0] and element_at(arr, 0) throws.
-    // Mirrors the oracle's WHERE len(t) >= 2 (and tokenPairs/
-    // bpeLearnFrom, which guard the same way).
-    val cb = train.filter(size(split(col("text"), " ")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
-          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("cb"))
-    val docBigrams = docs.filter(size(split(col("text"), " ")) >= 2)
+    * never contain. Unmaterialized (no checkpoint, nothing cached):
+    * spec corpora are tiny and transient. */
+  def lmScoreFrom(docs: DataFrame): DataFrame =
+    lmScoreWith(docs, lmModelFrom(docs))
+
+  /** Stupid-backoff bigram LM reduced to its two vocabulary-bounded
+    * scoring tables: `seen(w1, w2, seen_term)` carries
+    * `round(log(c(w1w2)/c(w1)), 9)` for every bigram OBSERVED in
+    * train, `back(w2, back_term)` carries the add-one-smoothed backoff
+    * `round(log(0.4·(c(w2)+1)/(N+1)), 9)` for every train unigram;
+    * a w2 absent even from `back` scores the constant unseen-unigram
+    * backoff (c(w2)=0), folded as a literal at scoring time. */
+  private[operators] final case class LmModel(
+      seen: DataFrame, back: DataFrame, nTrain: Long)
+
+  private def lmTrainOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 < 8)
+
+  private def lmUnigrams(train: DataFrame): DataFrame =
+    train.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+
+  // total train tokens = sum of the unigram counts (one aggregation
+  // over the already-built cu instead of a second corpus tokenize+count)
+  private def lmTokenTotal(cu: DataFrame): Long = {
+    val r = cu.agg(sum(col("cu"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  // Guard size>=2 before the transform: for a single-token doc
+  // sequence(1, 0) descends to [1, 0] and element_at(arr, 0) throws.
+  // Mirrors the oracle's WHERE len(t) >= 2 (and tokenPairs/
+  // bpeLearnFrom, which guard the same way).
+  private def lmBigrams(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> struct(element_at(split(text, ' '), i) AS w1, " +
-          "element_at(split(text, ' '), i + 1) AS w2))")).as("b"))
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, " +
+          "element_at(t, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private def lmSeen(train: DataFrame, cu: DataFrame): DataFrame =
+    lmBigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      // inner join is exact: a train bigram's w1 is by construction a
+      // train token, so every cb key has a cu row
+      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"),
+        Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("cb").cast("double") / col("cu1")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+          .as("seen_term"))
+
+  private def lmBack(cu: DataFrame, nTrain: Long): DataFrame =
+    cu.select(col("w").as("w2"),
+      round(log(lit(0.4) * (col("cu") + 1).cast("double") / (nTrain + 1.0)), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9))
+        .as("back_term"))
+
+  private[operators] def lmModelFrom(docs: DataFrame): LmModel = {
+    val train = lmTrainOf(docs)
+    val cu = lmUnigrams(train)
+    val nTrain = lmTokenTotal(cu)
+    LmModel(lmSeen(train, cu), lmBack(cu, nTrain), nTrain)
+  }
+
+  /** Build-once LM model layer per (session, lake): the unigram table
+    * is checkpointed first so the token-total action, the backoff
+    * table and the seen-table join all read one materialization of the
+    * train tokenize pass; the two scoring tables are then checkpointed
+    * themselves and the intermediate released. */
+  def materializedLmModel(spark: SparkSession, sfDir: String): LmModel =
+    lmModelCache.getOrCompute(spark, sfDir) {
+      val train = lmTrainOf(Tables.documents(spark, sfDir))
+      val cu = lmUnigrams(train).localCheckpoint()
+      val nTrain = lmTokenTotal(cu)
+      val m = LmModel(lmSeen(train, cu).localCheckpoint(),
+        lmBack(cu, nTrain).localCheckpoint(), nTrain)
+      graft.SessionCache.unpersistCheckpoint(cu)
+      m
+    }
+
+  private val lmModelCache = new graft.SessionCache[String, LmModel](
+    onEvict = m => {
+      graft.SessionCache.unpersistCheckpoint(m.seen)
+      graft.SessionCache.unpersistCheckpoint(m.back)
+    })
+
+  private def lmScoreWith(docs: DataFrame, m: LmModel): DataFrame =
+    lmBigrams(docs)
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-    docBigrams
-      .join(cb, Seq("w1", "w2"), "left")
-      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), Seq("w1"), "left")
-      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), Seq("w2"), "left")
-      .withColumn("s",
-        when(col("cb").isNotNull && col("cu1").isNotNull,
-          col("cb").cast("double") / col("cu1"))
-          .otherwise(lit(0.4) * (coalesce(col("cu2"), lit(0L)) + 1).cast("double") /
-            (nTrain + 1.0)))
-      .withColumn("term", round(log(col("s")), 9)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .join(m.seen, Seq("w1", "w2"), "left")
+      .join(m.back, Seq("w2"), "left")
+      // seen_term null ⟺ the bigram was unseen in train (the cb/cu1
+      // null test of the naive formula); back_term null ⟺ w2 unseen
+      // even as a unigram → constant-folded c(w2)=0 backoff (0.4·1 is
+      // exact in IEEE754, so the literal matches the oracle's
+      // 0.4·(COALESCE(cu,0)+1) bit-for-bit)
+      .withColumn("term", coalesce(col("seen_term"), col("back_term"),
+        round(log(lit(0.4) / (m.nTrain + 1.0)), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         // decimal sum → double FIRST, then divide: decimal-division
         // scale rules differ between engines, double division doesn't
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("lm_score"))
-  }
 
   /** Per-source corpus report card — the domain-level curation stats a
     * web-corpus pipeline computes before reweighting or dropping a
