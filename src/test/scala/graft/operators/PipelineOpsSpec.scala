@@ -675,4 +675,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L)._2 > got(18L)._2,
       s"train doc should outscore held-out backoff doc: $got")
   }
+
+  test("LM score: materialized model layer matches the inline build, once") {
+    val dir = sf("0.001")
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("lm_score"))).sortBy(_._1)
+    // the layered query face (what q130 serves) must be value-identical
+    // to the unmaterialized spec entry point over the same corpus
+    val viaLayer = canon(TextOps.lmScore(spark, dir).collect())
+    val inline = canon(
+      TextOps.lmScoreFrom(graft.Tables.documents(spark, dir)).collect())
+    assert(viaLayer.nonEmpty && viaLayer.sameElements(inline),
+      "layered LM scoring diverged from the inline build")
+    // build-once: re-entry through the getter is a cache hit on the
+    // SAME checkpointed tables, not a rebuild
+    val m1 = TextOps.materializedLmModel(spark, dir)
+    val m2 = TextOps.materializedLmModel(spark, dir)
+    assert(m1 eq m2, "LM model layer rebuilt on re-entry")
+  }
 }
