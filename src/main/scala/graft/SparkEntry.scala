@@ -288,6 +288,10 @@ object SparkEntry {
     // rows-only: per-doc subword accounting under the learned BPE vocab
     // (depends on the q131 merge chain; spec vs driver-side apply)
     "q132_bpe_apply" -> ((s, d) => TextOps.bpeApply(s, d)),
+    // substring-level dedup: maximal token ranges whose 8-gram windows
+    // repeat anywhere in the corpus (Lee et al. 2022), merged per doc
+    // by gaps-and-islands (hash-checked)
+    "q133_dup_spans" -> ((s, d) => operators.Dedup.dupSpans(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2405,6 +2409,34 @@ object SparkEntry {
            |  CAST(SUM(n_tok) AS BIGINT) AS n_subwords,
            |  ROUND(CAST(SUM(n_tok) AS DOUBLE) / n_chars, 4) AS subwords_per_char
            |FROM j GROUP BY doc_id, n_chars""".stripMargin),
+    // Substring-level dedup: DuckDB groups the positional 8-grams by
+    // their RAW text where the engine groups sha2 digests (equivalent
+    // modulo SHA-256 collisions — the q19 argument), then replays the
+    // same overlap-merge (gap ≤ 7 fuses; LAG NULL on the first row
+    // falls to the ELSE branch exactly like Spark's when/otherwise).
+    "q133_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |p0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM t),
+        |p AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        |      FROM p0),
+        |d AS (SELECT g FROM p GROUP BY g HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (g)),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+        |             THEN 0 ELSE 1 END AS new_span
+        |      FROM dp),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS span_id
+        |      FROM f),
+        |i AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+        |        CAST(MAX(pos) + 7 AS BIGINT) AS end_pos
+        |      FROM s GROUP BY doc_id, span_id)
+        |SELECT doc_id, start_pos, end_pos,
+        |  end_pos - start_pos + 1 AS span_tokens
+        |FROM i""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

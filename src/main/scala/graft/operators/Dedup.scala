@@ -644,4 +644,66 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_i"), col("vec_j"), col("cos_sim"))
   }
+
+  /** Window width (tokens) for [[dupSpans]] — the `k` of Lee et al.
+    * 2022 (arXiv:2107.06499): a token range counts as duplicated when
+    * every k-token window inside it occurs at least twice in the
+    * corpus. 8 keeps the gram selective (trigram shingles are the
+    * near-dup/candidate grain; substring dedup wants a stricter one). */
+  val DupSpanGram = 8
+
+  /** SUBSTRING-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): per document, every maximal
+    * token range whose k-token windows each occur ≥ 2 times anywhere in
+    * the corpus — other documents or the same one, so cross-copy
+    * boilerplate AND intra-doc repetition both surface. The suffix-array
+    * formulation of the paper is replaced by the engine's inverted-index
+    * discipline: positional k-grams, a corpus-wide occurrence count on
+    * the gram, and a per-document gaps-and-islands merge of the
+    * surviving positions (windows overlapping in token space — gap ≤
+    * k−1 — fuse into one span, the paper's maximal-match semantics).
+    *
+    * Scale shape: the positional-gram stream shuffles on `sha2` digests
+    * (64-hex keys, never text — the [[exact]] discipline; grouping by
+    * digest ≡ grouping by gram modulo SHA-256 collisions). The
+    * occurrence count and the left-semi probe key on the SAME exchange,
+    * so AQE reuses it (the [[jaccardPairs]] capped-postings pattern);
+    * the islands merge is a per-document window — millions of
+    * independent keys, no global sort. Output rows are bounded by true
+    * duplication density, not corpus size. */
+  def dupSpans(spark: SparkSession, sfDir: String,
+               k: Int = DupSpanGram): DataFrame =
+    dupSpansFrom(Tables.documents(spark, sfDir), k)
+
+  /** [[dupSpans]] over an explicit corpus frame (`doc_id`, `text`) —
+    * the planted-corpus spec entry point. */
+  def dupSpansFrom(docs: DataFrame, k: Int = DupSpanGram): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> struct(i AS pos, " +
+          s"sha2(array_join(slice(t, i, $k), ' '), 256) AS g))")).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
+    val dupGrams = pos.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("g"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(dupGrams, Seq("g"), "left_semi")
+      // new island when this window no longer overlaps the previous
+      // surviving one (gap > k−1); LAG is null on the first row and
+      // null ≤ k−1 is null → otherwise-branch → 1, starting the span
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k - 1, 0L)
+          .otherwise(1L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + (k - 1)).cast("long").as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+  }
 }

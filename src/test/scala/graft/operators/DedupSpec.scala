@@ -343,4 +343,32 @@ class DedupSpec extends SparkSpec {
     }
     assert(jac.nonEmpty)
   }
+
+  test("dup spans: cross-doc blocks, intra-doc repeats, overlap merge") {
+    val w = (1 to 30).map(i => s"w$i")
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")
+    // doc 1: 5 unique tokens then the shared block at pos 6..15
+    val d1 = (w.take(5) :+ block).mkString(" ")
+    // doc 2: the same block at pos 1..10, then unique tail
+    val d2 = (block +: w.slice(5, 12)).mkString(" ")
+    // doc 3: all-unique tokens, >= 8 of them -> no spans
+    val d3 = w.slice(12, 26).mkString(" ")
+    // doc 4: one 8-gram repeated INTRA-doc at pos 1 and pos 17,
+    // separated by 8 unique tokens (gap 16 > 7 -> two spans)
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d4 = Seq(rep, (1 to 8).map(i => s"x$i").mkString(" "), rep).mkString(" ")
+    // doc 5: shorter than one window -> excluded entirely
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpansFrom(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens"))).toSet
+    // d1's three consecutive duplicated window starts (6,7,8) must fuse
+    // into ONE maximal span covering exactly the shared 10-token block
+    assert(got == Set(
+      (1L, 6L, 15L, 10L),
+      (2L, 1L, 10L, 10L),
+      (4L, 1L, 8L, 8L),
+      (4L, 17L, 24L, 8L)), s"unexpected spans: $got")
+  }
 }

@@ -67,6 +67,23 @@ class PlanAuditSpec extends SparkSpec {
       s"capped-postings exchanges recomputed per reference:\n$p")
   }
 
+  test("dup spans: keyed semi-join on the gram exchange, never nested-loop") {
+    val df = Dedup.dupSpans(spark, sf())
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"dup-span probe degenerated to a quadratic strategy:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the gram path:\n$p")
+    // the duplicated-gram probe must be cheap in one of the two sound
+    // shapes: AQE broadcasts the post-filter gram table (the fixture
+    // case — the positional stream then flows MAP-SIDE through the
+    // semi-join, no probe shuffle at all), or, when the dup table is
+    // too big to broadcast, the sort-merge probe reuses the groupBy's
+    // pos-by-g exchange (the capped-postings discipline)
+    assert(p.contains("BroadcastHashJoin [g") || p.contains("ReusedExchange"),
+      s"dup-gram probe neither broadcast nor exchange-reusing:\n$p")
+  }
+
   test("ANN scans score through the native dot product, not a UDF") {
     for (df <- Seq(Similarity.bruteForceTopK(spark, sf()),
                    Similarity.lshTopK(spark, sf()))) {
