@@ -45,7 +45,13 @@ object ScaleBench {
     // token-prefixes 9/10 copies so the vocabulary ALSO grows 10x,
     // exercising the V-linear driver block (V x l) and the per-doc
     // energy/capture additions the checked forms introduced
-    "q35_text_embedding", "q77_text_embedding_hashed")
+    "q35_text_embedding", "q77_text_embedding_hashed",
+    // round 12: substring-level dedup — the per-copy token prefixes
+    // reproduce the base corpus's dup-span structure in 10 disjoint
+    // shingle spaces, so the positional-gram stream, the dup-gram
+    // count, and the islands merge all grow exactly 10x; the ratio
+    // measures whether the gram exchange + per-doc window hold linear
+    "q133_dup_spans")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -67,21 +67,24 @@ class PlanAuditSpec extends SparkSpec {
       s"capped-postings exchanges recomputed per reference:\n$p")
   }
 
-  test("dup spans: keyed semi-join on the gram exchange, never nested-loop") {
+  test("dup spans: one gram pass, fused count window, no join at all") {
     val df = Dedup.dupSpans(spark, sf())
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"dup-span probe degenerated to a quadratic strategy:\n$p")
     assert(!p.contains("ScalaUDF"), s"UDF in the gram path:\n$p")
-    // the duplicated-gram probe must be cheap in one of the two sound
-    // shapes: AQE broadcasts the post-filter gram table (the fixture
-    // case — the positional stream then flows MAP-SIDE through the
-    // semi-join, no probe shuffle at all), or, when the dup table is
-    // too big to broadcast, the sort-merge probe reuses the groupBy's
-    // pos-by-g exchange (the capped-postings discipline)
-    assert(p.contains("BroadcastHashJoin [g") || p.contains("ReusedExchange"),
-      s"dup-gram probe neither broadcast nor exchange-reusing:\n$p")
+    // the occurrence test is a count window FUSED into the gram pass —
+    // the positional stream is generated once and shuffled once on g
+    // (a groupBy + semi-join probe either recomputes the gram
+    // projection or re-sorts the identical rows: measured 2.1× slower
+    // at the 10× lake). Exactly one documents scan proves the fusion.
+    assert(!p.contains("Join"), s"dup-gram test regressed to a join:\n$p")
+    // count scans in the FINAL plan only — AQE's explain repeats the
+    // whole tree under "== Initial Plan =="
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1, s"expected one documents scan, saw $scans:\n$p")
   }
 
   test("ANN scans score through the native dot product, not a UDF") {
