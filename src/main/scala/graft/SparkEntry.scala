@@ -292,6 +292,9 @@ object SparkEntry {
     // repeat anywhere in the corpus (Lee et al. 2022), merged per doc
     // by gaps-and-islands (hash-checked)
     "q133_dup_spans" -> ((s, d) => operators.Dedup.dupSpans(s, d)),
+    // the apply half: cut every q133 span out of its document, one row
+    // per doc with the rebuilt clean text (hash-checked)
+    "q134_dup_span_strip" -> ((s, d) => operators.Dedup.stripDupSpans(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2437,6 +2440,49 @@ object SparkEntry {
         |SELECT doc_id, start_pos, end_pos,
         |  end_pos - start_pos + 1 AS span_tokens
         |FROM i""".stripMargin,
+    // Span strip: replay the q133 span table, then cut those token
+    // ranges per doc — positional unnest, NOT EXISTS against the
+    // doc's spans, ordered string_agg rebuild. Spark's codegen'd
+    // array filter and DuckDB's row-level anti-exists must agree
+    // token-for-token; fully-stripped docs survive via the left join
+    // with an empty-string rebuild on both sides.
+    "q134_dup_span_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |p0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM t),
+        |p AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        |      FROM p0),
+        |d AS (SELECT g FROM p GROUP BY g HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (g)),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+        |             THEN 0 ELSE 1 END AS new_span
+        |      FROM dp),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS span_id
+        |      FROM f),
+        |spans AS (SELECT doc_id, MIN(pos) AS start_pos,
+        |        MAX(pos) + 7 AS end_pos
+        |      FROM s GROUP BY doc_id, span_id),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM tok),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.t[p.pos] AS tok FROM pt p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = p.doc_id
+        |      AND p.pos BETWEEN sp.start_pos AND sp.end_pos)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

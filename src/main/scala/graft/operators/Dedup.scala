@@ -715,4 +715,47 @@ object Dedup {
       .select(col("doc_id"), col("start_pos"), col("end_pos"),
         (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
   }
+
+  /** The APPLY half of substring-level dedup (Lee et al. 2022 §4:
+    * the paper removes the duplicated substring and keeps the rest):
+    * cut every [[dupSpans]] range out of its document and rebuild the
+    * cleaned text, one output row per document (docs without spans —
+    * including sub-window ones — pass through unchanged; a fully
+    * duplicated doc survives as an empty string, the caller's
+    * drop-or-keep policy decision, not this operator's).
+    *
+    * Scale shape: the span table is duplication-density-bounded
+    * (orders of magnitude smaller than the corpus), and q133's islands
+    * merge guarantees spans are DISJOINT per doc, so the cut is a
+    * per-doc array expression: spans collapse to one array per doc
+    * (bounded by doc length / k), joined back to documents (AQE
+    * broadcasts while the span table is small, falls back to a keyed
+    * shuffle when duplication density makes it large — no hint pinned,
+    * so neither case is forced into the other's failure mode), and the
+    * token filter runs entirely inside codegen — no positional
+    * explode, no second corpus shuffle beyond [[dupSpans]]'s own. */
+  def stripDupSpans(spark: SparkSession, sfDir: String,
+                    k: Int = DupSpanGram): DataFrame =
+    stripDupSpansFrom(Tables.documents(spark, sfDir), k)
+
+  /** [[stripDupSpans]] over an explicit corpus frame — spec entry. */
+  def stripDupSpansFrom(docs: DataFrame, k: Int = DupSpanGram): DataFrame = {
+    val spans = dupSpansFrom(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    docs
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("spans"))
+      // keep token i (1-based) unless some span covers it; spans is
+      // null for span-free docs and exists(null, ...) is null → the
+      // filter's NOT-true test keeps the token
+      .withColumn("kept", expr(
+        "filter(t, (tok, i) -> NOT COALESCE(" +
+          "exists(spans, sp -> i + 1 >= sp.start_pos AND i + 1 <= sp.end_pos), " +
+          "false))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -371,4 +371,27 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 8L, 8L),
       (4L, 17L, 24L, 8L)), s"unexpected spans: $got")
   }
+
+  test("span strip: cuts spans, passes clean docs, empties full dups") {
+    val w = (1 to 30).map(i => s"w$i")
+    val block = (1 to 10).map(i => s"b$i").mkString(" ")
+    val head5 = w.take(5).mkString(" ")
+    val d1 = s"$head5 $block"          // span at 6..15 -> keeps head5
+    val tail7 = w.slice(5, 12).mkString(" ")
+    val d2 = s"$block $tail7"          // span at 1..10 -> keeps tail7
+    val d3 = w.slice(12, 26).mkString(" ") // unique -> unchanged
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (5L, "a b c"),
+      (6L, block), (7L, block))        // 6/7 duplicate wholesale -> ""
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDupSpansFrom(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSet
+    assert(got == Set(
+      (1L, 15L, 10L, head5),
+      (2L, 17L, 10L, tail7),
+      (3L, 14L, 0L, d3),
+      (5L, 3L, 0L, "a b c"),           // sub-window doc passes through
+      (6L, 10L, 10L, ""),
+      (7L, 10L, 10L, "")), s"unexpected strip: $got")
+  }
 }

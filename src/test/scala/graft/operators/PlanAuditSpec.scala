@@ -87,6 +87,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected one documents scan, saw $scans:\n$p")
   }
 
+  test("span strip: expression-level cut, span join keyed, no explode") {
+    val df = Dedup.stripDupSpans(spark, sf())
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span join degenerated to a quadratic strategy:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the strip path:\n$p")
+    // the cut is a per-doc array filter inside codegen — the only
+    // Generate in the whole tree is dupSpans' own gram explode; a
+    // second one would mean the strip re-exploded the corpus
+    // positionally instead of filtering in place
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val generates = "Generate explode".r.findAllIn(finalPlan).size
+    assert(generates == 1,
+      s"expected only the gram explode, saw $generates Generates:\n$p")
+  }
+
   test("ANN scans score through the native dot product, not a UDF") {
     for (df <- Seq(Similarity.bruteForceTopK(spark, sf()),
                    Similarity.lshTopK(spark, sf()))) {
