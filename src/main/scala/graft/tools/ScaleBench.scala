@@ -51,7 +51,7 @@ object ScaleBench {
     // shingle spaces, so the positional-gram stream, the dup-gram
     // count, and the islands merge all grow exactly 10x; the ratio
     // measures whether the gram exchange + per-doc window hold linear
-    "q133_dup_spans")
+    "q133_dup_spans", "q134_dup_span_strip")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
