@@ -663,9 +663,12 @@ object Dedup {
     * surviving positions (windows overlapping in token space — gap ≤
     * k−1 — fuse into one span, the paper's maximal-match semantics).
     *
-    * Scale shape: the positional-gram stream shuffles on `sha2` digests
-    * (64-hex keys, never text — the [[exact]] discipline; grouping by
-    * digest ≡ grouping by gram modulo SHA-256 collisions). The
+    * Scale shape: the positional-gram stream shuffles on truncated
+    * `sha2` digests (the first 16 BYTES of the SHA-256 — never text,
+    * the [[exact]] discipline, and 4× narrower than the hex string:
+    * at cluster scale the gram key is most of the shuffled bytes;
+    * grouping by a 128-bit truncation ≡ grouping by gram modulo
+    * collisions that remain birthday-bounded below ~2^64 grams). The
     * corpus-wide occurrence test is a count window over the gram key
     * fused into the SAME pass that generates the grams — the stream is
     * scanned once and shuffled once (a groupBy + semi-join probe either
@@ -693,7 +696,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), " +
           s"i -> struct(i AS pos, " +
-          s"sha2(array_join(slice(t, i, $k), ' '), 256) AS g))")).as("w"))
+          s"substring(unhex(sha2(array_join(slice(t, i, $k), ' '), 256)), 1, 16) AS g))")).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.g").as("g"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     pos

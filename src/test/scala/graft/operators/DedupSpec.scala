@@ -372,6 +372,44 @@ class DedupSpec extends SparkSpec {
       (4L, 17L, 24L, 8L)), s"unexpected spans: $got")
   }
 
+  test("dup spans: randomized corpora agree with a brute-force replay") {
+    val k = Dedup.DupSpanGram
+    val rnd = new scala.util.Random(0xd5b5)
+    // tiny vocabulary + short docs force plenty of genuine window
+    // collisions, the regime where off-by-one island bugs would hide
+    val corpora = Seq(3, 5, 8).map { vocab =>
+      (1 to 60).map { id =>
+        val n = 4 + rnd.nextInt(28)
+        (id.toLong, (1 to n).map(_ => s"v${rnd.nextInt(vocab)}").mkString(" "))
+      }
+    }
+    for (corpus <- corpora) {
+      // reference: positional k-grams, global multiset count, per-doc
+      // merge of surviving positions with gap <= k-1
+      val grams = corpus.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        if (t.length < k) Seq.empty
+        else (0 to t.length - k).map(i => (id, i + 1L, t.slice(i, i + k).toSeq))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val expect = grams.filter(g => dup(g._3)).groupBy(_._1).flatMap {
+        case (id, ps) =>
+          val sorted = ps.map(_._2).sorted
+          val spans = sorted.tail.foldLeft(List((sorted.head, sorted.head))) {
+            case ((s, e) :: rest, p) =>
+              if (p - e <= k - 1) (s, p) :: rest else (p, p) :: (s, e) :: rest
+            case (Nil, p) => List((p, p))
+          }
+          spans.map { case (s, e) => (id, s, e + k - 1, e + k - 1 - s + 1) }
+      }.toSet
+      val got = Dedup.dupSpansFrom(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_pos"),
+          r.getAs[Long]("end_pos"), r.getAs[Long]("span_tokens"))).toSet
+      assert(got == expect,
+        s"mismatch: extra=${got -- expect} missing=${expect -- got}")
+    }
+  }
+
   test("span strip: cuts spans, passes clean docs, empties full dups") {
     val w = (1 to 30).map(i => s"w$i")
     val block = (1 to 10).map(i => s"b$i").mkString(" ")
