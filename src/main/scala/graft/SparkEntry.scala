@@ -329,6 +329,8 @@ object SparkEntry {
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
     // learned BPE merge table (q131/q132)
     "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
+    // duplicated-span table (q133 reads it, q134 strips through it)
+    "dup_spans" -> ((s, d) => { operators.Dedup.materializedDupSpans(s, d); () }),
     // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
     // counting passes over the train split, checkpointed once
     "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),

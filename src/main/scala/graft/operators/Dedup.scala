@@ -683,7 +683,23 @@ object Dedup {
     * rows are bounded by true duplication density, not corpus size. */
   def dupSpans(spark: SparkSession, sfDir: String,
                k: Int = DupSpanGram): DataFrame =
-    dupSpansFrom(Tables.documents(spark, sfDir), k)
+    materializedDupSpans(spark, sfDir, k)
+
+  /** The MATERIALIZED span layer: [[dupSpansFrom]] computed once per
+    * (session, sfDir, k) and re-entered as a checkpointed frame — the
+    * [[materializedClusters]] discipline. In a real pipeline the span
+    * table is written once and every consumer reads it: the finder
+    * (q133) and the stripper (q134) otherwise each re-run the full
+    * gram pass in the same session. Bench reports the build under the
+    * `dup_spans` layer key, separately from both consumers. */
+  def materializedDupSpans(spark: SparkSession, sfDir: String,
+                           k: Int = DupSpanGram): DataFrame =
+    spanCache.getOrCompute(spark, (sfDir, k)) {
+      dupSpansFrom(Tables.documents(spark, sfDir), k).localCheckpoint()
+    }
+
+  private val spanCache = new graft.SessionCache[(String, Int), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** [[dupSpans]] over an explicit corpus frame (`doc_id`, `text`) —
     * the planted-corpus spec entry point. */
@@ -739,11 +755,17 @@ object Dedup {
     * explode, no second corpus shuffle beyond [[dupSpans]]'s own. */
   def stripDupSpans(spark: SparkSession, sfDir: String,
                     k: Int = DupSpanGram): DataFrame =
-    stripDupSpansFrom(Tables.documents(spark, sfDir), k)
+    stripCore(Tables.documents(spark, sfDir),
+      materializedDupSpans(spark, sfDir, k), k)
 
-  /** [[stripDupSpans]] over an explicit corpus frame — spec entry. */
-  def stripDupSpansFrom(docs: DataFrame, k: Int = DupSpanGram): DataFrame = {
-    val spans = dupSpansFrom(docs, k)
+  /** [[stripDupSpans]] over an explicit corpus frame — spec entry
+    * (recomputes the span table inline instead of reading the layer). */
+  def stripDupSpansFrom(docs: DataFrame, k: Int = DupSpanGram): DataFrame =
+    stripCore(docs, dupSpansFrom(docs, k), k)
+
+  private def stripCore(docs: DataFrame, spanTable: DataFrame,
+                        k: Int): DataFrame = {
+    val spans = spanTable
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
     docs

@@ -410,6 +410,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dup-span layer: layered path equals inline, builds once") {
+    val docs = graft.Tables.documents(spark, sf())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(canon(Dedup.dupSpans(spark, sf())) ==
+      canon(Dedup.dupSpansFrom(docs)), "layered span table diverges")
+    assert(canon(Dedup.stripDupSpans(spark, sf())) ==
+      canon(Dedup.stripDupSpansFrom(docs)), "layered strip diverges")
+    // both consumers probe the SAME cached frame — the layer builds once
+    assert(Dedup.materializedDupSpans(spark, sf()) eq
+      Dedup.materializedDupSpans(spark, sf()), "layer rebuilt on re-entry")
+  }
+
   test("span strip: cuts spans, passes clean docs, empties full dups") {
     val w = (1 to 30).map(i => s"w$i")
     val block = (1 to 10).map(i => s"b$i").mkString(" ")

@@ -68,7 +68,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dup spans: one gram pass, fused count window, no join at all") {
-    val df = Dedup.dupSpans(spark, sf())
+    // audit the BUILD plan (dupSpansFrom) — the query path reads the
+    // materialized layer, whose plan is a checkpoint scan by design
+    val df = Dedup.dupSpansFrom(graft.Tables.documents(spark, sf()))
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
@@ -88,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("span strip: expression-level cut, span join keyed, no explode") {
-    val df = Dedup.stripDupSpans(spark, sf())
+    val df = Dedup.stripDupSpansFrom(graft.Tables.documents(spark, sf()))
     df.collect()
     val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
