@@ -295,6 +295,14 @@ object SparkEntry {
     // the apply half: cut every q133 span out of its document, one row
     // per doc with the rebuilt clean text (hash-checked)
     "q134_dup_span_strip" -> ((s, d) => operators.Dedup.stripDupSpans(s, d)),
+    // product-quantization ANN (Jégou et al. 2011): 8×16 codebooks from
+    // the decimal-exact per-subspace Lloyd fit, ADC inner-product top-k
+    // — hash-checked via the per-subspace unrolled-k-means oracle
+    "q135_ann_pq" -> ((s, d) => operators.Pq.adcTopK(s, d)),
+    // recall@5 of the PQ index vs the exact brute-force baseline — the
+    // eval gate a compressed index passes before serving (hash-checked:
+    // both sides replayed in one oracle)
+    "q136_pq_recall" -> ((s, d) => operators.Pq.recallVsBrute(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -314,6 +322,8 @@ object SparkEntry {
     // (~0 s) whenever the derived k is 16 too
     "ivf_centroids_semantic" ->
       ((s, d) => { Ivf.fittedCentroids(s, d, Ivf.semanticK(s, d), 2); () }),
+    // PQ codebooks at the fixed 8×16 geometry (q135/q136)
+    "pq_codebooks" -> ((s, d) => { operators.Pq.fittedCodebooks(s, d); () }),
     // near-dup cluster labels: shingle join + label propagation +
     // localCheckpoint (q60/q61/q62)
     "dedup_clusters" -> ((s, d) => { Dedup.materializedClusters(s, d); () }),
@@ -455,6 +465,83 @@ object SparkEntry {
        |        ORDER BY ${ivfDist("qv.qemb", "c2.c")}, c2.cluster) AS pr
        |    FROM qv CROSS JOIN c2)
        |  WHERE pr <= $nProbe)""".stripMargin
+
+  // --- Unrolled per-subspace k-means PQ oracle scaffolding (q135/q136)
+  // The q44 Lloyd unroll applied blockwise: the corpus long-form
+  // subvector table (vec_id, s, v) fits all 8 subspaces in one CTE
+  // chain — init = each subspace's 16 lowest-vec_id subvectors, two
+  // Lloyd iterations with DECIMAL(28,12) per-(s, code, dim) means,
+  // empty codes keep their previous centroid, assignment = ascending-
+  // dim squared-L2 in doubles with ties to the lowest code (the
+  // NearestCentroids arithmetic on the sliced block). Pinned to the
+  // fixture shape d = 64 (8 subvectors × 8 dims) and the fixed
+  // Pq.DefaultCodes = 16; the Spark side stays generic.
+  private def pqAssign(cents: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, s, v,
+       |    (min(struct_pack(d := ${ivfDist("sv.v", s"$cents.c")},
+       |                     cl := $cents.code))).cl AS code
+       |  FROM sv JOIN $cents USING (s)
+       |  GROUP BY vec_id, s, v)""".stripMargin
+  private def pqUpdate(assigned: String, prev: String, mtab: String, out: String) =
+    s"""$mtab AS (
+       |  SELECT s, code, i AS dim,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM $assigned, range(1, 9) t(i)
+       |  GROUP BY s, code, i),
+       |$out AS (
+       |  SELECT $prev.s, $prev.code,
+       |    COALESCE(list($mtab.m ORDER BY $mtab.dim), $prev.c) AS c
+       |  FROM $prev LEFT JOIN $mtab
+       |    ON $prev.s = $mtab.s AND $prev.code = $mtab.code
+       |  GROUP BY $prev.s, $prev.code, $prev.c)""".stripMargin
+  /** pc2 = fitted codebooks; paf = final per-(vec_id, subspace) codes. */
+  private val pqKmeans =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(t.s AS INT) AS s,
+       |    embedding[t.s * 8 + 1 : t.s * 8 + 8] AS v
+       |  FROM e CROSS JOIN range(0, 8) t(s)),
+       |pc0 AS (
+       |  SELECT s, code, list_transform(v, x -> CAST(x AS DOUBLE)) AS c FROM (
+       |    SELECT s, v,
+       |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code
+       |    FROM sv)
+       |  WHERE code < 16),
+       |${pqAssign("pc0", "pa1")},
+       |${pqUpdate("pa1", "pc0", "pm1", "pc1")},
+       |${pqAssign("pc1", "pa2")},
+       |${pqUpdate("pa2", "pc1", "pm2", "pc2")},
+       |${pqAssign("pc2", "paf")}""".stripMargin
+  /** ADC scoring chain over `paf`/`pc2`: exact query subvectors build
+    * the (qid, s, code) lookup table; the per-(qid, vec_id) score sums
+    * the 8 looked-up terms in ascending-s order — list_sum over an
+    * s-ordered list, the exact fold order of the engine's aggregate()
+    * expression, so the 4dp rounding cannot straddle. */
+  private val pqAdc =
+    s"""qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
+       |qsv AS (
+       |  SELECT qid, CAST(t.s AS INT) AS s,
+       |    qemb[t.s * 8 + 1 : t.s * 8 + 8] AS qs
+       |  FROM qv CROSS JOIN range(0, 8) t(s)),
+       |lut AS (
+       |  SELECT qid, s, code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> CAST(qs[i] AS DOUBLE) * c[i])) AS t
+       |  FROM qsv JOIN pc2 USING (s)),
+       |terms AS (
+       |  SELECT lut.qid, paf.vec_id, lut.s, lut.t
+       |  FROM paf JOIN lut ON paf.s = lut.s AND paf.code = lut.code
+       |  WHERE paf.vec_id <> lut.qid),
+       |pqsc AS (
+       |  SELECT qid, vec_id,
+       |    ROUND(list_sum(list(t ORDER BY s)), 4) AS adc_ip
+       |  FROM terms GROUP BY qid, vec_id),
+       |pqtop AS (
+       |  SELECT qid, vec_id, adc_ip,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
+       |  FROM pqsc)""".stripMargin
 
   // --- BPE merge-loop replay (q131/q132): the greedy fit is fully
   // deterministic — top pair by (freq DESC, w1 asc, w2 asc), then
@@ -2485,6 +2572,41 @@ object SparkEntry {
         |    AS n_removed,
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q135_ann_pq" ->
+      s"""WITH $pqKmeans,
+         |$pqAdc
+         |SELECT qid, vec_id AS nbr_id, rank, adc_ip
+         |FROM pqtop WHERE rank <= 5""".stripMargin,
+    "q136_pq_recall" ->
+      s"""WITH $pqKmeans,
+         |$pqAdc,
+         |pqk AS (SELECT qid, vec_id AS nbr_id FROM pqtop WHERE rank <= 5),
+         |en AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |      AS nrm
+         |  FROM e),
+         |bq AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM en WHERE vec_id < 10),
+         |bsc AS (
+         |  SELECT qid, en.vec_id,
+         |    ROUND(list_sum(list_transform(range(1, len(en.embedding) + 1),
+         |      i -> CAST(en.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+         |      / (en.nrm * qnrm), 4) AS cos_sim
+         |  FROM en JOIN bq ON en.vec_id <> qid),
+         |bruk AS (
+         |  SELECT qid, vec_id AS nbr_id FROM (
+         |    SELECT qid, vec_id, cos_sim,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY cos_sim DESC, vec_id) AS rank
+         |    FROM bsc)
+         |  WHERE rank <= 5)
+         |SELECT pqk.qid,
+         |  ROUND(CAST(COUNT(bruk.nbr_id) AS DOUBLE) / 5, 4) AS recall
+         |FROM pqk LEFT JOIN bruk
+         |  ON pqk.qid = bruk.qid AND pqk.nbr_id = bruk.nbr_id
+         |GROUP BY pqk.qid""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -126,6 +126,26 @@ object Verify {
           s"dropping pinned oracles: ${srpOracleKeys.toSeq.sorted.mkString(", ")}")
       ok
     }
+    // The PQ oracles (q135/q136) replay the per-subspace Lloyd fit
+    // with the 8-subvector × 8-dim slicing (d = 64) hard-pinned in
+    // SQL; Pq.DefaultCodes = 16 is a fixed config, not corpus-derived,
+    // so dimension is the only fixture pin.
+    val pqOracleKeys = Set("q135_ann_pq", "q136_pq_recall")
+      .intersect(SparkEntry.oracleSql.keySet)
+    val pqPinsHold =
+      try {
+        val d = Tables.embeddings(spark, sfDir)
+          .selectExpr("size(embedding) AS d").limit(1).collect()(0).getInt(0)
+        val ok = d == 64
+        if (!ok) System.err.println(
+          s"[verify] PQ fixture pin violated (dim=$d expected 64: the " +
+            s"oracle's 8×8 subvector slicing no longer matches) — " +
+            s"dropping pinned oracles: ${pqOracleKeys.toSeq.sorted.mkString(", ")}")
+        ok
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] PQ pin check failed (${e.getMessage}) — dropping pinned oracles")
+        false
+      }
     val ivfPinsHold =
       try {
         val k = graft.operators.Ivf.semanticK(spark, sfDir)
@@ -174,7 +194,8 @@ object Verify {
       (if (ivfPinsHold) Set.empty[String] else ivfOracleKeys) --
       (if (knnPinsHold) Set.empty[String] else knnOracleKeys) --
       (if (srpPinsHold) Set.empty[String] else srpOracleKeys) --
-      (if (luPinsHold) Set.empty[String] else luOracleKeys)
+      (if (luPinsHold) Set.empty[String] else luOracleKeys) --
+      (if (pqPinsHold) Set.empty[String] else pqOracleKeys)
     writeArtifacts(outDir, oracles, SparkEntry.queries.keys, failed,
       SparkEntry.minRows)
     if (failed.nonEmpty) {

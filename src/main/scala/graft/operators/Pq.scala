@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the third scale path in
+  * the similarity family next to [[Similarity.lshTopK]] (recall via
+  * hashing) and [[Ivf.topK]] (recall via coarse partitioning). PQ
+  * attacks MEMORY: the d-dim float corpus compresses to m code bytes
+  * per vector (here 64 floats = 256 B → 8 codes), so a 100 TB embedding
+  * store scores from a ~3 TB code table that fits cluster RAM, and the
+  * scan reads ONLY the code column (column pruning does the rest).
+  *
+  * Fit discipline mirrors [[Ivf.fitCentroids]]: per-subspace Lloyd
+  * iterations whose (code, dim) means aggregate as DECIMAL(28,12) sums
+  * over the float values (lossless for ≤9-significant-digit floats) —
+  * the fitted codebooks are IDENTICAL under any partitioning, which is
+  * what lets the q135 oracle replay the whole fit in SQL (the q44
+  * unroll, applied per subspace) and lets every refit reproduce
+  * bit-for-bit across cluster sizes. All m subspaces fit in ONE
+  * distributed pass per iteration: assignment is m codegen'd
+  * [[graft.functions.NearestCentroids]] calls over sliced subvectors
+  * (no UDF, no shuffle), and the update is a single
+  * (subspace, code, dim)-keyed aggregation — m·k·(d/m) = k·d cells,
+  * catalog-bounded, exactly the IVF update's shuffle shape.
+  *
+  * Query side is asymmetric distance computation (ADC): the query stays
+  * EXACT (never quantized); its inner product against any corpus vector
+  * approximates as Σₛ ⟨q_s, codebook_s[code_s]⟩ — m lookups into a
+  * per-query m·k table built once from the (config-bounded, nQueries)
+  * query batch and broadcast as a literal column. Per corpus row the
+  * work is m array lookups + an ascending-s fold; no join fan-out, no
+  * extra shuffle, one pass over the code table.
+  */
+object Pq {
+
+  /** 64-dim fixture → 8 subvectors of 8 dims: each code table is
+    * k·(d/m) = 128 doubles, and the corpus row cost (m lookups) stays
+    * byte-sized. At other d, pick m | d with d/m in the 4–16 range per
+    * the paper's §5 ablation. */
+  val DefaultSubspaces = 8
+
+  /** 16 codes/subspace (4-bit codes; the paper runs 256): small enough
+    * that the q135 oracle's per-subspace Lloyd unroll stays tractable,
+    * large enough that planted-dup corpora quantize exactly. Effective
+    * codebook size is kᵐ = 16⁸ ≈ 4.3e9 distinct representable vectors. */
+  val DefaultCodes = 16
+
+  /** Same 2-iteration budget as the IVF layer: TF-IDF-ish fixture
+    * spectra converge fast, and every added iteration doubles the
+    * oracle's unrolled CTE chain. */
+  val DefaultIters = 2
+
+  /** Lloyd fit over an arbitrary `(vec_id, embedding)` frame —
+    * spec-visible so determinism and planted-corpus convergence are
+    * testable off the fixture lake. Returns `books(s)(code)(dim)` with
+    * `books.length == m`; a corpus smaller than k yields one code per
+    * vector (callers size off the FITTED length, the [[Ivf]] rule). */
+  private[graft] def fitCodebooksFrom(vecs: DataFrame, m: Int, k: Int,
+                                      iters: Int): Array[Array[Array[Double]]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val e = vecs.select(col("vec_id"), col("embedding")).cache()
+    // deterministic init: the k lowest vec_ids donate their subvectors
+    // to every subspace (the IVF init rule applied per block)
+    val init = e.orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect()
+    require(init.nonEmpty,
+      "cannot fit PQ codebooks on an empty embeddings frame")
+    val d = init.head.length
+    require(d % m == 0, s"subspace count $m must divide dimension $d")
+    val sub = d / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      init.map(v => v.slice(s * sub, (s + 1) * sub).map(_.toDouble))
+    }
+    var it = 0
+    while (it < iters) {
+      // one distributed update for ALL subspaces: global dim → (s, code)
+      // via the assignment array, decimal-exact per-cell means
+      val cells = withCodes(e, books, sub)
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("s", (col("dim") / sub).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("s") + 1))
+        .groupBy("s", "code", "dim")
+        .agg((sum(col("v").cast(DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .as[(Int, Int, Int, Double)].collect()
+      val next = books.map(_.map(_.clone()))
+      // a code no vector chose keeps its previous centroid (clone above)
+      cells.foreach { case (s, code, dim, mean) =>
+        next(s)(code)(dim - s * sub) = mean
+      }
+      books = next
+      it += 1
+    }
+    e.unpersist()
+    books
+  }
+
+  /** Per-row code assignment: m sliced argmin expressions (squared-L2,
+    * ties → lowest code — NearestCentroids semantics, identical to the
+    * oracle's `min(struct_pack(d, cl))`) collected into one
+    * `array<int>` column `codes`. Codegen'd end to end; the scan stays
+    * a single pass. */
+  private[graft] def withCodes(df: DataFrame, books: Array[Array[Array[Double]]],
+                               sub: Int): DataFrame = {
+    val codeCols = books.zipWithIndex.map { case (cb, s) =>
+      graft.functions.nearestCentroids(
+        slice(col("embedding"), s * sub + 1, sub), cb.flatten, cb.length, 1)
+        .getItem(0)
+    }
+    df.withColumn("codes", array(codeCols.toIndexedSeq: _*))
+  }
+
+  /** The materialized codebook layer — fitted once per
+    * (session, sfDir, m, k, iters), the [[Ivf.fittedCentroids]]
+    * discipline; every ADC consumer probes the same m·k·(d/m) matrix. */
+  def fittedCodebooks(spark: SparkSession, sfDir: String,
+                      m: Int = DefaultSubspaces, k: Int = DefaultCodes,
+                      iters: Int = DefaultIters): Array[Array[Array[Double]]] =
+    bookCache.getOrCompute(spark, (sfDir, m, k, iters)) {
+      fitCodebooksFrom(
+        Similarity.spread(Tables.embeddings(spark, sfDir))
+          .select(col("vec_id"), col("embedding")), m, k, iters)
+    }
+
+  private val bookCache =
+    new graft.SessionCache[(String, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  /** ADC top-k over an encoded frame with a caller-supplied query batch
+    * — the spec entry point. `queries` are (qid, exact float vector);
+    * the per-query lookup table is built driver-side in ascending-dim
+    * double accumulation (the dot_f32 order, so the oracle's list_sum
+    * replay is bit-equal) and ships as one broadcast m·k-double column. */
+  private[graft] def adcTopKFrom(encoded: DataFrame,
+                                 queries: Seq[(Long, Array[Float])],
+                                 books: Array[Array[Array[Double]]],
+                                 topk: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    val lutRows = queries.map { case (qid, qv) =>
+      val lut = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          var acc = 0.0
+          var i = 0
+          while (i < sub) { acc += qv(s * sub + i).toDouble * books(s)(c)(i); i += 1 }
+          lut(s * k + c) = acc
+          c += 1
+        }
+        s += 1
+      }
+      (qid, lut)
+    }
+    val qdf = lutRows.toDF("qid", "lut")
+    // score = ascending-s fold of the m table lookups; 4dp rounding +
+    // vec_id tie-break make the selected row set unique (the q24/q44
+    // ranking discipline)
+    val scored = encoded.join(broadcast(qdf), col("vec_id") =!= col("qid"))
+      .withColumn("adc_ip", round(
+        aggregate(
+          transform(col("codes"),
+            (c, s) => element_at(col("lut"), s * k + c + 1)),
+          lit(0.0), (acc, x) => acc + x), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("adc_ip"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("adc_ip"))
+  }
+
+  /** q135: PQ-compressed ANN top-k on the embeddings lake. The corpus
+    * is scanned once, encoded to m codes/row on the fly (a persisted
+    * code table would replace the scan at real scale — the layer holds
+    * the CODEBOOKS, which every writer and reader shares), and ranked
+    * by ADC inner product against the `nQueries` lowest vec_ids. The
+    * query batch is the small side by construction (ANN serving), so
+    * collecting it to build lookup tables is config-bounded — the MMR
+    * pool / IVF centroid discipline, documented at the collect site. */
+  def adcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+              topk: Int = 5, m: Int = DefaultSubspaces, k: Int = DefaultCodes,
+              iters: Int = DefaultIters): DataFrame = {
+    import spark.implicits._
+    val books = fittedCodebooks(spark, sfDir, m, k, iters)
+    val sub = books.head.head.length
+    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val enc = withCodes(e, books, sub).select(col("vec_id"), col("codes"))
+    // nQueries rows, config-bounded (default 10): the serving batch
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    adcTopKFrom(enc, queries, books, topk)
+  }
+
+  /** q136: recall\@k of the PQ index against the exact brute-force
+    * baseline — the eval harness every compressed-index deployment
+    * runs before flipping traffic. One row per query: |PQ∩brute|/k.
+    * Both sides reuse their query operators unchanged, so this measures
+    * exactly what q135 serves. */
+  def recallVsBrute(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                    topk: Int = 5): DataFrame = {
+    val pq = adcTopK(spark, sfDir, nQueries, topk)
+      .select(col("qid"), col("nbr_id"))
+    val brute = Similarity.bruteForceTopK(spark, sfDir, nQueries, topk)
+      .select(col("qid"), col("nbr_id"), lit(1L).as("hit"))
+    // left join so a query whose PQ list misses the brute set entirely
+    // still reports recall 0 instead of vanishing from the output
+    pq.join(brute, Seq("qid", "nbr_id"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / topk, 4)
+        .as("recall"))
+  }
+}

@@ -115,6 +115,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ ADC: codes assigned by the native argmin, LUT broadcast, no UDF, no blowup") {
+    val p = plan(Pq.adcTopK(spark, sf()))
+    assert(p.contains("nearest_centroids"), s"native argmin encode missing:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query LUT side not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the encode/score path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-side scoring should stay map-side against the broadcast LUT:\n$p")
+  }
+
   test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
