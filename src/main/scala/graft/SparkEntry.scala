@@ -303,6 +303,10 @@ object SparkEntry {
     // eval gate a compressed index passes before serving (hash-checked:
     // both sides replayed in one oracle)
     "q136_pq_recall" -> ((s, d) => operators.Pq.recallVsBrute(s, d)),
+    // IVF-ADC (the deployed composition): coarse cells prune candidates
+    // to nProbe/k of the corpus, PQ codes compress what they cost to
+    // hold — hash-checked via the composed IVF + PQ unrolled oracles
+    "q137_ann_ivf_pq" -> ((s, d) => operators.Pq.ivfAdcTopK(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -495,10 +499,11 @@ object SparkEntry {
        |  FROM $prev LEFT JOIN $mtab
        |    ON $prev.s = $mtab.s AND $prev.code = $mtab.code
        |  GROUP BY $prev.s, $prev.code, $prev.c)""".stripMargin
-  /** pc2 = fitted codebooks; paf = final per-(vec_id, subspace) codes. */
-  private val pqKmeans =
-    s"""e AS (SELECT vec_id, embedding FROM embeddings),
-       |sv AS (
+  /** pc2 = fitted codebooks; paf = final per-(vec_id, subspace) codes.
+    * Factored WITHOUT the `e` base CTE so q137 can compose it with the
+    * IVF chain (which defines its own `e`) in one WITH block. */
+  private val pqFit =
+    s"""sv AS (
        |  SELECT vec_id, CAST(t.s AS INT) AS s,
        |    embedding[t.s * 8 + 1 : t.s * 8 + 8] AS v
        |  FROM e CROSS JOIN range(0, 8) t(s)),
@@ -513,14 +518,19 @@ object SparkEntry {
        |${pqAssign("pc1", "pa2")},
        |${pqUpdate("pa2", "pc1", "pm2", "pc2")},
        |${pqAssign("pc2", "paf")}""".stripMargin
+  private val pqKmeans =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |$pqFit""".stripMargin
   /** ADC scoring chain over `paf`/`pc2`: exact query subvectors build
     * the (qid, s, code) lookup table; the per-(qid, vec_id) score sums
     * the 8 looked-up terms in ascending-s order — list_sum over an
     * s-ordered list, the exact fold order of the engine's aggregate()
     * expression, so the 4dp rounding cannot straddle. */
-  private val pqAdc =
-    s"""qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
-       |qsv AS (
+  /** qsv + lut: per-(query, subspace, code) ADC table from the exact
+    * query subvectors. Expects `qv(qid, qemb, …)` and `pc2` in scope —
+    * shared by q135/q136 (all-pairs tail) and q137 (cell-pruned tail). */
+  private val pqLut =
+    s"""qsv AS (
        |  SELECT qid, CAST(t.s AS INT) AS s,
        |    qemb[t.s * 8 + 1 : t.s * 8 + 8] AS qs
        |  FROM qv CROSS JOIN range(0, 8) t(s)),
@@ -528,7 +538,10 @@ object SparkEntry {
        |  SELECT qid, s, code,
        |    list_sum(list_transform(range(1, 9),
        |      i -> CAST(qs[i] AS DOUBLE) * c[i])) AS t
-       |  FROM qsv JOIN pc2 USING (s)),
+       |  FROM qsv JOIN pc2 USING (s))""".stripMargin
+  private val pqAdc =
+    s"""qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
+       |$pqLut,
        |terms AS (
        |  SELECT lut.qid, paf.vec_id, lut.s, lut.t
        |  FROM paf JOIN lut ON paf.s = lut.s AND paf.code = lut.code
@@ -2607,6 +2620,33 @@ object SparkEntry {
          |FROM pqk LEFT JOIN bruk
          |  ON pqk.qid = bruk.qid AND pqk.nbr_id = bruk.nbr_id
          |GROUP BY pqk.qid""".stripMargin,
+    "q137_ann_ivf_pq" ->
+      s"""WITH $ivfKmeans,
+         |$pqFit,
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM af WHERE vec_id < 10),
+         |${ivfProbes(4)},
+         |$pqLut,
+         |cand AS (
+         |  SELECT probes.qid, af.vec_id
+         |  FROM af JOIN probes ON af.cluster = probes.probe
+         |  WHERE af.vec_id <> probes.qid),
+         |terms AS (
+         |  SELECT cand.qid, cand.vec_id, paf.s, lut.t
+         |  FROM cand
+         |  JOIN paf ON paf.vec_id = cand.vec_id
+         |  JOIN lut ON lut.qid = cand.qid
+         |    AND lut.s = paf.s AND lut.code = paf.code),
+         |sc AS (
+         |  SELECT qid, vec_id,
+         |    ROUND(list_sum(list(t ORDER BY s)), 4) AS adc_ip
+         |  FROM terms GROUP BY qid, vec_id)
+         |SELECT qid, vec_id AS nbr_id, rank, adc_ip FROM (
+         |  SELECT qid, vec_id, adc_ip,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

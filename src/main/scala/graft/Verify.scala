@@ -81,7 +81,7 @@ object Verify {
     // of letting them surface as hash mismatches that look like engine
     // regressions.
     val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
-      "q128_cluster_profile", "q129_semantic_keep")
+      "q128_cluster_profile", "q129_semantic_keep", "q137_ann_ivf_pq")
       .intersect(SparkEntry.oracleSql.keySet)
     // q117's oracle is the brute-force (probe-all-equivalent) kNN; it
     // is only the engine's behavior while the corpus sits at or below
@@ -130,7 +130,7 @@ object Verify {
     // with the 8-subvector × 8-dim slicing (d = 64) hard-pinned in
     // SQL; Pq.DefaultCodes = 16 is a fixed config, not corpus-derived,
     // so dimension is the only fixture pin.
-    val pqOracleKeys = Set("q135_ann_pq", "q136_pq_recall")
+    val pqOracleKeys = Set("q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq")
       .intersect(SparkEntry.oracleSql.keySet)
     val pqPinsHold =
       try {

@@ -132,6 +132,39 @@ object Pq {
   private val bookCache =
     new graft.SessionCache[(String, Int, Int, Int), Array[Array[Array[Double]]]]()
 
+  /** One query's ADC lookup table — flat m·k doubles, s-major, each
+    * entry the subvector/centroid inner product in ascending-dim
+    * double accumulation (the dot_f32 order, so the oracle's list_sum
+    * replay is bit-equal). */
+  private def lutFor(qv: Array[Float],
+                     books: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = books.length
+    val k = books.head.length
+    val sub = books.head.head.length
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += qv(s * sub + i).toDouble * books(s)(c)(i); i += 1 }
+        lut(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** The shared ADC score column: m `element_at` lookups into the
+    * broadcast `lut` by this row's codes, folded in ascending-s order,
+    * rounded to 4dp (the family's ranking discipline). */
+  private def adcScore(k: Int) = round(
+    aggregate(
+      transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
+      lit(0.0), (acc, x) => acc + x), 4)
+
   /** ADC top-k over an encoded frame with a caller-supplied query batch
     * — the spec entry point. `queries` are (qid, exact float vector);
     * the per-query lookup table is built driver-side in ascending-dim
@@ -143,35 +176,14 @@ object Pq {
                                  topk: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    val m = books.length
     val k = books.head.length
-    val sub = books.head.head.length
-    val lutRows = queries.map { case (qid, qv) =>
-      val lut = new Array[Double](m * k)
-      var s = 0
-      while (s < m) {
-        var c = 0
-        while (c < k) {
-          var acc = 0.0
-          var i = 0
-          while (i < sub) { acc += qv(s * sub + i).toDouble * books(s)(c)(i); i += 1 }
-          lut(s * k + c) = acc
-          c += 1
-        }
-        s += 1
-      }
-      (qid, lut)
-    }
-    val qdf = lutRows.toDF("qid", "lut")
+    val qdf = queries.map { case (qid, qv) => (qid, lutFor(qv, books)) }
+      .toDF("qid", "lut")
     // score = ascending-s fold of the m table lookups; 4dp rounding +
     // vec_id tie-break make the selected row set unique (the q24/q44
     // ranking discipline)
     val scored = encoded.join(broadcast(qdf), col("vec_id") =!= col("qid"))
-      .withColumn("adc_ip", round(
-        aggregate(
-          transform(col("codes"),
-            (c, s) => element_at(col("lut"), s * k + c + 1)),
-          lit(0.0), (acc, x) => acc + x), 4))
+      .withColumn("adc_ip", adcScore(k))
     val w = Window.partitionBy(col("qid")).orderBy(desc("adc_ip"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topk)
@@ -200,6 +212,55 @@ object Pq {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
     adcTopKFrom(enc, queries, books, topk)
+  }
+
+  /** q137: IVF-ADC — the paper's §IV deployment shape and the one a
+    * 100 TB serving tier actually runs: the coarse IVF quantizer
+    * prunes candidates to the query's `nProbe` cells (compute:
+    * |corpus|·nProbe/k rows scored instead of |corpus|) while PQ codes
+    * compress what those candidates cost to hold and read (memory:
+    * 8 B/row instead of 256 B). Both index layers are the session
+    * caches the standalone operators already share
+    * ([[Ivf.fittedCentroids]], [[fittedCodebooks]]); the corpus scan
+    * assigns cell + codes in the same pass, and the probe filter is
+    * the broadcast equi-condition `cluster === probe` — no shuffle, no
+    * join fan-out beyond the pruned candidates. */
+  def ivfAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                 topk: Int = 5, kClusters: Int = 16, nProbe: Int = 4,
+                 m: Int = DefaultSubspaces, k: Int = DefaultCodes,
+                 iters: Int = DefaultIters): DataFrame = {
+    import spark.implicits._
+    val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
+    val books = fittedCodebooks(spark, sfDir, m, k, iters)
+    val sub = books.head.head.length
+    val e = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    // one corpus pass: coarse cell + fine codes, then only the narrow
+    // (vec_id, cluster, codes) columns flow into scoring
+    val enc = withCodes(e.withColumn("cluster",
+        Ivf.assignExpr(centroids)(col("embedding"))), books, sub)
+      .select(col("vec_id"), col("cluster"), col("codes"))
+    // query batch (config-bounded): probes via the same NearestCentroids
+    // partial-selection arithmetic the corpus assignment uses, LUT from
+    // the exact (unquantized) query vector
+    val queries = e.filter(col("vec_id") < nQueries)
+      .withColumn("probes", Ivf.nearestClusters(centroids, nProbe)(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("probes"))
+      .as[(Long, Array[Float], Array[Int])].collect().sortBy(_._1)
+    val qdf = queries.toSeq
+      .flatMap { case (qid, qv, probes) =>
+        val lut = lutFor(qv, books)
+        probes.map(p => (qid, p, lut))
+      }.toDF("qid", "probe", "lut")
+    // a corpus row lands in exactly one cell, so it matches at most one
+    // probe row per query — no duplicate (qid, vec_id) pairs to dedup
+    val scored = enc.join(broadcast(qdf),
+        col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("adc_ip", adcScore(k))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("adc_ip"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("adc_ip"))
   }
 
   /** q136: recall\@k of the PQ index against the exact brute-force

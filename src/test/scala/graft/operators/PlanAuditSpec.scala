@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-side scoring should stay map-side against the broadcast LUT:\n$p")
   }
 
+  test("IVF-ADC: one corpus pass assigns cell + codes, probe filter broadcast") {
+    val p = plan(Pq.ivfAdcTopK(spark, sf()))
+    assert(p.contains("nearest_centroids"), s"native argmin missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"probe filter should be a broadcast equi-condition:\n$p")
+    // cell + codes come from the SAME scan, and the query batch was
+    // resolved eagerly at build time: the serving plan reads the
+    // embeddings exactly once
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
   test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

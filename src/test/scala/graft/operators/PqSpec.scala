@@ -146,6 +146,17 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-ADC probing ALL cells reproduces plain ADC exactly") {
+    // the composition invariant (the IVF family's probe-all ≡ brute
+    // rule, one level up): with every cell probed the candidate set is
+    // the full corpus, so cell pruning must change NOTHING
+    val all = Pq.ivfAdcTopK(spark, sf("0.001"), kClusters = 16, nProbe = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val plain = Pq.adcTopK(spark, sf("0.001"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(all == plain)
+  }
+
   test("recall vs brute reports one row per query, bounded in [0, 1]") {
     val rows = Pq.recallVsBrute(spark, sf("0.001"))
       .as[(Long, Double)].collect()
