@@ -51,7 +51,12 @@ object ScaleBench {
     // shingle spaces, so the positional-gram stream, the dup-gram
     // count, and the islands merge all grow exactly 10x; the ratio
     // measures whether the gram exchange + per-doc window hold linear
-    "q133_dup_spans", "q134_dup_span_strip")
+    "q133_dup_spans", "q134_dup_span_strip",
+    // round 12: the PQ family — the 10x point that backs the claim
+    // that encode (one scan, m argmins/row) and ADC (m lookups/row)
+    // stay linear per row; q137's candidate set additionally scales
+    // with corpus/k at fixed nProbe
+    "q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
