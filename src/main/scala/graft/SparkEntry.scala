@@ -307,6 +307,10 @@ object SparkEntry {
     // to nProbe/k of the corpus, PQ codes compress what they cost to
     // hold — hash-checked via the composed IVF + PQ unrolled oracles
     "q137_ann_ivf_pq" -> ((s, d) => operators.Pq.ivfAdcTopK(s, d)),
+    // DSIR importance weights (hashed n-gram log likelihood ratio vs
+    // the src0 target pool) — hash-checked: the portable poly_hash64
+    // buckets + 9dp-decimal λ fold replay exactly in SQL
+    "q138_dsir_weights" -> ((s, d) => operators.Dsir.importanceWeights(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2647,6 +2651,36 @@ object SparkEntry {
          |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin,
+    "q138_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |           FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, source, unnest(t) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM t WHERE len(t) >= 2),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 4096 AS b
+        |  FROM g0),
+        |tg AS (SELECT b, COUNT(*) AS ct FROM g WHERE source = 'src0' GROUP BY b),
+        |rg AS (SELECT b, COUNT(*) AS cr FROM g WHERE source <> 'src0' GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT COUNT(*) FROM g WHERE source = 'src0') AS nt,
+        |    (SELECT COUNT(*) FROM g WHERE source <> 'src0') AS nr),
+        |lam AS (
+        |  SELECT COALESCE(tg.b, rg.b) AS b,
+        |    CAST(ROUND(ln((COALESCE(ct, 0) + 1.0) / (nt + 4096.0))
+        |             - ln((COALESCE(cr, 0) + 1.0) / (nr + 4096.0)), 9)
+        |      AS DECIMAL(18,9)) AS lam
+        |  FROM tg FULL OUTER JOIN rg ON tg.b = rg.b CROSS JOIN tot)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |  CAST(SUM(lam.lam) AS DOUBLE) AS weight
+        |FROM g JOIN lam USING (b) WHERE source <> 'src0'
+        |GROUP BY g.doc_id""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -137,6 +137,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("DSIR scoring: λ table broadcast, no UDF, no nested loop") {
+    val p = plan(Dsir.importanceWeights(spark, sf()))
+    assert(p.contains("poly_hash64"), s"portable feature hash missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"λ table should broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scoring join degenerated:\n$p")
+  }
+
   test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
