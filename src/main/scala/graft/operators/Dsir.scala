@@ -64,29 +64,37 @@ object Dsir {
   private[graft] def importanceWeightsFrom(docs: DataFrame, target: String,
                                            buckets: Int): DataFrame = {
     require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val grams = hashedGrams(docs, buckets)
     // BOTH feature distributions from one corpus pass: conditional
     // sums under a single bucket-keyed aggregation (map-side combine
-    // collapses to <= buckets rows per task before the shuffle)
-    val counts = grams
+    // collapses to <= buckets rows per task before the shuffle). The
+    // bucket table is config-bounded (<= buckets rows), so it collects
+    // — the IVF-centroid discipline — and the totals + λ arithmetic run
+    // on the driver instead of re-executing the gram pass under the
+    // λ subtree AND the totals action (3 corpus passes → 2).
+    val bucketRows = grams
       .groupBy(col("b"))
       .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
         sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
-    // two 1-row totals off the bucket table (the bpe-scalar
-    // discipline: bounded driver values, not corpus data)
-    val (nt, nr) = counts.agg(sum(col("ct")), sum(col("cr"))).head() match {
-      case r => (if (r.isNullAt(0)) 0L else r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    // per-bucket log likelihood ratio, smoothed, 9dp-decimal — the
-    // bucket table covers every bucket either pool observed, so every
-    // raw gram finds its λ row
-    val lam = counts
-      .select(col("b"),
-        round(
-          log((col("ct") + lit(1.0)) / lit(nt + buckets.toDouble)) -
-          log((col("cr") + lit(1.0)) / lit(nr + buckets.toDouble)), 9)
-          .cast(DecimalType(18, 9)).as("lam"))
+      .as[(Long, Long, Long)].collect()
+    val nt = bucketRows.iterator.map(_._2).sum
+    val nr = bucketRows.iterator.map(_._3).sum
+    // per-bucket log likelihood ratio, smoothed, 9dp-decimal — scala
+    // math.log IS java.lang.Math.log, the same function Spark's log()
+    // expression evaluates, and BigDecimal(double) rounds the shortest
+    // decimal rep exactly like Spark's round(), so the driver-built λ
+    // is bit-identical to the former distributed column (re-verified
+    // against the unchanged oracle at every lake). The table covers
+    // every bucket either pool observed, so every raw gram finds its
+    // λ row.
+    val lam = bucketRows.toSeq.map { case (b, ct, cr) =>
+      val raw = math.log((ct + 1.0) / (nt + buckets.toDouble)) -
+        math.log((cr + 1.0) / (nr + buckets.toDouble))
+      (b, BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    }.toDF("b", "lam")
+      .select(col("b"), col("lam").cast(DecimalType(18, 9)).as("lam"))
     grams.filter(col("source") =!= target)
       .join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))

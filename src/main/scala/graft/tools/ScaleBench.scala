@@ -56,7 +56,12 @@ object ScaleBench {
     // that encode (one scan, m argmins/row) and ADC (m lookups/row)
     // stay linear per row; q137's candidate set additionally scales
     // with corpus/k at fixed nProbe
-    "q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq")
+    "q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq",
+    // round 12: DSIR — the 10x lake grows the vocabulary 10x alongside
+    // the corpus, but the feature space is bucket-FIXED; the ratio
+    // measures the two corpus passes staying linear while the λ table
+    // stays 4096-bounded
+    "q138_dsir_weights")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
