@@ -219,7 +219,17 @@ object Pq {
     * prunes candidates to the query's `nProbe` cells (compute:
     * |corpus|·nProbe/k rows scored instead of |corpus|) while PQ codes
     * compress what those candidates cost to hold and read (memory:
-    * 8 B/row instead of 256 B). Both index layers are the session
+    * 8 B/row instead of 256 B).
+    *
+    * Variant note: codes quantize the RAW vectors (the paper's "IVFADC
+    * without residual" / IVF-flat-PQ configuration), not the
+    * cell-residuals of §IV-A's full IVFADC — deliberately, so the cell
+    * layer and the codebook layer stay independent (one `pq_codebooks`
+    * fit serves q135/q136/q137 and survives a re-clustered cell layer
+    * unchanged). Residual encoding buys recall at the cost of coupling
+    * the codebooks to the coarse quantizer; q136 measures the recall
+    * this configuration actually delivers, which is the honest gate
+    * either way. Both index layers are the session
     * caches the standalone operators already share
     * ([[Ivf.fittedCentroids]], [[fittedCodebooks]]); the corpus scan
     * assigns cell + codes in the same pass, and the probe filter is
