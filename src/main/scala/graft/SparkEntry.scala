@@ -311,6 +311,10 @@ object SparkEntry {
     // the src0 target pool) — hash-checked: the portable poly_hash64
     // buckets + 9dp-decimal λ fold replay exactly in SQL
     "q138_dsir_weights" -> ((s, d) => operators.Dsir.importanceWeights(s, d)),
+    // cluster-balanced quality keep: top-perCell LM-scored docs per
+    // semantic cell — hash-checked via the composed IVF + LM-score
+    // oracle chains
+    "q139_cell_balanced_keep" -> ((s, d) => Ivf.cellBalancedKeep(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -559,6 +563,42 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
        |  FROM pqsc)""".stripMargin
+
+  // --- Stupid-backoff LM scoring chain (q130/q139): train on the
+  // doc_id%10<8 partition, per-bigram 9dp-decimal log terms, per-doc
+  // mean. Factored so q139's cell-balanced keep can compose it with
+  // the IVF chain; `lmdoc(doc_id, n_bigrams, lm_score)` is the final
+  // per-document table.
+  private val lmScoreChain =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tr AS (SELECT * FROM t WHERE doc_id % 10 < 8),
+      |cu AS (SELECT w, COUNT(*) AS cu
+      |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+      |ntr AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tr),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM (
+      |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |    FROM tr WHERE len(t) >= 2) GROUP BY 1, 2),
+      |db AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |    FROM t WHERE len(t) >= 2)
+      |  WHERE len(w1) > 0 AND len(w2) > 0),
+      |lmsc AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(ln(CASE
+      |      WHEN cb.cb IS NOT NULL AND u1.cu IS NOT NULL
+      |        THEN CAST(cb.cb AS DOUBLE) / u1.cu
+      |      ELSE 0.4 * (COALESCE(u2.cu, 0) + 1) / (n + 1.0) END), 9)
+      |      AS DECIMAL(18, 9)) AS term
+      |  FROM db
+      |  LEFT JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
+      |  LEFT JOIN cu u1 ON db.w1 = u1.w
+      |  LEFT JOIN cu u2 ON db.w2 = u2.w
+      |  CROSS JOIN ntr),
+      |lmdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
+      |  FROM lmsc GROUP BY doc_id)""".stripMargin
 
   // --- BPE merge-loop replay (q131/q132): the greedy fit is fully
   // deterministic — top pair by (freq DESC, w1 asc, w2 asc), then
@@ -2467,34 +2507,8 @@ object SparkEntry {
     // retrains the same LM on the same doc_id%10<8 partition and
     // reproduces every per-doc mean log-score.
     "q130_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |tr AS (SELECT * FROM t WHERE doc_id % 10 < 8),
-        |cu AS (SELECT w, COUNT(*) AS cu
-        |  FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
-        |ntr AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tr),
-        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM (
-        |    SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-        |    FROM tr WHERE len(t) >= 2) GROUP BY 1, 2),
-        |db AS (
-        |  SELECT doc_id, w1, w2 FROM (
-        |    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
-        |    FROM t WHERE len(t) >= 2)
-        |  WHERE len(w1) > 0 AND len(w2) > 0),
-        |scored AS (
-        |  SELECT doc_id,
-        |    CAST(ROUND(ln(CASE
-        |      WHEN cb.cb IS NOT NULL AND u1.cu IS NOT NULL
-        |        THEN CAST(cb.cb AS DOUBLE) / u1.cu
-        |      ELSE 0.4 * (COALESCE(u2.cu, 0) + 1) / (n + 1.0) END), 9)
-        |      AS DECIMAL(18, 9)) AS term
-        |  FROM db
-        |  LEFT JOIN cb ON db.w1 = cb.w1 AND db.w2 = cb.w2
-        |  LEFT JOIN cu u1 ON db.w1 = u1.w
-        |  LEFT JOIN cu u2 ON db.w2 = u2.w
-        |  CROSS JOIN ntr)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
-        |FROM scored GROUP BY doc_id""".stripMargin,
+      s"""WITH $lmScoreChain
+         |SELECT doc_id, n_bigrams, lm_score FROM lmdoc""".stripMargin,
     // Greedy BPE fit replay — see the bpeChain scaladoc. Both the
     // learned merge table and the tokenizer application fall out of
     // the same unrolled chain: m1..m10 are the fit's output rows;
@@ -2681,6 +2695,15 @@ object SparkEntry {
         |  CAST(SUM(lam.lam) AS DOUBLE) AS weight
         |FROM g JOIN lam USING (b) WHERE source <> 'src0'
         |GROUP BY g.doc_id""".stripMargin,
+    "q139_cell_balanced_keep" ->
+      s"""WITH $ivfKmeans,
+         |$lmScoreChain
+         |SELECT cell, doc_id, cell_rank, lm_score FROM (
+         |  SELECT af.cluster AS cell, lmdoc.doc_id, lmdoc.lm_score,
+         |    CAST(row_number() OVER (PARTITION BY af.cluster
+         |      ORDER BY lmdoc.lm_score DESC, lmdoc.doc_id) AS BIGINT) AS cell_rank
+         |  FROM lmdoc JOIN af ON lmdoc.doc_id = af.vec_id)
+         |WHERE cell_rank <= 8""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -81,7 +81,8 @@ object Verify {
     // of letting them surface as hash mismatches that look like engine
     // regressions.
     val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
-      "q128_cluster_profile", "q129_semantic_keep", "q137_ann_ivf_pq")
+      "q128_cluster_profile", "q129_semantic_keep", "q137_ann_ivf_pq",
+      "q139_cell_balanced_keep")
       .intersect(SparkEntry.oracleSql.keySet)
     // q117's oracle is the brute-force (probe-all-equivalent) kNN; it
     // is only the engine's behavior while the corpus sits at or below

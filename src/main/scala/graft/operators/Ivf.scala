@@ -228,6 +228,37 @@ object Ivf {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** q139: cluster-balanced quality selection — keep the `perCell`
+    * highest-quality documents of every semantic cell. The curation
+    * move AFTER dedup: a quality-ranked global top-N over-samples the
+    * dominant topic, while capping per embedding-cell keeps the
+    * selection diverse at the same budget (the cluster-balanced
+    * sampling step of SemDeDup-style pipelines, applied to selection
+    * instead of deletion). Quality = the q130 stupid-backoff LM score;
+    * cells = the session IVF layer at [[semanticK]]'s corpus-derived k,
+    * so per-cell populations — and with them the ranking windows — stay
+    * ~[[DefaultTargetCellSize]]-bounded however large the corpus grows.
+    * One doc-keyed equi-join (embedding cell ↔ LM score via the
+    * fixture's doc_id = vec_id pairing), one bounded per-cell window.
+    * Documents without a scorable bigram (sub-2-token) have no LM score
+    * and are not selection candidates, matching the oracle's inner
+    * join. */
+  def cellBalancedKeep(spark: SparkSession, sfDir: String, perCell: Int = 8,
+                       kClusters: Int = 0, iters: Int = 2): DataFrame = {
+    val k = semanticK(spark, sfDir, kClusters)
+    val centroids = fittedCentroids(spark, sfDir, k, iters)
+    val cells = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id").as("doc_id"),
+        assignExpr(centroids)(col("embedding")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(desc("lm_score"), asc("doc_id"))
+    TextOps.lmScore(spark, sfDir)
+      .join(cells, Seq("doc_id"))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("cell"), col("doc_id"), col("cell_rank"), col("lm_score"))
+  }
+
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */
   def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,

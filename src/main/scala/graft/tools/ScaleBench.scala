@@ -61,7 +61,11 @@ object ScaleBench {
     // the corpus, but the feature space is bucket-FIXED; the ratio
     // measures the two corpus passes staying linear while the λ table
     // stays 4096-bounded
-    "q138_dsir_weights")
+    "q138_dsir_weights",
+    // round 12: cell-balanced keep — corpus-derived k means per-cell
+    // window populations stay ~target-bounded at 10x; the ratio
+    // measures the doc-keyed join + bounded windows staying linear
+    "q139_cell_balanced_keep")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

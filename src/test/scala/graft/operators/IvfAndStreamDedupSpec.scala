@@ -271,4 +271,35 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"UDF survived in q44 plan:\n$plan")
     assert(plan.contains("nearest_centroids"), "native expression missing from plan")
   }
+
+  test("cell-balanced keep: per-cell cap + ranks replicate a driver top-k replay") {
+    val perCell = 8
+    val kept = Ivf.cellBalancedKeep(spark, sf("0.01"), perCell)
+      .select("cell", "doc_id", "cell_rank", "lm_score")
+      .as[(Int, Long, Long, Double)].collect()
+    // cap + contiguous ranks per cell
+    kept.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= perCell, s"cell $cell kept ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cell $cell ranks not contiguous")
+    }
+    // driver replay of the selection LOGIC over the same inputs: the
+    // full (cell, score) join collected, ranked by (score desc, id asc)
+    // per cell, capped — catches a wrong window/frame/tie-break even
+    // though the inputs come from the engine's own layers
+    val scores = TextOps.lmScore(spark, sf("0.01"))
+      .select("doc_id", "lm_score").as[(Long, Double)].collect().toMap
+    val cents = Ivf.fittedCentroids(spark, sf("0.01"),
+      Ivf.semanticK(spark, sf("0.01")), 2)
+    val cells = graft.Tables.embeddings(spark, sf("0.01"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => id -> BruteMath.cell(cents)(v) }.toMap
+    val expect = scores.toSeq.flatMap { case (id, s) =>
+      cells.get(id).map(c => (c, id, s))
+    }.groupBy(_._1).flatMap { case (c, rows) =>
+      rows.sortBy { case (_, id, s) => (-s, id) }.take(perCell).zipWithIndex
+        .map { case ((_, id, s), r) => (c, id, (r + 1).toLong, s) }
+    }.toSet
+    assert(kept.toSet == expect)
+  }
 }
