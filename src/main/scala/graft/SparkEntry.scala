@@ -315,6 +315,12 @@ object SparkEntry {
     // semantic cell — hash-checked via the composed IVF + LM-score
     // oracle chains
     "q139_cell_balanced_keep" -> ((s, d) => Ivf.cellBalancedKeep(s, d)),
+    // corpus-ingestion monitor: per (1-min window, source) doc/token
+    // volume + quality-gate pass rate — the q13 windowed-stats shape on
+    // the documents lake; the streaming twin shares ingestCore and is
+    // spec-asserted batch≡stream
+    "q140_ingest_monitor" ->
+      ((s, d) => streaming.IngestMonitorStream.batchMonitor(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2704,6 +2710,27 @@ object SparkEntry {
          |      ORDER BY lmdoc.lm_score DESC, lmdoc.doc_id) AS BIGINT) AS cell_rank
          |  FROM lmdoc JOIN af ON lmdoc.doc_id = af.vec_id)
          |WHERE cell_rank <= 8""".stripMargin,
+    "q140_ingest_monitor" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS t,
+        |    1704067200 + doc_id AS es
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, es // 60 * 60 AS ws,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    (len(t) >= 10 AND n_chars >= 50 AND
+        |     len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) > 0)
+        |      AS passes
+        |  FROM d)
+        |SELECT
+        |  strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(make_timestamp((ws + 60) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+        |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+        |    AS pass_rate
+        |FROM m GROUP BY 1, 2, 3""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -12,6 +12,11 @@ import graft.Tables
   */
 object TextOps {
 
+  /** The q27 quality gate's stop list — ONE definition, shared with the
+    * streaming ingest monitor so the two gates cannot drift. */
+  private[graft] val StopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is")
+
   private def toks: Column = split(col("text"), " ")
 
   /** Token statistics: whitespace tokens, a regex word tokenizer, a
@@ -28,8 +33,7 @@ object TextOps {
     * type-token ratio — the standard cheap filters
     * (C4/Gopher-style heuristics, expressed as one projection). */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
-    val stopList = stop.map(s => s"'$s'").mkString(", ")
+    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stop", expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
