@@ -321,6 +321,12 @@ object SparkEntry {
     // spec-asserted batch≡stream
     "q140_ingest_monitor" ->
       ((s, d) => streaming.IngestMonitorStream.batchMonitor(s, d)),
+    // full IVFADC (residual encoding, the paper's §IV-A deployment):
+    // PQ codebooks fit on float-cast cell residuals, score =
+    // ⟨q,c_cell⟩ + residual ADC — hash-checked via the composed
+    // unrolls with the residual subvector table swapped in
+    "q141_ann_ivfadc_residual" ->
+      ((s, d) => operators.Pq.ivfAdcResidualTopK(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -342,6 +348,9 @@ object SparkEntry {
       ((s, d) => { Ivf.fittedCentroids(s, d, Ivf.semanticK(s, d), 2); () }),
     // PQ codebooks at the fixed 8×16 geometry (q135/q136)
     "pq_codebooks" -> ((s, d) => { operators.Pq.fittedCodebooks(s, d); () }),
+    // residual-PQ codebooks over the k16 cell layer (q141)
+    "pq_codebooks_residual" ->
+      ((s, d) => { operators.Pq.fittedResidualCodebooks(s, d); () }),
     // near-dup cluster labels: shingle join + label propagation +
     // localCheckpoint (q60/q61/q62)
     "dedup_clusters" -> ((s, d) => { Dedup.materializedClusters(s, d); () }),
@@ -513,15 +522,32 @@ object SparkEntry {
        |  FROM $prev LEFT JOIN $mtab
        |    ON $prev.s = $mtab.s AND $prev.code = $mtab.code
        |  GROUP BY $prev.s, $prev.code, $prev.c)""".stripMargin
-  /** pc2 = fitted codebooks; paf = final per-(vec_id, subspace) codes.
-    * Factored WITHOUT the `e` base CTE so q137 can compose it with the
-    * IVF chain (which defines its own `e`) in one WITH block. */
-  private val pqFit =
+  /** Raw-vector subvector table — q135/q137's `sv`. q141 swaps in
+    * residual subvectors ([[pqResidualSv]]) and reuses the identical
+    * fit chain below. */
+  private val pqRawSv =
     s"""sv AS (
        |  SELECT vec_id, CAST(t.s AS INT) AS s,
        |    embedding[t.s * 8 + 1 : t.s * 8 + 8] AS v
-       |  FROM e CROSS JOIN range(0, 8) t(s)),
-       |pc0 AS (
+       |  FROM e CROSS JOIN range(0, 8) t(s))""".stripMargin
+  /** Residual subvector table (q141): r = float32(x − c_cell(x)),
+    * elementwise IEEE nearest — the float cast is what keeps the
+    * DECIMAL(28,12) fit machinery lossless on COMPUTED values (a raw
+    * double residual would not round-trip the 12dp cast). Expects
+    * `af` (assignment) and `c2` (IVF centroids) in scope. */
+  private val pqResidualSv =
+    s"""sv AS (
+       |  SELECT vec_id, CAST(t.s AS INT) AS s,
+       |    list_transform(range(1, 9), i -> CAST(
+       |      CAST(af.embedding[t.s * 8 + i] AS DOUBLE) - c2.c[t.s * 8 + i]
+       |      AS FLOAT)) AS v
+       |  FROM af JOIN c2 USING (cluster) CROSS JOIN range(0, 8) t(s))""".stripMargin
+  /** pc2 = fitted codebooks; paf = final per-(vec_id, subspace) codes.
+    * Factored WITHOUT the `e`/`sv` base CTEs so q137 (raw sv) and q141
+    * (residual sv) can compose it with the IVF chain in one WITH
+    * block. */
+  private val pqFitCore =
+    s"""pc0 AS (
        |  SELECT s, code, list_transform(v, x -> CAST(x AS DOUBLE)) AS c FROM (
        |    SELECT s, v,
        |      CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS code
@@ -532,6 +558,7 @@ object SparkEntry {
        |${pqAssign("pc1", "pa2")},
        |${pqUpdate("pa2", "pc1", "pm2", "pc2")},
        |${pqAssign("pc2", "paf")}""".stripMargin
+  private val pqFit = s"$pqRawSv,\n$pqFitCore"
   private val pqKmeans =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |$pqFit""".stripMargin
@@ -2731,6 +2758,40 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
         |    AS pass_rate
         |FROM m GROUP BY 1, 2, 3""".stripMargin,
+    "q141_ann_ivfadc_residual" ->
+      s"""WITH $ivfKmeans,
+         |$pqResidualSv,
+         |$pqFitCore,
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM af WHERE vec_id < 10),
+         |${ivfProbes(4)},
+         |$pqLut,
+         |celld AS (
+         |  SELECT probes.qid, probes.probe,
+         |    ${ivfDot("qv.qemb", "c2.c")} AS celldot
+         |  FROM probes
+         |  JOIN qv USING (qid)
+         |  JOIN c2 ON c2.cluster = probes.probe),
+         |cand AS (
+         |  SELECT celld.qid, af.vec_id, celld.celldot
+         |  FROM af JOIN celld ON af.cluster = celld.probe
+         |  WHERE af.vec_id <> celld.qid),
+         |terms AS (
+         |  SELECT cand.qid, cand.vec_id, cand.celldot, paf.s, lut.t
+         |  FROM cand
+         |  JOIN paf ON paf.vec_id = cand.vec_id
+         |  JOIN lut ON lut.qid = cand.qid
+         |    AND lut.s = paf.s AND lut.code = paf.code),
+         |sc AS (
+         |  SELECT qid, vec_id,
+         |    ROUND(celldot + list_sum(list(t ORDER BY s)), 4) AS adc_ip
+         |  FROM terms GROUP BY qid, vec_id, celldot)
+         |SELECT qid, vec_id AS nbr_id, rank, adc_ip FROM (
+         |  SELECT qid, vec_id, adc_ip,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -82,7 +82,7 @@ object Verify {
     // regressions.
     val ivfOracleKeys = Set("q44_ann_ivf", "q127_knn_ivf",
       "q128_cluster_profile", "q129_semantic_keep", "q137_ann_ivf_pq",
-      "q139_cell_balanced_keep")
+      "q139_cell_balanced_keep", "q141_ann_ivfadc_residual")
       .intersect(SparkEntry.oracleSql.keySet)
     // q117's oracle is the brute-force (probe-all-equivalent) kNN; it
     // is only the engine's behavior while the corpus sits at or below
@@ -131,7 +131,8 @@ object Verify {
     // with the 8-subvector × 8-dim slicing (d = 64) hard-pinned in
     // SQL; Pq.DefaultCodes = 16 is a fixed config, not corpus-derived,
     // so dimension is the only fixture pin.
-    val pqOracleKeys = Set("q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq")
+    val pqOracleKeys = Set("q135_ann_pq", "q136_pq_recall", "q137_ann_ivf_pq",
+      "q141_ann_ivfadc_residual")
       .intersect(SparkEntry.oracleSql.keySet)
     val pqPinsHold =
       try {

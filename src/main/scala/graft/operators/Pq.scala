@@ -273,6 +273,97 @@ object Pq {
       .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("adc_ip"))
   }
 
+  /** q141: FULL IVFADC (Jégou et al. §IV-A) — PQ over the CELL
+    * RESIDUALS r = x − c_cell(x) instead of the raw vectors. Residuals
+    * concentrate near zero, so the same 4-bit codebooks spend their
+    * resolution on the part of the vector the coarse quantizer hasn't
+    * already explained — the recall-per-byte win that makes this the
+    * paper's deployed configuration. The inner product decomposes as
+    * ⟨q,x⟩ = ⟨q,c_cell⟩ + ⟨q,r⟩: the first term is exact per
+    * (query, probed cell) — k values per query, computed with the
+    * query batch — and the second is the standard ADC fold over the
+    * residual codebooks (global, cell-independent, so ONE m·k LUT per
+    * query serves every probe).
+    *
+    * Residuals cast to FLOAT elementwise (IEEE nearest, identical in
+    * both engines) before the fit — that is what keeps the
+    * DECIMAL(28,12) Lloyd machinery lossless on computed values and
+    * the whole fit replayable in SQL; a raw double residual would not
+    * survive the 12dp cast unchanged. */
+  def ivfAdcResidualTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                         topk: Int = 5, kClusters: Int = 16, nProbe: Int = 4,
+                         m: Int = DefaultSubspaces, k: Int = DefaultCodes,
+                         iters: Int = DefaultIters): DataFrame = {
+    import spark.implicits._
+    val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
+    val books = fittedResidualCodebooks(spark, sfDir, kClusters, m, k, iters)
+    val sub = books.head.head.length
+    val enc = withCodes(
+      residualFrame(Similarity.spread(Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding")), centroids), books, sub)
+      .select(col("vec_id"), col("cluster"), col("codes"))
+    val queries = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < nQueries)
+      .withColumn("probes", Ivf.nearestClusters(centroids, nProbe)(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("probes"))
+      .as[(Long, Array[Float], Array[Int])].collect().sortBy(_._1)
+    // per (query, probe): the exact ⟨q, c_probe⟩ term (ascending-dim
+    // double fold, the ivfDot order) + the shared residual LUT
+    val qdf = queries.toSeq.flatMap { case (qid, qv, probes) =>
+      val lut = lutFor(qv, books)
+      probes.map { p =>
+        var cd = 0.0
+        var i = 0
+        while (i < qv.length) { cd += qv(i).toDouble * centroids(p)(i); i += 1 }
+        (qid, p, cd, lut)
+      }
+    }.toDF("qid", "probe", "celldot", "lut")
+    val scored = enc.join(broadcast(qdf),
+        col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("adc_ip", round(col("celldot") +
+        aggregate(
+          transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
+          lit(0.0), (acc, x) => acc + x), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("adc_ip"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("adc_ip"))
+  }
+
+  /** Cell assignment + float-cast residual: `embedding` is REPLACED by
+    * r = float32(x − c_cell(x)) elementwise, `cluster` rides along.
+    * The float cast is deliberate — see [[ivfAdcResidualTopK]]. */
+  private[graft] def residualFrame(vecs: DataFrame,
+                                   centroids: Array[Array[Double]]): DataFrame = {
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    vecs
+      .withColumn("cluster", Ivf.assignExpr(centroids)(col("embedding")))
+      .withColumn("embedding",
+        transform(col("embedding"), (v, i) =>
+          (v.cast("double") -
+            element_at(element_at(cents, col("cluster") + 1), i + 1))
+            .cast("float")))
+  }
+
+  /** The residual-codebook layer: fitted once per
+    * (session, sfDir, kClusters, m, k, iters) over the residuals of
+    * the SAME session IVF fit q44/q137 probe. */
+  def fittedResidualCodebooks(spark: SparkSession, sfDir: String,
+                              kClusters: Int = 16, m: Int = DefaultSubspaces,
+                              k: Int = DefaultCodes, iters: Int = DefaultIters)
+      : Array[Array[Array[Double]]] =
+    resBookCache.getOrCompute(spark, (sfDir, kClusters, m, k, iters)) {
+      val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
+      fitCodebooksFrom(
+        residualFrame(Similarity.spread(Tables.embeddings(spark, sfDir))
+          .select(col("vec_id"), col("embedding")), centroids)
+          .select(col("vec_id"), col("embedding")), m, k, iters)
+    }
+
+  private val resBookCache =
+    new graft.SessionCache[(String, Int, Int, Int, Int), Array[Array[Array[Double]]]]()
+
   /** q136: recall\@k of the PQ index against the exact brute-force
     * baseline — the eval harness every compressed-index deployment
     * runs before flipping traffic. One row per query: |PQ∩brute|/k.

@@ -65,7 +65,10 @@ object ScaleBench {
     // round 12: cell-balanced keep — corpus-derived k means per-cell
     // window populations stay ~target-bounded at 10x; the ratio
     // measures the doc-keyed join + bounded windows staying linear
-    "q139_cell_balanced_keep")
+    "q139_cell_balanced_keep",
+    // round 12: residual IVFADC — same linearity claim as q137 plus
+    // the residual transform staying map-side
+    "q141_ann_ivfadc_residual")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

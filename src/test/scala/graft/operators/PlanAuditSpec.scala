@@ -146,6 +146,16 @@ class PlanAuditSpec extends SparkSpec {
       s"scoring join degenerated:\n$p")
   }
 
+  test("residual IVFADC: native argmins + HOF residual, broadcast probe side, one scan") {
+    val p = plan(Pq.ivfAdcResidualTopK(spark, sf()))
+    assert(p.contains("nearest_centroids"), s"native argmin missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"probe filter should be a broadcast equi-condition:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
   test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -157,6 +157,45 @@ class PqSpec extends SparkSpec {
     assert(all == plain)
   }
 
+  test("residual IVFADC probing ALL cells matches a driver replay of the full pipeline") {
+    val d = sf("0.001")
+    val (m, k, topk) = (8, 16, 5)
+    val cents = Ivf.fittedCentroids(spark, d, 16, 2)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    // driver replay: cell assignment (Replay.code IS the argmin-with-
+    // lowest-tie semantics), float-cast residuals, the SAME Replay.fit,
+    // then celldot + residual-ADC ranking
+    val resid = vecs.map { case (id, v) =>
+      val c = Replay.code(cents, v)
+      (id, c, v.indices.map(i => (v(i).toDouble - cents(c)(i)).toFloat).toArray)
+    }
+    val books = Replay.fit(resid.map { case (id, _, r) => (id, r) }, m, k, 2)
+    val sub = 64 / m
+    val codes = resid.map { case (id, c, r) =>
+      (id, c, Array.tabulate(m)(s => Replay.code(books(s), r.slice(s * sub, (s + 1) * sub))))
+    }
+    val expect = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val lut = Array.tabulate(m, k) { (s, c) =>
+        var acc = 0.0; var i = 0
+        while (i < sub) { acc += qv(s * sub + i).toDouble * books(s)(c)(i); i += 1 }
+        acc
+      }
+      codes.filter(_._1 != qid).map { case (id, cell, cs) =>
+        var cd = 0.0; var i = 0
+        while (i < 64) { cd += qv(i).toDouble * cents(cell)(i); i += 1 }
+        var score = cd
+        for (s <- 0 until m) score += lut(s)(cs(s))
+        (id, Replay.r4(score))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(topk).zipWithIndex
+        .map { case ((id, sc), r) => (qid, id, (r + 1).toLong, sc) }
+    }.toSet
+    val engine = Pq.ivfAdcResidualTopK(spark, d, nProbe = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(engine == expect)
+  }
+
   test("recall vs brute reports one row per query, bounded in [0, 1]") {
     val rows = Pq.recallVsBrute(spark, sf("0.001"))
       .as[(Long, Double)].collect()
