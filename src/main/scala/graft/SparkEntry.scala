@@ -327,6 +327,11 @@ object SparkEntry {
     // unrolls with the residual subvector table swapped in
     "q141_ann_ivfadc_residual" ->
       ((s, d) => operators.Pq.ivfAdcResidualTopK(s, d)),
+    // embedding-space decontamination: max cosine of every corpus
+    // vector to the (small, broadcast) eval holdout — the semantic
+    // complement of q79/q83's n-gram containment; exact by design
+    "q142_embedding_decontam" ->
+      ((s, d) => Similarity.embeddingDecontam(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2792,6 +2797,29 @@ object SparkEntry {
          |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin,
+    "q142_embedding_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |      AS nrm
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
+        |       FROM e WHERE vec_id % 50 = 0),
+        |p AS (
+        |  SELECT e.vec_id, ev.eid,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ev.eemb[i] AS DOUBLE)))
+        |      / (e.nrm * ev.enrm), 4) AS cos_eval
+        |  FROM e CROSS JOIN ev WHERE e.vec_id % 50 <> 0)
+        |SELECT vec_id, eid AS nearest_eval_id, cos_eval AS max_eval_cos,
+        |  cos_eval >= 0.6 AS contaminated
+        |FROM (
+        |  SELECT vec_id, eid, cos_eval,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_eval DESC, eid) AS r
+        |  FROM p)
+        |WHERE r = 1""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -344,6 +344,37 @@ object Similarity {
     * oracle. Same plan either way: one map-side signature pass, a
     * bucket equi-join against the broadcast query side, per-query top-k
     * window. */
+  /** q142: embedding-space decontamination — flag every corpus vector
+    * whose cosine to ANY benchmark/eval vector reaches `tau`, the
+    * semantic complement of the n-gram containment checks (q79/q83):
+    * paraphrased eval leakage that shares no 8-gram still lands near
+    * its source in embedding space. The eval set is SMALL by
+    * construction (here the deterministic vec_id % 50 == 0 holdout),
+    * so the exact check is one broadcast pass over the corpus — the
+    * q24 shape with an argmax instead of a top-k window: the per-row
+    * fan-out (|eval| comparisons) collapses map-side under the partial
+    * max, so the only shuffle carries one row per corpus vector. No
+    * approximation: decontamination is a recall-critical gate, and the
+    * small side makes exactness affordable at any corpus scale. */
+  def embeddingDecontam(spark: SparkSession, sfDir: String,
+                        tau: Double = 0.6): DataFrame = {
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val eval = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("eemb"),
+        col("nrm").as("enrm"))
+    e.filter(col("vec_id") % 50 =!= 0)
+      .join(broadcast(eval))
+      .withColumn("cos_eval", round(
+        dot(col("embedding"), col("eemb")) / (col("nrm") * col("enrm")), 4))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_eval")).as("max_eval_cos"),
+        max_by(col("eid"), struct(col("cos_eval"), -col("eid")))
+          .as("nearest_eval_id"))
+      .select(col("vec_id"), col("nearest_eval_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= tau).as("contaminated"))
+  }
+
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {
     val e = spread(Tables.embeddings(spark, sfDir))

@@ -272,6 +272,25 @@ class IvfAndStreamDedupSpec extends SparkSpec {
     assert(plan.contains("nearest_centroids"), "native expression missing from plan")
   }
 
+  test("embedding decontamination matches a driver brute argmax replay") {
+    import BruteMath.{dotd, r4}
+    val emb = graft.Tables.embeddings(spark, sf("0.001"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val nrm = emb.map { case (_, v) => math.sqrt(dotd(v, v)) }
+    val evs = emb.indices.filter(i => emb(i)._1 % 50 == 0)
+    val expect = emb.indices.filter(i => emb(i)._1 % 50 != 0).map { ci =>
+      val (cid, cv) = emb(ci)
+      val best = evs
+        .map(ei => (r4(dotd(cv, emb(ei)._2) / (nrm(ci) * nrm(ei))), emb(ei)._1))
+        .minBy { case (c, eid) => (-c, eid) }
+      (cid, best._2, best._1, best._1 >= 0.6)
+    }.toSet
+    val engine = Similarity.embeddingDecontam(spark, sf("0.001"))
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(engine == expect)
+  }
+
   test("cell-balanced keep: per-cell cap + ranks replicate a driver top-k replay") {
     val perCell = 8
     val kept = Ivf.cellBalancedKeep(spark, sf("0.01"), perCell)

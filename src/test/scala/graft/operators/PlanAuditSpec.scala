@@ -156,6 +156,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$p")
   }
 
+  test("embedding decontam: eval side broadcast, argmax folds map-side, no window") {
+    val p = plan(Similarity.embeddingDecontam(spark, sf()))
+    assert(p.contains("dot_f32"), s"native dot missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval side should broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    assert(!p.contains("Window"), s"argmax should be an aggregation, not a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"map-side partial aggregation missing:\n$p")
+  }
+
   test("bucketed embedding pairs: shuffle keyed on band bucket, no pair blowup") {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
