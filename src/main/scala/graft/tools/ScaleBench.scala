@@ -68,7 +68,11 @@ object ScaleBench {
     "q139_cell_balanced_keep",
     // round 12: residual IVFADC — same linearity claim as q137 plus
     // the residual transform staying map-side
-    "q141_ann_ivfadc_residual")
+    "q141_ann_ivfadc_residual",
+    // round 12: embedding decontam — eval side grows with the corpus
+    // here (vec_id % 50), so the ratio bounds the fan-out staying
+    // map-side-collapsed even as BOTH sides scale 10x
+    "q142_embedding_decontam")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
