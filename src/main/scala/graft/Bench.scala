@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-min system loadavg, or -1 where the JVM can't read it. Recorded
+    * into every artifact because host contention has repeatedly dilated
+    * identical binaries 3-4× (rounds 2/9/12 all needed out-of-band
+    * adjudication of blips a recorded loadavg would have settled
+    * mechanically). */
+  private def load1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = load1()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // GraftSession carries the shared configs (nanosAsLong for the
     // events reader, UTC session timezone, AQE) so Bench times the same
@@ -75,9 +85,11 @@ object Bench {
     // rounds' semantics; layer cost is its own headline field.
     val total = results.collect { case (_, v, true) => v }.sum
     val layerTotal = layerTimes.collect { case (_, v, true) => v }.sum
+    val loadEnd = load1()
+    val loadJson = s""""load1_start":$loadStart,"load1_end":$loadEnd"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","layers_sec":$layerTotal,""" +
-        s""""queries":$qs,"layers":$ls,"errors":$errs,"sf":"$sfDir"}"""
+        s"""$loadJson,"queries":$qs,"layers":$ls,"errors":$errs,"sf":"$sfDir"}"""
     // The FULL artifact (full query names, full precision, layer map)
     // goes to a stable file — a consumer that only captures a
     // truncated log tail would otherwise lose the early queries'
@@ -109,7 +121,7 @@ object Bench {
     val fullRef = if (wrote) s""","full":"$out"""" else ""
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","layers_sec":${r3(layerTotal)},""" +
-        s""""queries":$qsShort,"errors":$errs,"sf":"$sfDir"$fullRef}""")
+        s"""$loadJson,"queries":$qsShort,"errors":$errs,"sf":"$sfDir"$fullRef}""")
     spark.stop()
   }
 }

@@ -332,6 +332,17 @@ object SparkEntry {
     // complement of q79/q83's n-gram containment; exact by design
     "q142_embedding_decontam" ->
       ((s, d) => Similarity.embeddingDecontam(s, d)),
+    // recall@5 of the RAW-codes IVF-ADC shape (q137) vs brute force —
+    // one half of the raw-vs-residual recall comparison that justifies
+    // (or refutes) residual encoding's coupling cost, as a hash-checked
+    // query instead of a fixture assertion
+    "q143_ivf_pq_recall" ->
+      ((s, d) => operators.Pq.ivfAdcRecallVsBrute(s, d)),
+    // recall@5 of the FULL residual IVFADC (q141) vs brute force — the
+    // other half: at equal nProbe/codebook budget, residual ≥ raw is
+    // the empirical claim, measured per query
+    "q144_ivfadc_residual_recall" ->
+      ((s, d) => operators.Pq.residualRecallVsBrute(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -601,6 +612,36 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY adc_ip DESC, vec_id) AS BIGINT) AS rank
        |  FROM pqsc)""".stripMargin
+
+  /** Brute-force top-5 + per-query recall tail (q143/q144): expects an
+    * `annk(qid, nbr_id)` CTE (the ANN list under test) and the IVF
+    * chain's `af(vec_id, embedding, nrm)` in scope. Denominator is the
+    * per-query brute list's actual size (the q136 discipline). */
+  private val recallTail =
+    s"""bq AS (SELECT vec_id AS bqid, embedding AS bqemb, nrm AS bqnrm
+       |       FROM af WHERE vec_id < 10),
+       |bsc AS (
+       |  SELECT bqid AS qid, af.vec_id,
+       |    ROUND(list_sum(list_transform(range(1, len(af.embedding) + 1),
+       |      i -> CAST(af.embedding[i] AS DOUBLE) * CAST(bqemb[i] AS DOUBLE)))
+       |      / (af.nrm * bqnrm), 4) AS cos_sim
+       |  FROM af JOIN bq ON af.vec_id <> bqid),
+       |bruk AS (
+       |  SELECT qid, vec_id AS nbr_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM bsc)
+       |  WHERE rank <= 5),
+       |bknt AS (SELECT qid, COUNT(*) AS brute_k FROM bruk GROUP BY qid),
+       |hits AS (
+       |  SELECT annk.qid, COUNT(bruk.nbr_id) AS n_hit
+       |  FROM annk LEFT JOIN bruk
+       |    ON annk.qid = bruk.qid AND annk.nbr_id = bruk.nbr_id
+       |  GROUP BY annk.qid)
+       |SELECT hits.qid,
+       |  ROUND(CAST(n_hit AS DOUBLE) / brute_k, 4) AS recall
+       |FROM hits JOIN bknt ON hits.qid = bknt.qid""".stripMargin
 
   // --- Stupid-backoff LM scoring chain (q130/q139): train on the
   // doc_id%10<8 partition, per-bigram 9dp-decimal log terms, per-doc
@@ -2670,12 +2711,16 @@ object SparkEntry {
          |      ROW_NUMBER() OVER (PARTITION BY qid
          |        ORDER BY cos_sim DESC, vec_id) AS rank
          |    FROM bsc)
-         |  WHERE rank <= 5)
-         |SELECT pqk.qid,
-         |  ROUND(CAST(COUNT(bruk.nbr_id) AS DOUBLE) / 5, 4) AS recall
-         |FROM pqk LEFT JOIN bruk
-         |  ON pqk.qid = bruk.qid AND pqk.nbr_id = bruk.nbr_id
-         |GROUP BY pqk.qid""".stripMargin,
+         |  WHERE rank <= 5),
+         |bknt AS (SELECT qid, COUNT(*) AS brute_k FROM bruk GROUP BY qid),
+         |hits AS (
+         |  SELECT pqk.qid, COUNT(bruk.nbr_id) AS n_hit
+         |  FROM pqk LEFT JOIN bruk
+         |    ON pqk.qid = bruk.qid AND pqk.nbr_id = bruk.nbr_id
+         |  GROUP BY pqk.qid)
+         |SELECT hits.qid,
+         |  ROUND(CAST(n_hit AS DOUBLE) / brute_k, 4) AS recall
+         |FROM hits JOIN bknt ON hits.qid = bknt.qid""".stripMargin,
     "q137_ann_ivf_pq" ->
       s"""WITH $ivfKmeans,
          |$pqFit,
@@ -2820,6 +2865,71 @@ object SparkEntry {
         |      ORDER BY cos_eval DESC, eid) AS r
         |  FROM p)
         |WHERE r = 1""".stripMargin,
+    "q143_ivf_pq_recall" ->
+      s"""WITH $ivfKmeans,
+         |$pqFit,
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM af WHERE vec_id < 10),
+         |${ivfProbes(4)},
+         |$pqLut,
+         |cand AS (
+         |  SELECT probes.qid, af.vec_id
+         |  FROM af JOIN probes ON af.cluster = probes.probe
+         |  WHERE af.vec_id <> probes.qid),
+         |terms AS (
+         |  SELECT cand.qid, cand.vec_id, paf.s, lut.t
+         |  FROM cand
+         |  JOIN paf ON paf.vec_id = cand.vec_id
+         |  JOIN lut ON lut.qid = cand.qid
+         |    AND lut.s = paf.s AND lut.code = paf.code),
+         |sc AS (
+         |  SELECT qid, vec_id,
+         |    ROUND(list_sum(list(t ORDER BY s)), 4) AS adc_ip
+         |  FROM terms GROUP BY qid, vec_id),
+         |annk AS (
+         |  SELECT qid, vec_id AS nbr_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY adc_ip DESC, vec_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 5),
+         |$recallTail""".stripMargin,
+    "q144_ivfadc_residual_recall" ->
+      s"""WITH $ivfKmeans,
+         |$pqResidualSv,
+         |$pqFitCore,
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |       FROM af WHERE vec_id < 10),
+         |${ivfProbes(4)},
+         |$pqLut,
+         |celld AS (
+         |  SELECT probes.qid, probes.probe,
+         |    ${ivfDot("qv.qemb", "c2.c")} AS celldot
+         |  FROM probes
+         |  JOIN qv USING (qid)
+         |  JOIN c2 ON c2.cluster = probes.probe),
+         |cand AS (
+         |  SELECT celld.qid, af.vec_id, celld.celldot
+         |  FROM af JOIN celld ON af.cluster = celld.probe
+         |  WHERE af.vec_id <> celld.qid),
+         |terms AS (
+         |  SELECT cand.qid, cand.vec_id, cand.celldot, paf.s, lut.t
+         |  FROM cand
+         |  JOIN paf ON paf.vec_id = cand.vec_id
+         |  JOIN lut ON lut.qid = cand.qid
+         |    AND lut.s = paf.s AND lut.code = paf.code),
+         |sc AS (
+         |  SELECT qid, vec_id,
+         |    ROUND(celldot + list_sum(list(t ORDER BY s)), 4) AS adc_ip
+         |  FROM terms GROUP BY qid, vec_id, celldot),
+         |annk AS (
+         |  SELECT qid, vec_id AS nbr_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY adc_ip DESC, vec_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 5),
+         |$recallTail""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -25,6 +25,19 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Session-cached row count of a fixture table. Corpus-derived layer
+    * parameters (SimHash banding scheme, SRP band width, IVF k, kNN
+    * nProbe, TF-IDF doc total) each re-ran this count per invocation —
+    * a repeated Spark job for a value that is fixed per (session,
+    * sfDir) under the warehouse snapshot assumption [[SessionCache]]
+    * already documents for every derived layer. A miss is a parquet
+    * row-group metadata read (cheap); the cache makes the repeats
+    * free. */
+  private val countCache = new SessionCache[(String, String), java.lang.Long]()
+  def countOf(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.getOrCompute(spark, (sfDir, name))(
+      java.lang.Long.valueOf(read(spark, sfDir, name).count())).longValue()
+
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")

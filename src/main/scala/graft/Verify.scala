@@ -102,7 +102,7 @@ object Verify {
     val srpOracleKeys = Set("q23_embedding_pairs")
       .intersect(SparkEntry.oracleSql.keySet)
     val embeddingCount: Option[Long] =
-      try Some(Tables.embeddings(spark, sfDir).count())
+      try Some(Tables.countOf(spark, sfDir, "embeddings"))
       catch { case e: Throwable =>
         System.err.println(
           s"[verify] embeddings count failed (${e.getMessage}) — dropping corpus-pinned oracles")

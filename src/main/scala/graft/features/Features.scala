@@ -111,7 +111,7 @@ object Features {
     val tokens = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val nDocs = Tables.documents(spark, sfDir).count()
+    val nDocs = Tables.countOf(spark, sfDir, "documents")
     val df_ = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
     tf.join(broadcast(df_), "term")

@@ -280,7 +280,7 @@ object Dedup {
     // pigeonhole guarantee stay on the classic scheme and accept the
     // documented probabilistic recall.
     val useManku = maxHamming <= 3 &&
-      Tables.documents(spark, sfDir).count() > SimHashClassicMaxDocs
+      Tables.countOf(spark, sfDir, "documents") > SimHashClassicMaxDocs
     simhashPairsScheme(simhashSignatures(spark, sfDir),
       if (useManku) SimHashMankuTables else SimHashClassicTables, maxHamming)
   }
@@ -615,13 +615,14 @@ object Dedup {
                              planesPerBand: Int = 0, bands: Int = 8): DataFrame = {
     val raw = Tables.embeddings(spark, sfDir)
     val base = Similarity.spread(raw)
-    // Derive from the RAW table's count: a parquet row-group metadata
-    // read, vs counting through `spread`'s repartition, which would
-    // execute a full shuffle of the vector payload just to be thrown
-    // away (repartition preserves cardinality, so the value is equal).
+    // Derive from the session-cached RAW table count (one metadata-read
+    // job per (session, sfDir), free on repeats) — never through
+    // `spread`'s repartition, which would execute a full shuffle of the
+    // vector payload just to be thrown away (repartition preserves
+    // cardinality, so the value is equal).
     val pp =
       if (planesPerBand > 0) planesPerBand
-      else deriveSrpPlanes(raw.count())
+      else deriveSrpPlanes(Tables.countOf(spark, sfDir, "embeddings"))
     val e = base
       .select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))

@@ -208,7 +208,7 @@ object Ivf {
     * the same cache entry the query probes. */
   def semanticK(spark: SparkSession, sfDir: String, kClusters: Int = 0): Int =
     if (kClusters > 0) kClusters
-    else deriveK(Tables.embeddings(spark, sfDir).count())
+    else deriveK(Tables.countOf(spark, sfDir, "embeddings"))
 
   /** [[semanticKeep]] over an arbitrary `(vec_id, embedding)` frame
     * with caller-supplied centroids — spec-visible so dominance

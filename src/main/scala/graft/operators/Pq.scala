@@ -366,20 +366,60 @@ object Pq {
 
   /** q136: recall\@k of the PQ index against the exact brute-force
     * baseline — the eval harness every compressed-index deployment
-    * runs before flipping traffic. One row per query: |PQ∩brute|/k.
-    * Both sides reuse their query operators unchanged, so this measures
+    * runs before flipping traffic. One row per query:
+    * |PQ∩brute| / |brute| — the denominator is the per-query brute
+    * list's ACTUAL size, not the `topk` parameter: on a corpus with
+    * fewer than topk+1 vectors both lists shorten, and dividing by
+    * topk would under-report a perfect match as < 1 (equal on every
+    * corpus with ≥ topk non-query vectors, the fixture case). Both
+    * sides reuse their query operators unchanged, so this measures
     * exactly what q135 serves. */
   def recallVsBrute(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-                    topk: Int = 5): DataFrame = {
-    val pq = adcTopK(spark, sfDir, nQueries, topk)
-      .select(col("qid"), col("nbr_id"))
-    val brute = Similarity.bruteForceTopK(spark, sfDir, nQueries, topk)
-      .select(col("qid"), col("nbr_id"), lit(1L).as("hit"))
-    // left join so a query whose PQ list misses the brute set entirely
+                    topk: Int = 5): DataFrame =
+    recallAgainst(adcTopK(spark, sfDir, nQueries, topk),
+      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+
+  /** q143: recall\@k of the RAW-codes IVF-ADC deployment shape (q137 —
+    * coarse pruning + codebooks over raw vectors) against exact brute
+    * force. Together with [[residualRecallVsBrute]] this makes the
+    * raw-vs-residual recall comparison — the empirical claim behind
+    * q141's codebook-to-quantizer coupling — a pair of hash-checked
+    * queries rather than a fixture assertion. */
+  def ivfAdcRecallVsBrute(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 10, topk: Int = 5,
+                          kClusters: Int = 16, nProbe: Int = 4): DataFrame =
+    recallAgainst(ivfAdcTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
+      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+
+  /** q144: recall\@k of the FULL residual IVFADC pipeline (q141 —
+    * coarse pruning + codebooks over cell residuals) against exact
+    * brute force — the residual twin of the q136/q143 gates. */
+  def residualRecallVsBrute(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, topk: Int = 5,
+                            kClusters: Int = 16, nProbe: Int = 4): DataFrame =
+    recallAgainst(
+      ivfAdcResidualTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
+      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+
+  /** Shared recall arithmetic: one row per query, |ann ∩ brute| divided
+    * by the per-query brute list's ACTUAL size — never the `topk`
+    * parameter: on a corpus with fewer than topk+1 vectors both lists
+    * shorten, and a topk denominator would under-report a perfect
+    * match as < 1 (equal whenever the corpus has ≥ topk non-query
+    * vectors, the fixture case). Both sides arrive from their serving
+    * operators unchanged, so the gate measures exactly what serves. */
+  private def recallAgainst(ann: DataFrame, bruteTopK: DataFrame): DataFrame = {
+    val brute = bruteTopK.select(col("qid"), col("nbr_id"), lit(1L).as("hit"))
+    // ≤ nQueries rows — a broadcast-sized denominator frame
+    val bruteK = brute.groupBy(col("qid")).agg(count(lit(1)).as("brute_k"))
+    // left join so a query whose ANN list misses the brute set entirely
     // still reports recall 0 instead of vanishing from the output
-    pq.join(brute, Seq("qid", "nbr_id"), "left")
+    ann.select(col("qid"), col("nbr_id"))
+      .join(brute, Seq("qid", "nbr_id"), "left")
       .groupBy(col("qid"))
-      .agg(round(sum(coalesce(col("hit"), lit(0L))).cast("double") / topk, 4)
-        .as("recall"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .join(broadcast(bruteK), Seq("qid"))
+      .select(col("qid"),
+        round(col("hits").cast("double") / col("brute_k"), 4).as("recall"))
   }
 }

@@ -240,7 +240,7 @@ object Similarity {
     // nProbe above it, without the caller having to opt in at scale
     val probes =
       if (nProbe <= 0)
-        deriveNProbe(Tables.embeddings(spark, sfDir).count(), centroids.length)
+        deriveNProbe(Tables.countOf(spark, sfDir, "embeddings"), centroids.length)
       else math.min(nProbe, centroids.length)
     val e = spread(Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("label"),
@@ -344,27 +344,52 @@ object Similarity {
     * oracle. Same plan either way: one map-side signature pass, a
     * bucket equi-join against the broadcast query side, per-query top-k
     * window. */
-  /** q142: embedding-space decontamination — flag every corpus vector
-    * whose cosine to ANY benchmark/eval vector reaches `tau`, the
-    * semantic complement of the n-gram containment checks (q79/q83):
+  /** Broadcast ceiling for the decontamination eval side: above this
+    * many eval vectors the broadcast (≤ ~8192 × 64 floats ≈ 2 MiB at
+    * the testdata dim; ~32 MiB at dim 1024) stops being "free to every
+    * executor", and the exact pass's pair-work |corpus|·|eval| stops
+    * being corpus-linear-with-small-constant. Same discipline as
+    * [[ProbeAllMaxVectors]]: one constant marks where "small side =
+    * exact broadcast by default" ends — beyond it the caller must
+    * shard the eval set and union the per-shard argmaxes, or route
+    * through the IVF index ([[knnClassify]]'s cell-restricted path). */
+  val DecontamMaxEvalVectors = 8192L
+
+  /** Embedding-space decontamination against an EXPLICIT eval frame —
+    * the entry point a real pipeline calls with its benchmark/eval
+    * holdout (a frame the corpus never saw). Flags every corpus vector
+    * whose cosine to ANY eval vector reaches `tau`: the semantic
+    * complement of the n-gram containment checks (q79/q83) —
     * paraphrased eval leakage that shares no 8-gram still lands near
-    * its source in embedding space. The eval set is SMALL by
-    * construction (here the deterministic vec_id % 50 == 0 holdout),
-    * so the exact check is one broadcast pass over the corpus — the
-    * q24 shape with an argmax instead of a top-k window: the per-row
+    * its source in embedding space. Both frames carry
+    * `(vec_id, embedding array<float>)`.
+    *
+    * Plan: broadcast the eval side, one pass over the corpus — the q24
+    * shape with an argmax instead of a top-k window: the per-row
     * fan-out (|eval| comparisons) collapses map-side under the partial
     * max, so the only shuffle carries one row per corpus vector. No
     * approximation: decontamination is a recall-critical gate, and the
-    * small side makes exactness affordable at any corpus scale. */
-  def embeddingDecontam(spark: SparkSession, sfDir: String,
-                        tau: Double = 0.6): DataFrame = {
-    val e = spread(Tables.embeddings(spark, sfDir))
+    * bounded small side makes exactness affordable at any corpus
+    * scale. The plan is correct ONLY while the eval side is small, so
+    * the size is enforced, not assumed: an eval frame above
+    * [[DecontamMaxEvalVectors]] is refused up front (the
+    * [[ProbeAllMaxVectors]] discipline) rather than silently handed to
+    * a multi-GB broadcast. */
+  def embeddingDecontamFrom(corpus: DataFrame, evalDf: DataFrame,
+                            tau: Double = 0.6): DataFrame = {
+    val nEval = evalDf.count()
+    require(nEval <= DecontamMaxEvalVectors,
+      s"decontamination eval side has $nEval vectors, above the broadcast " +
+        s"ceiling DecontamMaxEvalVectors=$DecontamMaxEvalVectors: the exact " +
+        "broadcast-argmax plan would ship an unbounded small side to every " +
+        "executor. Shard the eval set and union per-shard results, or use " +
+        "the IVF cell-restricted path.")
+    val c = corpus
       .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
-    val eval = e.filter(col("vec_id") % 50 === 0)
+    val eval = evalDf
       .select(col("vec_id").as("eid"), col("embedding").as("eemb"),
-        col("nrm").as("enrm"))
-    e.filter(col("vec_id") % 50 =!= 0)
-      .join(broadcast(eval))
+        l2norm(col("embedding")).as("enrm"))
+    c.join(broadcast(eval))
       .withColumn("cos_eval", round(
         dot(col("embedding"), col("eemb")) / (col("nrm") * col("enrm")), 4))
       .groupBy(col("vec_id"))
@@ -373,6 +398,23 @@ object Similarity {
           .as("nearest_eval_id"))
       .select(col("vec_id"), col("nearest_eval_id"), col("max_eval_cos"),
         (col("max_eval_cos") >= tau).as("contaminated"))
+  }
+
+  /** q142 fixture adapter for [[embeddingDecontamFrom]]: with no
+    * external benchmark shipped in the testdata, the deterministic
+    * `vec_id % 50 == 0` slice of the embeddings table stands in for
+    * the eval holdout (2% of the fixture corpus — bounded here by the
+    * fixture, while the real entry point's bound is enforced by the
+    * [[DecontamMaxEvalVectors]] guard). The derivation lives ONLY in
+    * this adapter; production callers pass their actual holdout to
+    * [[embeddingDecontamFrom]]. */
+  def embeddingDecontam(spark: SparkSession, sfDir: String,
+                        tau: Double = 0.6): DataFrame = {
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+    embeddingDecontamFrom(
+      e.filter(col("vec_id") % 50 =!= 0),
+      e.filter(col("vec_id") % 50 === 0), tau)
   }
 
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,

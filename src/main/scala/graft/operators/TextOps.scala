@@ -17,6 +17,27 @@ object TextOps {
   private[graft] val StopWords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Stop-word hit count over the raw `text` column — the `n_stop`
+    * metric every gate consumer derives the same way. */
+  private[graft] def stopHits: Column = {
+    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))")
+  }
+
+  /** q27 composite gate thresholds + the gate itself, over the
+    * pre-computed metric columns (`n_tokens`, `n_chars`, `n_stop`) —
+    * the SINGLE definition of "passes quality" (C4-style), consumed by
+    * [[qualityScore]] (q27), [[corpusFilter]] (q62) and the streaming
+    * ingest monitor (q140's `docMetrics`) so the batch gate and the
+    * monitor gate cannot silently drift. The DuckDB oracles necessarily
+    * restate the thresholds in SQL; this is the one place they live in
+    * engine code. */
+  private[graft] val MinQualityTokens = 10
+  private[graft] val MinQualityChars = 50
+  private[graft] def qualityGate: Column =
+    col("n_tokens") >= MinQualityTokens &&
+      col("n_chars") >= MinQualityChars && col("n_stop") > 0
+
   private def toks: Column = split(col("text"), " ")
 
   /** Token statistics: whitespace tokens, a regex word tokenizer, a
@@ -33,10 +54,9 @@ object TextOps {
     * type-token ratio — the standard cheap filters
     * (C4/Gopher-style heuristics, expressed as one projection). */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val stopList = StopWords.map(s => s"'$s'").mkString(", ")
     Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_stop", expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
+      .withColumn("n_stop", stopHits)
       .select(
         col("doc_id"),
         col("n_chars"),
@@ -45,9 +65,7 @@ object TextOps {
           .as("mean_token_len"),
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
         round(size(array_distinct(toks)).cast("double") / col("n_tokens"), 4).as("type_token_ratio"),
-        // composite boolean quality gate, C4-style
-        (col("n_tokens") >= 10 && col("n_chars") >= 50 &&
-          (col("n_stop") > 0)).as("passes_quality"))
+        qualityGate.as("passes_quality"))
   }
 
   /** Language-ID heuristic: marker-token hit counts per language,
@@ -101,16 +119,15 @@ object TextOps {
     }
     val keep = Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_stop",
-        hits(Seq("the", "a", "and", "of", "to", "in", "is")))
+      .withColumn("n_stop", stopHits)
       .withColumn("score_en", hits(Seq("the", "a", "and", "of", "is")))
       .withColumn("score_es", hits(Seq("el", "la", "los", "de", "es")))
       .withColumn("score_de", hits(Seq("der", "die", "das", "und", "ist")))
       .withColumn("score_fr", hits(Seq("le", "la", "les", "de", "est")))
-      // passes_quality (q27 gate) && lang_pred == "en" (q28 argmax):
-      // the en branch of the when-chain, inlined as its condition
+      // passes_quality (the shared q27 gate) && lang_pred == "en"
+      // (q28 argmax): the en branch of the when-chain, inlined
       .filter(
-        col("n_tokens") >= 10 && col("n_chars") >= 50 && col("n_stop") > 0 &&
+        qualityGate &&
           col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
           col("score_en") >= col("score_fr") && col("score_en") > 0)
       .select(col("doc_id"), col("n_tokens"))

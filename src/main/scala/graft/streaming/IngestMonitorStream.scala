@@ -27,19 +27,16 @@ object IngestMonitorStream {
 
   /** Per-document stateless quality metrics over a frame carrying
     * (`source`, `ts`, `text`, `n_chars`): token count and the q27
-    * composite gate — ONE definition (the [[graft.operators.TextOps]]
-    * stop list), shared by the batch query and the live stream. */
-  def docMetrics(docs: DataFrame): DataFrame = {
-    val stopList = graft.operators.TextOps.StopWords
-      .map(s => s"'$s'").mkString(", ")
+    * composite gate — ONE definition, thresholds included
+    * ([[graft.operators.TextOps.qualityGate]] over
+    * [[graft.operators.TextOps.stopHits]]), shared by the batch query
+    * and the live stream so the two gates cannot drift. */
+  def docMetrics(docs: DataFrame): DataFrame =
     docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_stop",
-        expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
-      .withColumn("passes",
-        col("n_tokens") >= 10 && col("n_chars") >= 50 && col("n_stop") > 0)
+      .withColumn("n_stop", graft.operators.TextOps.stopHits)
+      .withColumn("passes", graft.operators.TextOps.qualityGate)
       .select(col("source"), col("ts"), col("n_tokens"), col("passes"))
-  }
 
   /** The shared windowed aggregation: (window, source) → doc count,
     * token volume, gate pass count + rate. Works unchanged on a static

@@ -188,7 +188,12 @@ object ScaleBench {
       System.err.println(f"[scale] $q%-24s base $base%7.2f s  ${k}x $scaled%7.2f s  ratio $ratio%5.2f")
       s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":$ratio}"""
     }
-    val json = s"""{"k":$k,"base":"$baseDir","queries":{${rows.mkString(",")}},""" +
+    // In-artifact 1-min loadavg: ratio blips under host contention have
+    // needed out-of-band adjudication every round this was absent.
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val json = s"""{"k":$k,"base":"$baseDir","load1_end":$load1,""" +
+      s""""queries":{${rows.mkString(",")}},""" +
       s""""note":"ratio <= $k means per-row cost did not grow; audits claim <= 2x per-row, i.e. ratio <= ${2 * k}"}"""
     println(json)
     Files.write(Paths.get("BENCH_sf1.json"),

@@ -203,6 +203,18 @@ class PqSpec extends SparkSpec {
     assert(rows.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
   }
 
+  test("recall stays a true fraction when topk exceeds the corpus") {
+    // topk > |corpus|-1 shortens BOTH lists to the full 499-candidate
+    // set, so every query's PQ list trivially covers the brute list:
+    // recall must be exactly 1.0. Dividing by the topk parameter (the
+    // pre-fix denominator) would report 499/600 ≈ 0.83 here.
+    val rows = Pq.recallVsBrute(spark, sf("0.001"), nQueries = 2, topk = 600)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 2)
+    assert(rows.forall { case (_, r) => r == 1.0 },
+      s"degenerate-corpus recall must be 1.0, got ${rows.mkString(",")}")
+  }
+
   private def Tables_embeddings(): Seq[(Long, Array[Float])] =
     graft.Tables.embeddings(spark, sf("0.001"))
       .select(col("vec_id"), col("embedding")).limit(64)
