@@ -343,6 +343,12 @@ object SparkEntry {
     // the empirical claim, measured per query
     "q144_ivfadc_residual_recall" ->
       ((s, d) => operators.Pq.residualRecallVsBrute(s, d)),
+    // the end-to-end nightly curation query: strip dup spans → quality
+    // + English gate on the cleaned text → near-dup canonical keep →
+    // semantic (embedding) dedup → mixture-weighted sampling, all
+    // through the session layers — hash-checked by composing the
+    // component oracle chains
+    "q145_curation_set" -> ((s, d) => operators.Curation.trainingSet(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -2930,6 +2936,108 @@ object SparkEntry {
          |    FROM sc)
          |  WHERE rank <= 5),
          |$recallTail""".stripMargin,
+    // q145: the component oracle chains composed — dup-span strip
+    // (q134, z-prefixed to avoid CTE collisions), quality+English gate
+    // over the CLEANED text (q27/q28 predicates), near-dup canonical
+    // keep (the q62 recursive-CTE cluster labels), semantic keep
+    // (q129's within-cell dominance over the unrolled IVF fit), and
+    // the q97 mixture-rate membership.
+    "q145_curation_set" ->
+      s"""WITH RECURSIVE $dupClusters,
+         |$ivfKmeans,
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${ivfDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.4),
+         |sem AS (
+         |  SELECT af.vec_id AS doc_id, CAST(af.cluster AS INT) AS cell
+         |  FROM af WHERE af.vec_id NOT IN (SELECT vec_id FROM dom)),
+         |zt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |zp0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM zt),
+         |zp AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+         |       FROM zp0),
+         |zd AS (SELECT g FROM zp GROUP BY g HAVING COUNT(*) >= 2),
+         |zdp AS (SELECT doc_id, pos FROM zp JOIN zd USING (g)),
+         |zf AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+         |             THEN 0 ELSE 1 END AS new_span
+         |       FROM zdp),
+         |zs AS (SELECT doc_id, pos,
+         |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS span_id
+         |       FROM zf),
+         |zspans AS (SELECT doc_id, MIN(pos) AS start_pos,
+         |        MAX(pos) + 7 AS end_pos
+         |       FROM zs GROUP BY doc_id, span_id),
+         |ztok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |zpt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM ztok),
+         |zkept AS (
+         |  SELECT p.doc_id, p.pos, p.t[p.pos] AS tok FROM zpt p
+         |  WHERE NOT EXISTS (SELECT 1 FROM zspans sp
+         |    WHERE sp.doc_id = p.doc_id
+         |      AND p.pos BETWEEN sp.start_pos AND sp.end_pos)),
+         |zagg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM zkept GROUP BY doc_id),
+         |cleaned AS (
+         |  SELECT d0.doc_id,
+         |    CAST(len(string_split(d0.text, ' ')) - COALESCE(za.n_kept, 0)
+         |      AS BIGINT) AS n_removed,
+         |    COALESCE(za.clean_text, '') AS clean_text
+         |  FROM documents d0 LEFT JOIN zagg za USING (doc_id)),
+         |gq AS (
+         |  SELECT doc_id, n_removed, clean_text,
+         |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens_clean,
+         |    len(clean_text) AS n_chars,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS score_en,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('el', 'la', 'los', 'de', 'es'))) AS score_es,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('le', 'la', 'les', 'de', 'est'))) AS score_fr
+         |  FROM cleaned),
+         |keepg AS (
+         |  SELECT doc_id, n_tokens_clean, n_removed, clean_text FROM gq
+         |  WHERE n_tokens_clean >= 10 AND n_chars >= 50 AND n_stop > 0
+         |    AND score_en >= score_es AND score_en >= score_de
+         |    AND score_en >= score_fr AND score_en > 0),
+         |mp AS (
+         |  SELECT lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws
+         |  FROM documents GROUP BY 1),
+         |mt AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM mp),
+         |ms AS (
+         |  SELECT lang,
+         |    ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share,
+         |    sqrt(ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6)) AS w_raw
+         |  FROM mp, mt),
+         |mw AS (SELECT SUM(w_raw) AS w_sum FROM ms),
+         |mr AS (
+         |  SELECT lang,
+         |    LEAST(1.0, ROUND(w_raw / w_sum / token_share, 6)) AS rate
+         |  FROM ms, mw),
+         |md AS (
+         |  SELECT doc_id, lang,
+         |    CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+         |      % 1048576 AS DOUBLE) / 1048576.0 AS u
+         |  FROM documents),
+         |smp AS (
+         |  SELECT doc_id, md.lang FROM md JOIN mr ON md.lang = mr.lang
+         |  WHERE u < rate)
+         |SELECT k.doc_id, smp.lang, d2.source, sem.cell,
+         |  k.n_tokens_clean, k.n_removed, k.clean_text
+         |FROM keepg k
+         |JOIN clusters c ON c.doc_id = k.doc_id AND c.doc_id = c.cluster_id
+         |JOIN sem ON sem.doc_id = k.doc_id
+         |JOIN smp ON smp.doc_id = k.doc_id
+         |JOIN documents d2 ON d2.doc_id = k.doc_id""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

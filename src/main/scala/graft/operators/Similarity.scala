@@ -400,6 +400,51 @@ object Similarity {
         (col("max_eval_cos") >= tau).as("contaminated"))
   }
 
+  /** The sharding escape hatch [[embeddingDecontamFrom]]'s guard names:
+    * an eval set ABOVE the broadcast ceiling is split into
+    * ⌈|eval|/shardSize⌉ deterministic hash-shards, each run through the
+    * same exact broadcast-argmax pass, and the per-shard argmaxes
+    * re-reduced per corpus vector. Exactness is preserved — max over a
+    * partition of the eval set IS the global max, and the nearest-id
+    * tie-break (max cos, then lowest eid) re-applies identically at the
+    * reduce — while each broadcast stays ≤ shardSize vectors. Cost is
+    * one corpus pass per shard: linear in |eval|·|corpus| like the
+    * single-pass form, just paged; for eval sets so large that
+    * nShards·|corpus| passes dominate, route through the IVF index
+    * instead ([[knnClassify]]'s cell-restricted discipline). */
+  def embeddingDecontamShardedFrom(corpus: DataFrame, evalDf: DataFrame,
+                                   tau: Double = 0.6,
+                                   shardSize: Long = DecontamMaxEvalVectors)
+      : DataFrame = {
+    require(shardSize >= 1 && shardSize <= DecontamMaxEvalVectors,
+      s"shardSize must be in [1, $DecontamMaxEvalVectors], got $shardSize")
+    val nEval = evalDf.count()
+    val nShards = math.max(1L, (nEval + shardSize - 1) / shardSize).toInt
+    val c = corpus
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"))
+    val perShard = (0 until nShards).map { s =>
+      val shard = evalDf
+        .filter(pmod(xxhash64(col("vec_id")), lit(nShards.toLong)) === s)
+        .select(col("vec_id").as("eid"), col("embedding").as("eemb"),
+          l2norm(col("embedding")).as("enrm"))
+      c.join(broadcast(shard))
+        .withColumn("cos_eval", round(
+          dot(col("embedding"), col("eemb")) / (col("nrm") * col("enrm")), 4))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cos_eval")).as("max_eval_cos"),
+          max_by(col("eid"), struct(col("cos_eval"), -col("eid")))
+            .as("nearest_eval_id"))
+    }
+    perShard.reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(max(col("max_eval_cos")).as("max_eval_cos"),
+        max_by(col("nearest_eval_id"),
+          struct(col("max_eval_cos"), -col("nearest_eval_id")))
+          .as("nearest_eval_id"))
+      .select(col("vec_id"), col("nearest_eval_id"), col("max_eval_cos"),
+        (col("max_eval_cos") >= tau).as("contaminated"))
+  }
+
   /** q142 fixture adapter for [[embeddingDecontamFrom]]: with no
     * external benchmark shipped in the testdata, the deterministic
     * `vec_id % 50 == 0` slice of the embeddings table stands in for

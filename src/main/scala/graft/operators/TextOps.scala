@@ -38,6 +38,26 @@ object TextOps {
     col("n_tokens") >= MinQualityTokens &&
       col("n_chars") >= MinQualityChars && col("n_stop") > 0
 
+  /** Language marker lists + the hit-count column — shared by
+    * [[langId]] (q28), [[corpusFilter]] (q62) and the curation
+    * composition (q145) so the language heuristic has one
+    * definition. */
+  private[graft] val EnMarkers = Seq("the", "a", "and", "of", "is")
+  private[graft] val EsMarkers = Seq("el", "la", "los", "de", "es")
+  private[graft] val DeMarkers = Seq("der", "die", "das", "und", "ist")
+  private[graft] val FrMarkers = Seq("le", "la", "les", "de", "est")
+  private[graft] def markerHits(words: Seq[String]): Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
+  }
+
+  /** The q28 argmax's English branch as a predicate over the four
+    * pre-computed `score_*` columns — shared by [[corpusFilter]] and
+    * the curation composition. */
+  private[graft] def englishArgmax: Column =
+    col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+      col("score_en") >= col("score_fr") && col("score_en") > 0
+
   private def toks: Column = split(col("text"), " ")
 
   /** Token statistics: whitespace tokens, a regex word tokenizer, a
@@ -73,15 +93,11 @@ object TextOps {
     * English-ish regardless of its `lang` column — the operator reports
     * its own classification plus agreement with the label.) */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    def hits(words: Seq[String]): Column = {
-      val list = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
-    }
     Tables.documents(spark, sfDir)
-      .withColumn("score_en", hits(Seq("the", "a", "and", "of", "is")).cast("long"))
-      .withColumn("score_es", hits(Seq("el", "la", "los", "de", "es")))
-      .withColumn("score_de", hits(Seq("der", "die", "das", "und", "ist")))
-      .withColumn("score_fr", hits(Seq("le", "la", "les", "de", "est")))
+      .withColumn("score_en", markerHits(EnMarkers).cast("long"))
+      .withColumn("score_es", markerHits(EsMarkers))
+      .withColumn("score_de", markerHits(DeMarkers))
+      .withColumn("score_fr", markerHits(FrMarkers))
       .withColumn("lang_pred",
         when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
           col("score_en") >= col("score_fr") && col("score_en") > 0, "en")
@@ -113,23 +129,17 @@ object TextOps {
     * The only remaining shuffle is the label join. */
   def corpusFilter(spark: SparkSession, sfDir: String,
                    clusters: DataFrame): DataFrame = {
-    def hits(words: Seq[String]): Column = {
-      val list = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(text, ' '), t -> t IN ($list)))")
-    }
     val keep = Tables.documents(spark, sfDir)
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stop", stopHits)
-      .withColumn("score_en", hits(Seq("the", "a", "and", "of", "is")))
-      .withColumn("score_es", hits(Seq("el", "la", "los", "de", "es")))
-      .withColumn("score_de", hits(Seq("der", "die", "das", "und", "ist")))
-      .withColumn("score_fr", hits(Seq("le", "la", "les", "de", "est")))
+      .withColumn("score_en", markerHits(EnMarkers))
+      .withColumn("score_es", markerHits(EsMarkers))
+      .withColumn("score_de", markerHits(DeMarkers))
+      .withColumn("score_fr", markerHits(FrMarkers))
       // passes_quality (the shared q27 gate) && lang_pred == "en"
       // (q28 argmax): the en branch of the when-chain, inlined
       .filter(
-        qualityGate &&
-          col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
-          col("score_en") >= col("score_fr") && col("score_en") > 0)
+        qualityGate && englishArgmax)
       .select(col("doc_id"), col("n_tokens"))
     keep.join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster_id"))

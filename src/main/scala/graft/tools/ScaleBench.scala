@@ -72,7 +72,16 @@ object ScaleBench {
     // round 12: embedding decontam — eval side grows with the corpus
     // here (vec_id % 50), so the ratio bounds the fan-out staying
     // map-side-collapsed even as BOTH sides scale 10x
-    "q142_embedding_decontam")
+    "q142_embedding_decontam",
+    // round 13: the raw-vs-residual recall gates — run at 10x so the
+    // recall comparison that justifies residual encoding is measured
+    // on a lake where the cells are actually populated, not only on
+    // the 500-vector fixture
+    "q143_ivf_pq_recall", "q144_ivfadc_residual_recall",
+    // round 13: the composed nightly curation query — the 10x point
+    // that backs the claim that the composition pays each layer once
+    // and adds only doc-keyed equi-joins on top of its components
+    "q145_curation_set")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
@@ -181,12 +190,28 @@ object ScaleBench {
         System.err.println(f"[scale] layer $name ($d) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    // Output cardinality at each scale (untimed .count() with its
+    // pruned plan — NOT the timed noop write): makes per-row cost
+    // mechanical in the artifact. A wall ratio above k on a query whose
+    // output grows ~k× (q138-class: one row per corpus doc) with
+    // per_row_ratio <= 1 is work-dominated-base — the base run was
+    // mostly fixed cost — and needs no out-of-band adjudication.
+    def rowsOf(dir: String, name: String): Long =
+      graft.SparkEntry.queries(name)(spark, dir).count()
     val rows = AuditQueries.map { q =>
       val base = time(baseDir, q)
       val scaled = time(outDir, q)
       val ratio = scaled / math.max(base, 1e-9)
-      System.err.println(f"[scale] $q%-24s base $base%7.2f s  ${k}x $scaled%7.2f s  ratio $ratio%5.2f")
-      s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":$ratio}"""
+      val baseRows = rowsOf(baseDir, q)
+      val scaledRows = rowsOf(outDir, q)
+      // sec-per-row ratio; meaningful when output tracks corpus size
+      // (rows growing with the lake), degenerate for fixed-k outputs
+      val perRow = (scaled / math.max(scaledRows, 1L)) /
+        math.max(base / math.max(baseRows, 1L), 1e-12)
+      System.err.println(f"[scale] $q%-24s base $base%7.2f s/$baseRows%d  " +
+        f"${k}x $scaled%7.2f s/$scaledRows%d  ratio $ratio%5.2f  per-row $perRow%5.2f")
+      s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":$ratio,""" +
+        s""""base_rows":$baseRows,"scaled_rows":$scaledRows,"per_row_ratio":$perRow}"""
     }
     // In-artifact 1-min loadavg: ratio blips under host contention have
     // needed out-of-band adjudication every round this was absent.

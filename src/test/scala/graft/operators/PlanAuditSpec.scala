@@ -448,4 +448,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"no partial aggregation:\n$p")
   }
+
+  test("curation set: each session layer read once, every join keyed or tiny-broadcast") {
+    val df = Curation.trainingSet(spark, sf())
+    df.collect()
+    val p = plan(df)
+    val fp = p.split("== Initial Plan ==")(0)
+    assert(!fp.contains("CartesianProduct"),
+      s"curation chain degenerated to a cartesian:\n$p")
+    assert(!fp.contains("ScalaUDF"), s"UDF in the curation path:\n$p")
+    // layer-reuse contract: the dup_spans and dedup_clusters layers are
+    // localCheckpoint-backed — each must appear as EXACTLY one RDD scan
+    // (a second scan of either means a consumer recomputed or re-read a
+    // layer the composition claims to share)
+    val rddScans = "Scan ExistingRDD".r.findAllIn(fp).size
+    assert(rddScans == 2,
+      s"expected exactly 2 layer reads (dup_spans, dedup_clusters), saw $rddScans:\n$p")
+    // base-table budget: documents feeds the strip, the mixture stats,
+    // the mixture membership and the source join; embeddings feeds the
+    // semantic keep's dominance pair — a count above this means some
+    // stage re-scanned a table its input already carried
+    val scans = "Scan parquet".r.findAllIn(fp).size
+    assert(scans <= 7, s"curation re-scans a base table ($scans scans):\n$p")
+    // the only nested-loop joins are the documented 1-row totals
+    // broadcasts (mixture weights' w_sum/total); each BNL must be a
+    // broadcast of a single-row aggregate, never a corpus side
+    assert(!fp.contains("BroadcastNestedLoopJoin") ||
+      fp.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"nested-loop without an identity (tiny totals) broadcast:\n$p")
+  }
 }
