@@ -349,6 +349,12 @@ object SparkEntry {
     // through the session layers — hash-checked by composing the
     // component oracle chains
     "q145_curation_set" -> ((s, d) => operators.Curation.trainingSet(s, d)),
+    // q145 with both decontamination gates: lexical (q79 shared-shingle
+    // semi-join, eval docs themselves dropped) and semantic (q142
+    // cosine-to-eval verdicts, survivors carry their margin) — the
+    // eval-protected training set a lab actually ships from
+    "q146_curation_decontam" ->
+      ((s, d) => operators.Curation.trainingSetDecontaminated(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -393,6 +399,11 @@ object SparkEntry {
     // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
     // counting passes over the train split, checkpointed once
     "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),
+    // hashed gram counts collapsed per (doc, bucket) — the text
+    // explode behind DSIR (q138), paid once; both the λ-distribution
+    // collect and the scoring join read the collapsed frame
+    "dsir_gram_counts" ->
+      ((s, d) => { operators.Dsir.materializedGramCounts(s, d); () }),
     // TF-IDF postings: tokenize + explode + doc-freq join, checkpointed
     // once; q34 and both envelope layers below read it
     "tfidf_postings" ->
@@ -760,6 +771,101 @@ object SparkEntry {
        |clusters AS (
        |  SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.m, d.doc_id)) AS cluster_id
        |  FROM documents d LEFT JOIN minr m ON d.doc_id = m.doc_id)""".stripMargin
+
+  /** The q145 CTE chain — dup-span strip, quality+English gate
+    * over the cleaned text, near-dup canonical labels, semantic keep,
+    * and the mixture-rate membership — factored so q146 can append its
+    * decontamination gates without duplicating ~90 lines of replay
+    * SQL. Ends at `smp`; consumers add the final joins. */
+  private val curationChain =
+    s"""$dupClusters,
+         |$ivfKmeans,
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${ivfDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.4),
+         |sem AS (
+         |  SELECT af.vec_id AS doc_id, CAST(af.cluster AS INT) AS cell
+         |  FROM af WHERE af.vec_id NOT IN (SELECT vec_id FROM dom)),
+         |zt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8),
+         |zp0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM zt),
+         |zp AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+         |       FROM zp0),
+         |zd AS (SELECT g FROM zp GROUP BY g HAVING COUNT(*) >= 2),
+         |zdp AS (SELECT doc_id, pos FROM zp JOIN zd USING (g)),
+         |zf AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+         |             THEN 0 ELSE 1 END AS new_span
+         |       FROM zdp),
+         |zs AS (SELECT doc_id, pos,
+         |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS span_id
+         |       FROM zf),
+         |zspans AS (SELECT doc_id, MIN(pos) AS start_pos,
+         |        MAX(pos) + 7 AS end_pos
+         |       FROM zs GROUP BY doc_id, span_id),
+         |ztok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |zpt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM ztok),
+         |zkept AS (
+         |  SELECT p.doc_id, p.pos, p.t[p.pos] AS tok FROM zpt p
+         |  WHERE NOT EXISTS (SELECT 1 FROM zspans sp
+         |    WHERE sp.doc_id = p.doc_id
+         |      AND p.pos BETWEEN sp.start_pos AND sp.end_pos)),
+         |zagg AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM zkept GROUP BY doc_id),
+         |cleaned AS (
+         |  SELECT d0.doc_id,
+         |    CAST(len(string_split(d0.text, ' ')) - COALESCE(za.n_kept, 0)
+         |      AS BIGINT) AS n_removed,
+         |    COALESCE(za.clean_text, '') AS clean_text
+         |  FROM documents d0 LEFT JOIN zagg za USING (doc_id)),
+         |gq AS (
+         |  SELECT doc_id, n_removed, clean_text,
+         |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens_clean,
+         |    len(clean_text) AS n_chars,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS score_en,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('el', 'la', 'los', 'de', 'es'))) AS score_es,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
+         |    len(list_filter(string_split(clean_text, ' '),
+         |      t -> t IN ('le', 'la', 'les', 'de', 'est'))) AS score_fr
+         |  FROM cleaned),
+         |keepg AS (
+         |  SELECT doc_id, n_tokens_clean, n_removed, clean_text FROM gq
+         |  WHERE n_tokens_clean >= 10 AND n_chars >= 50 AND n_stop > 0
+         |    AND score_en >= score_es AND score_en >= score_de
+         |    AND score_en >= score_fr AND score_en > 0),
+         |mp AS (
+         |  SELECT lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws
+         |  FROM documents GROUP BY 1),
+         |mt AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM mp),
+         |ms AS (
+         |  SELECT lang,
+         |    ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share,
+         |    sqrt(ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6)) AS w_raw
+         |  FROM mp, mt),
+         |mw AS (SELECT SUM(w_raw) AS w_sum FROM ms),
+         |mr AS (
+         |  SELECT lang,
+         |    LEAST(1.0, ROUND(w_raw / w_sum / token_share, 6)) AS rate
+         |  FROM ms, mw),
+         |md AS (
+         |  SELECT doc_id, lang,
+         |    CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+         |      % 1048576 AS DOUBLE) / 1048576.0 AS u
+         |  FROM documents),
+         |smp AS (
+         |  SELECT doc_id, md.lang FROM md JOIN mr ON md.lang = mr.lang
+         |  WHERE u < rate)""".stripMargin
 
   // --- Quality-LR IRLS replay (q111): the fit is deterministic by the
   // decimal-term construction (QualityLR.newtonStep rounds every
@@ -2943,94 +3049,7 @@ object SparkEntry {
     // (q129's within-cell dominance over the unrolled IVF fit), and
     // the q97 mixture-rate membership.
     "q145_curation_set" ->
-      s"""WITH RECURSIVE $dupClusters,
-         |$ivfKmeans,
-         |dom AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |  WHERE ROUND(${ivfDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.4),
-         |sem AS (
-         |  SELECT af.vec_id AS doc_id, CAST(af.cluster AS INT) AS cell
-         |  FROM af WHERE af.vec_id NOT IN (SELECT vec_id FROM dom)),
-         |zt AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 8),
-         |zp0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM zt),
-         |zp AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
-         |       FROM zp0),
-         |zd AS (SELECT g FROM zp GROUP BY g HAVING COUNT(*) >= 2),
-         |zdp AS (SELECT doc_id, pos FROM zp JOIN zd USING (g)),
-         |zf AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
-         |             THEN 0 ELSE 1 END AS new_span
-         |       FROM zdp),
-         |zs AS (SELECT doc_id, pos,
-         |        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS UNBOUNDED PRECEDING) AS span_id
-         |       FROM zf),
-         |zspans AS (SELECT doc_id, MIN(pos) AS start_pos,
-         |        MAX(pos) + 7 AS end_pos
-         |       FROM zs GROUP BY doc_id, span_id),
-         |ztok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |zpt AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM ztok),
-         |zkept AS (
-         |  SELECT p.doc_id, p.pos, p.t[p.pos] AS tok FROM zpt p
-         |  WHERE NOT EXISTS (SELECT 1 FROM zspans sp
-         |    WHERE sp.doc_id = p.doc_id
-         |      AND p.pos BETWEEN sp.start_pos AND sp.end_pos)),
-         |zagg AS (
-         |  SELECT doc_id, COUNT(*) AS n_kept,
-         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
-         |  FROM zkept GROUP BY doc_id),
-         |cleaned AS (
-         |  SELECT d0.doc_id,
-         |    CAST(len(string_split(d0.text, ' ')) - COALESCE(za.n_kept, 0)
-         |      AS BIGINT) AS n_removed,
-         |    COALESCE(za.clean_text, '') AS clean_text
-         |  FROM documents d0 LEFT JOIN zagg za USING (doc_id)),
-         |gq AS (
-         |  SELECT doc_id, n_removed, clean_text,
-         |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens_clean,
-         |    len(clean_text) AS n_chars,
-         |    len(list_filter(string_split(clean_text, ' '),
-         |      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
-         |    len(list_filter(string_split(clean_text, ' '),
-         |      t -> t IN ('the', 'a', 'and', 'of', 'is'))) AS score_en,
-         |    len(list_filter(string_split(clean_text, ' '),
-         |      t -> t IN ('el', 'la', 'los', 'de', 'es'))) AS score_es,
-         |    len(list_filter(string_split(clean_text, ' '),
-         |      t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS score_de,
-         |    len(list_filter(string_split(clean_text, ' '),
-         |      t -> t IN ('le', 'la', 'les', 'de', 'est'))) AS score_fr
-         |  FROM cleaned),
-         |keepg AS (
-         |  SELECT doc_id, n_tokens_clean, n_removed, clean_text FROM gq
-         |  WHERE n_tokens_clean >= 10 AND n_chars >= 50 AND n_stop > 0
-         |    AND score_en >= score_es AND score_en >= score_de
-         |    AND score_en >= score_fr AND score_en > 0),
-         |mp AS (
-         |  SELECT lang,
-         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws
-         |  FROM documents GROUP BY 1),
-         |mt AS (SELECT CAST(SUM(n_tokens_ws) AS BIGINT) AS total_ws FROM mp),
-         |ms AS (
-         |  SELECT lang,
-         |    ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6) AS token_share,
-         |    sqrt(ROUND(CAST(n_tokens_ws AS DOUBLE) / total_ws, 6)) AS w_raw
-         |  FROM mp, mt),
-         |mw AS (SELECT SUM(w_raw) AS w_sum FROM ms),
-         |mr AS (
-         |  SELECT lang,
-         |    LEAST(1.0, ROUND(w_raw / w_sum / token_share, 6)) AS rate
-         |  FROM ms, mw),
-         |md AS (
-         |  SELECT doc_id, lang,
-         |    CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
-         |      % 1048576 AS DOUBLE) / 1048576.0 AS u
-         |  FROM documents),
-         |smp AS (
-         |  SELECT doc_id, md.lang FROM md JOIN mr ON md.lang = mr.lang
-         |  WHERE u < rate)
+      s"""WITH RECURSIVE $curationChain
          |SELECT k.doc_id, smp.lang, d2.source, sem.cell,
          |  k.n_tokens_clean, k.n_removed, k.clean_text
          |FROM keepg k
@@ -3038,6 +3057,41 @@ object SparkEntry {
          |JOIN sem ON sem.doc_id = k.doc_id
          |JOIN smp ON smp.doc_id = k.doc_id
          |JOIN documents d2 ON d2.doc_id = k.doc_id""".stripMargin,
+    // q146: the q145 chain + the two decontamination gates. The
+    // lexical gate reuses the chain's own shingle CTEs (`sh`/`tok` from
+    // the dup-cluster fragment — q79's arithmetic verbatim); the
+    // semantic gate reuses `af` (embeddings with norms from the IVF
+    // fit) for the q142 brute argmax replay. Eval docs (doc_id < 5)
+    // and eval vectors (vec_id % 50 = 0, enforced by the inner join on
+    // the corpus-side verdict table) leave the pool.
+    "q146_curation_decontam" ->
+      s"""WITH RECURSIVE $curationChain,
+         |evg AS (SELECT DISTINCT s FROM tok WHERE doc_id < 5),
+         |ngc AS (SELECT DISTINCT tok.doc_id FROM tok JOIN evg USING (s)
+         |        WHERE tok.doc_id >= 5),
+         |dev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
+         |        FROM af WHERE vec_id % 50 = 0),
+         |dp AS (
+         |  SELECT af.vec_id, dev.eid,
+         |    ROUND(${ivfDot("af.embedding", "dev.eemb")}
+         |      / (af.nrm * dev.enrm), 4) AS cos_eval
+         |  FROM af CROSS JOIN dev WHERE af.vec_id % 50 <> 0),
+         |dvv AS (
+         |  SELECT vec_id, cos_eval AS max_eval_cos
+         |  FROM (SELECT vec_id, cos_eval, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cos_eval DESC, eid) AS r
+         |        FROM dp)
+         |  WHERE r = 1)
+         |SELECT k.doc_id, smp.lang, d2.source, sem.cell,
+         |  k.n_tokens_clean, k.n_removed, dvv.max_eval_cos, k.clean_text
+         |FROM keepg k
+         |JOIN clusters c ON c.doc_id = k.doc_id AND c.doc_id = c.cluster_id
+         |JOIN sem ON sem.doc_id = k.doc_id
+         |JOIN smp ON smp.doc_id = k.doc_id
+         |JOIN documents d2 ON d2.doc_id = k.doc_id
+         |JOIN dvv ON dvv.vec_id = k.doc_id
+         |WHERE k.doc_id >= 5 AND dvv.max_eval_cos < 0.6
+         |  AND k.doc_id NOT IN (SELECT doc_id FROM ngc)""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -79,4 +79,45 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("cell"),
         col("n_tokens_clean"), col("n_removed"), col("clean_text"))
   }
+
+  /** q146: [[trainingSet]] with BOTH decontamination gates applied —
+    * the eval-set-protected variant a lab actually ships from. Two
+    * independent leakage channels close:
+    *
+    *   - lexical: any document sharing an 8-gram shingle with the
+    *     held-out eval slice is dropped ([[TextOps.decontamination]],
+    *     q79 — verbatim and near-verbatim copies), and the eval
+    *     documents themselves leave the pool;
+    *   - semantic: any document whose embedding lands within cosine
+    *     `0.6` of an eval vector is dropped
+    *     ([[Similarity.embeddingDecontam]], q142 — paraphrased leakage
+    *     that shares no 8-gram but sits next to its source in
+    *     embedding space), and the eval vectors' own documents leave
+    *     the pool (the q142 corpus already excludes them, so the
+    *     doc-keyed inner join enforces it).
+    *
+    * Scale shape on top of q145's: the lexical gate is the q79
+    * broadcast semi-join (eval grams are small by construction; the
+    * corpus stream is already exploded once for the `dup_spans` layer,
+    * and the anti-join here keys on doc_id against a
+    * contamination-density-bounded hit list), the semantic gate is
+    * q142's map-side partial-max fan-out — one row per corpus vector
+    * reaches the final doc-keyed joins. Survivors carry
+    * `max_eval_cos` so downstream audits can re-check the margin. */
+  def trainingSetDecontaminated(spark: SparkSession, sfDir: String,
+                                nEvalDocs: Int = 5): DataFrame = {
+    val ngramHits = TextOps.decontamination(spark, sfDir, nEvalDocs)
+      .select(col("doc_id"))
+    val semanticVerdicts = Similarity.embeddingDecontam(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("max_eval_cos"),
+        col("contaminated"))
+    trainingSet(spark, sfDir)
+      .filter(col("doc_id") >= nEvalDocs)
+      .join(ngramHits, Seq("doc_id"), "left_anti")
+      .join(semanticVerdicts, Seq("doc_id"))
+      .filter(!col("contaminated"))
+      .select(col("doc_id"), col("lang"), col("source"), col("cell"),
+        col("n_tokens_clean"), col("n_removed"), col("max_eval_cos"),
+        col("clean_text"))
+  }
 }

@@ -50,34 +50,75 @@ object Dsir {
   val DefaultTarget = "src0"
 
   /** q138: importance weight of every raw-pool document against the
-    * target source. Output: (doc_id, n_feats, weight). */
+    * target source. Output: (doc_id, n_feats, weight).
+    *
+    * Routed through the [[materializedGramCounts]] layer: the gram
+    * explode (the expensive text pass — ~2 rows per token before the
+    * per-doc collapse) runs ONCE per (session, sfDir, buckets) and
+    * both consumers — the λ-table distribution collect and the scoring
+    * join — read the collapsed (doc_id, source, b, cnt) frame. Before
+    * the layer, the explode executed twice (once under the collect,
+    * once under the returned plan) and the scoring shuffle carried one
+    * row per gram INSTANCE; now it carries one row per distinct
+    * (doc, bucket) pair, which the fixed bucket space caps at
+    * min(doc_grams, buckets) per document. */
   def importanceWeights(spark: SparkSession, sfDir: String,
                         target: String = DefaultTarget,
                         buckets: Int = DefaultBuckets): DataFrame =
-    importanceWeightsFrom(
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source"), col("text")),
+    weightsFromCounts(materializedGramCounts(spark, sfDir, buckets),
       target, buckets)
 
+  /** The shared gram-count layer: hashed unigram+bigram features
+    * collapsed to per-(doc_id, source, bucket) counts. One text
+    * explode, one (doc_id, b)-keyed aggregation whose map-side combine
+    * collapses repeated grams before the shuffle; localCheckpointed
+    * under the [[graft.SessionCache]] layer discipline (a narrow
+    * 4-column frame, corpus-sized like the dedup-label and TF-IDF
+    * posting layers). */
+  def materializedGramCounts(spark: SparkSession, sfDir: String,
+                             buckets: Int = DefaultBuckets): DataFrame =
+    gramCache.getOrCompute(spark, (sfDir, buckets)) {
+      docBucketCounts(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text")),
+        buckets).localCheckpoint()
+    }
+
+  private val gramCache = new graft.SessionCache[(String, Int), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
+  private def docBucketCounts(docs: DataFrame, buckets: Int): DataFrame =
+    hashedGrams(docs, buckets)
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** [[importanceWeights]] over an explicit (doc_id, source, text)
-    * frame — the planted-corpus spec entry point. */
+    * frame — the planted-corpus spec entry point (uncached; spec
+    * corpora are throwaway). */
   private[graft] def importanceWeightsFrom(docs: DataFrame, target: String,
-                                           buckets: Int): DataFrame = {
+                                           buckets: Int): DataFrame =
+    weightsFromCounts(docBucketCounts(docs, buckets), target, buckets)
+
+  /** Core arithmetic over the collapsed gram-count frame. Identical
+    * output to the former per-instance fold: summing a 9dp decimal λ
+    * once per gram instance IS cnt·λ (decimal-by-integer products are
+    * exact), so the unchanged DuckDB oracle still hash-matches. */
+  private def weightsFromCounts(db: DataFrame, target: String,
+                                buckets: Int): DataFrame = {
     require(buckets >= 2, s"need at least 2 feature buckets, got $buckets")
-    val spark = docs.sparkSession
+    val spark = db.sparkSession
     import spark.implicits._
-    val grams = hashedGrams(docs, buckets)
-    // BOTH feature distributions from one corpus pass: conditional
-    // sums under a single bucket-keyed aggregation (map-side combine
-    // collapses to <= buckets rows per task before the shuffle). The
-    // bucket table is config-bounded (<= buckets rows), so it collects
-    // — the IVF-centroid discipline — and the totals + λ arithmetic run
-    // on the driver instead of re-executing the gram pass under the
-    // λ subtree AND the totals action (3 corpus passes → 2).
-    val bucketRows = grams
+    // BOTH feature distributions from one pass over the collapsed
+    // counts: conditional sums under a single bucket-keyed aggregation
+    // (map-side combine collapses to <= buckets rows per task before
+    // the shuffle). The bucket table is config-bounded (<= buckets
+    // rows), so it collects — the IVF-centroid discipline — and the
+    // totals + λ arithmetic run on the driver instead of re-executing
+    // the gram pass under the λ subtree AND the totals action.
+    val bucketRows = db
       .groupBy(col("b"))
-      .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+      .agg(sum(when(col("source") === target, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= target, col("cnt")).otherwise(0L)).as("cr"))
       .as[(Long, Long, Long)].collect()
     val nt = bucketRows.iterator.map(_._2).sum
     val nr = bucketRows.iterator.map(_._3).sum
@@ -95,11 +136,16 @@ object Dsir {
       (b, BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP))
     }.toDF("b", "lam")
       .select(col("b"), col("lam").cast(DecimalType(18, 9)).as("lam"))
-    grams.filter(col("source") =!= target)
+    db.filter(col("source") =!= target)
       .join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("lam")).cast("double").as("weight"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        // cnt as DECIMAL(10,0), not raw long: long promotes to
+        // DECIMAL(20,0) and the product precision 20+18+1 = 39 blows
+        // the 38 cap, losing a scale digit (observed as ulp drift vs
+        // the per-instance fold); 10+18+1 = 29 stays exact
+        sum(col("cnt").cast(DecimalType(10, 0)) * col("lam"))
+          .cast("double").as("weight"))
   }
 
   /** One explode per document: unigrams ++ bigrams, hashed into the

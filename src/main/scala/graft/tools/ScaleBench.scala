@@ -81,7 +81,11 @@ object ScaleBench {
     // round 13: the composed nightly curation query — the 10x point
     // that backs the claim that the composition pays each layer once
     // and adds only doc-keyed equi-joins on top of its components
-    "q145_curation_set")
+    "q145_curation_set",
+    // round 13: q145 + both decontamination gates — the gates add a
+    // broadcast shingle semi-join and the q142 map-side argmax; the
+    // ratio bounds their overhead staying linear alongside the chain
+    "q146_curation_decontam")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract checks for the composed curation queries (q145/q146) —
+  * the hash oracles pin exact values; these pin the RELATIONSHIPS
+  * between the compositions and their component operators, so a
+  * wiring bug that happened to hash-match a rewired oracle still
+  * fails. */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminated set is a subset of the curation set") {
+    val base = Curation.trainingSet(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dec = Curation.trainingSetDecontaminated(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dec.subsetOf(base), s"gates ADDED docs: ${dec.diff(base).take(5)}")
+    assert(dec.size < base.size, "decontamination gates removed nothing " +
+      "on a corpus whose eval slices overlap the pool by construction")
+  }
+
+  test("no survivor shares a shingle with the eval docs or sits near an eval vector") {
+    val dec = Curation.trainingSetDecontaminated(spark, sf())
+    // lexical: the q79 hit list and the survivor set must be disjoint
+    val hits = TextOps.decontamination(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = dec.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(hits).isEmpty,
+      s"lexically contaminated docs survived: ${survivors.intersect(hits).take(5)}")
+    // eval membership: neither the lexical eval docs nor the embedding
+    // eval slice may appear in the shipped set
+    assert(survivors.forall(id => id >= 5 && id % 50 != 0),
+      "an eval document survived into the training set")
+    // semantic: every carried margin is below the gate, and agrees with
+    // the q142 verdict table exactly
+    val verdicts = Similarity.embeddingDecontam(spark, sf())
+      .select(col("vec_id"), col("max_eval_cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dec.select("doc_id", "max_eval_cos").collect().foreach { r =>
+      val (id, cos) = (r.getLong(0), r.getDouble(1))
+      assert(cos < 0.6, s"doc $id shipped with cos $cos >= gate")
+      assert(verdicts(id) == cos, s"doc $id margin $cos != q142 ${verdicts(id)}")
+    }
+  }
+}

@@ -14,6 +14,15 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The top-level `== Final Plan ==` section. A plain
+    * `split("== Initial Plan ==")(0)` truncates early when a NESTED
+    * AdaptiveSparkPlan (e.g. under a broadcast subtree) prints its own
+    * inner markers — the top-level marker is the one at column 0. */
+  private def finalSection(p: String): String = {
+    val top = p.indexOf("\n+- == Initial Plan ==")
+    if (top >= 0) p.substring(0, top) else p
+  }
+
   test("dashboard join: dims broadcast, date filter pushed to the orders scan") {
     val p = plan(Relational.dashboardJoin(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), s"dimension broadcast lost:\n$p")
@@ -84,7 +93,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"dup-gram test regressed to a join:\n$p")
     // count scans in the FINAL plan only — AQE's explain repeats the
     // whole tree under "== Initial Plan =="
-    val finalPlan = p.split("== Initial Plan ==")(0)
+    val finalPlan = finalSection(p)
     val scans = "Scan parquet".r.findAllIn(finalPlan).size
     assert(scans == 1, s"expected one documents scan, saw $scans:\n$p")
   }
@@ -100,7 +109,7 @@ class PlanAuditSpec extends SparkSpec {
     // Generate in the whole tree is dupSpans' own gram explode; a
     // second one would mean the strip re-exploded the corpus
     // positionally instead of filtering in place
-    val finalPlan = p.split("== Initial Plan ==")(0)
+    val finalPlan = finalSection(p)
     val generates = "Generate explode".r.findAllIn(finalPlan).size
     assert(generates == 1,
       s"expected only the gram explode, saw $generates Generates:\n$p")
@@ -138,12 +147,36 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("DSIR scoring: λ table broadcast, no UDF, no nested loop") {
+    // the serving plan reads the gram-count LAYER (checkpoint scan) and
+    // broadcasts the λ table — the text explode must NOT re-run here
     val p = plan(Dsir.importanceWeights(spark, sf()))
-    assert(p.contains("poly_hash64"), s"portable feature hash missing:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"gram counts should come from the materialized layer:\n$p")
+    assert(!p.contains("poly_hash64"),
+      s"serving plan re-runs the feature hash the layer already paid:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"λ table should broadcast:\n$p")
     assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"scoring join degenerated:\n$p")
+  }
+
+  test("DSIR gram-count layer build: one scan, hash map-side, partial combine") {
+    // audit the BUILD plan via the uncached spec entry point — the
+    // layer path localCheckpoints the same frame
+    val df = Dsir.importanceWeightsFrom(
+      graft.Tables.documents(spark, sf())
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("text")),
+      Dsir.DefaultTarget, Dsir.DefaultBuckets)
+    val p = plan(df)
+    assert(p.contains("poly_hash64"), s"portable feature hash missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    // per-(doc, bucket) collapse must partial-aggregate before its
+    // shuffle — that combine is what bounds the exchange at
+    // min(doc_grams, buckets) rows per document
+    assert("partial_count|partial_sum".r.findAllIn(p).nonEmpty,
+      s"gram collapse ships raw gram instances through the shuffle:\n$p")
   }
 
   test("residual IVFADC: native argmins + HOF residual, broadcast probe side, one scan") {
@@ -453,7 +486,7 @@ class PlanAuditSpec extends SparkSpec {
     val df = Curation.trainingSet(spark, sf())
     df.collect()
     val p = plan(df)
-    val fp = p.split("== Initial Plan ==")(0)
+    val fp = finalSection(p)
     assert(!fp.contains("CartesianProduct"),
       s"curation chain degenerated to a cartesian:\n$p")
     assert(!fp.contains("ScalaUDF"), s"UDF in the curation path:\n$p")
@@ -476,5 +509,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!fp.contains("BroadcastNestedLoopJoin") ||
       fp.contains("BroadcastExchange IdentityBroadcastMode"),
       s"nested-loop without an identity (tiny totals) broadcast:\n$p")
+  }
+
+  test("decontaminated curation: gates stay broadcast/anti, no new base-scan blowup") {
+    val df = Curation.trainingSetDecontaminated(spark, sf())
+    df.collect()
+    val p = plan(df)
+    val fp = finalSection(p)
+    assert(!fp.contains("CartesianProduct"),
+      s"decontam gates degenerated to a cartesian:\n$p")
+    assert(!fp.contains("ScalaUDF"), s"UDF in the curation path:\n$p")
+    // the lexical gate must reach the plan as an ANTI join (doc-keyed,
+    // against the contamination-density-bounded hit list)
+    assert(fp.contains("LeftAnti"),
+      s"n-gram contamination gate is not an anti-join:\n$p")
+    // layer reads unchanged from q145: dup_spans + dedup_clusters once
+    val rddScans = "Scan ExistingRDD".r.findAllIn(fp).size
+    assert(rddScans == 2,
+      s"expected exactly 2 layer reads (dup_spans, dedup_clusters), saw $rddScans:\n$p")
+    // q145's ≤7 base scans + the lexical gate's two shingle sides
+    // (documents) + the semantic gate's corpus/eval sides (embeddings)
+    // = 11; the pushed doc_id >= 5 eval filter additionally specializes
+    // two mixture-side subtrees (different pushed filters → no exchange
+    // reuse) = 13. Every scan is a 2-column pruned read with its
+    // filters pushed — the audited failure mode here is a WIDE or
+    // unfiltered re-scan, not the count itself drifting by reuse
+    val scans = "Scan parquet".r.findAllIn(fp).size
+    assert(scans <= 13,
+      s"decontaminated curation re-scans a base table ($scans scans):\n$p")
+    // and the wide text column only reaches the stages that genuinely
+    // consume it: the strip input, the lexical gate's corpus + eval
+    // shingle sides, and the mixture accounting's token sums (which
+    // tokenize text for per-language shares, twice under its
+    // filter-specialized subtrees) — id/metadata-only joins must not
+    // drag it along
+    val textScans = fp.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("text#"))
+    assert(textScans <= 5,
+      s"a metadata-only stage reads the wide text column ($textScans):\n$p")
   }
 }
