@@ -355,6 +355,26 @@ object SparkEntry {
     // eval-protected training set a lab actually ships from
     "q146_curation_decontam" ->
       ((s, d) => operators.Curation.trainingSetDecontaminated(s, d)),
+    // Gopher-rule quality filter (Rae et al. 2021): per-document shape
+    // and repetition metrics, per-rule flags, composite verdict —
+    // map-only, zero shuffle
+    "q147_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    // PII detect + redact over deterministic fixture tickets: regex
+    // counts and typed-placeholder rewrite, map-only
+    "q148_pii_scrub" -> ((s, d) => operators.Pii.ticketScrub(s, d)),
+    // BM25 top-10 lexical retrieval for a fixed probe: postings-only
+    // tf shuffle, broadcast df/totals, distributed take-ordered
+    "q149_bm25_topk" -> ((s, d) => operators.Retrieval.bm25TopK(s, d)),
+    // CCNet-style head/middle/tail perplexity bucketing per source
+    // over the shared LM layer; thresholds from the bounded
+    // (source, score) frequency frame, docs bucketed by equi-join
+    "q150_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
+    // exact-count stratified sampling: each (source, lang) stratum
+    // keeps exactly ceil(n/4) docs by deterministic hash order
+    "q151_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
+    // per-cell semantic outliers: coldest 10% by cosine-to-centroid
+    // within each IVF cell — embedding-space noise filter
+    "q152_cell_outliers" -> ((s, d) => operators.Ivf.cellOutliers(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -3092,6 +3112,161 @@ object SparkEntry {
          |JOIN dvv ON dvv.vec_id = k.doc_id
          |WHERE k.doc_id >= 5 AND dvv.max_eval_cos < 0.6
          |  AND k.doc_id NOT IN (SELECT doc_id FROM ngc)""".stripMargin,
+    // q147: every metric is a per-document list fold; rule comparisons
+    // run on the unrounded doubles exactly as the engine's
+    "q147_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(t) AS n_words,
+        |    CAST(n_chars - (len(t) - 1) AS DOUBLE) / len(t) AS mw,
+        |    len(list_filter(t,
+        |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+        |    CAST(list_max(list_transform(list_distinct(t),
+        |      w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t) AS tfrac
+        |  FROM t)
+        |SELECT doc_id, n_words, ROUND(mw, 6) AS mean_wlen, n_stop,
+        |  ROUND(ttr, 6) AS ttr, ROUND(tfrac, 6) AS top_frac,
+        |  n_words >= 20 AND n_words <= 100000 AS ok_words,
+        |  mw >= 3.0 AND mw <= 10.0 AS ok_wlen,
+        |  n_stop >= 2 AS ok_stop,
+        |  ttr >= 0.35 AS ok_ttr,
+        |  tfrac <= 0.14 AS ok_rep,
+        |  (n_words >= 20 AND n_words <= 100000) AND mw >= 3.0 AND mw <= 10.0
+        |    AND n_stop >= 2 AND ttr >= 0.35 AND tfrac <= 0.14 AS passes_gopher
+        |FROM m""".stripMargin,
+    // q148: the oracle rebuilds the identical fixture ticket (every
+    // byte a pure function of customer columns), then replays the
+    // scrub with RE2 — counts on the original, rewrite email → IP →
+    // phone like the engine
+    "q148_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'cust ' || c_name || ' <u' || CAST(c_custkey AS VARCHAR)
+        |    || '@example.com>'
+        |    || CASE WHEN c_custkey % 5 = 0 THEN ' cc u'
+        |         || CAST(c_custkey AS VARCHAR) || '.alt@mail.example.org'
+        |       ELSE '' END
+        |    || CASE WHEN c_custkey % 3 > 0 THEN ' call '
+        |         || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+        |         || '-' || lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0')
+        |       ELSE '' END
+        |    || CASE WHEN c_custkey % 4 > 0 THEN ' from 10.'
+        |         || CAST(c_custkey % 256 AS VARCHAR) || '.'
+        |         || CAST((c_custkey * 3) % 256 AS VARCHAR) || '.'
+        |         || CAST((c_custkey * 7) % 256 AS VARCHAR)
+        |       ELSE '' END
+        |    || ' re ' || lower(c_mktsegment) AS ticket
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  len(regexp_extract_all(ticket,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(ticket, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(ticket,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(ticket,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM t""".stripMargin,
+    // q149: BM25 with k1 = 1.2, b = 0.75 for the fixed 3-term probe;
+    // per-term scores 9dp-decimal before the per-doc sum, full ranking
+    // then the same 10-row cut the engine's take-ordered applies
+    "q149_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+        |               COUNT(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS t FROM d)
+        |  WHERE t IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+        |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))), 9)
+        |      AS DECIMAL(18, 9)) AS term_score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_terms_hit,
+        |    ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q150: the shared LM chain scores every doc, then score-VALUE
+    // thresholds split each source into thirds — cum runs over the
+    // distinct-score frequency frame, ties share a bucket by
+    // construction
+    "q150_ppl_buckets" ->
+      s"""WITH $lmScoreChain,
+         |ds AS (
+         |  SELECT lmdoc.doc_id, documents.source, lmdoc.lm_score
+         |  FROM lmdoc JOIN documents USING (doc_id)),
+         |f AS (SELECT source, lm_score, COUNT(*) AS c FROM ds GROUP BY 1, 2),
+         |b AS (
+         |  SELECT source, lm_score,
+         |    CASE WHEN cum <= (n_src + 2) // 3 THEN 'head'
+         |         WHEN cum <= (2 * n_src + 2) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS ppl_bucket
+         |  FROM (SELECT source, lm_score,
+         |          SUM(c) OVER (PARTITION BY source
+         |            ORDER BY lm_score DESC) AS cum,
+         |          SUM(c) OVER (PARTITION BY source) AS n_src
+         |        FROM f))
+         |SELECT ds.doc_id, ds.source, ds.lm_score, b.ppl_bucket,
+         |  b.ppl_bucket <> 'tail' AS keep
+         |FROM ds JOIN b
+         |  ON ds.source = b.source AND ds.lm_score = b.lm_score""".stripMargin,
+    // q151: the q97 Knuth-hash uniform at offset 7, exact ceil(n/4)
+    // per (source, lang) stratum via rank over (u, doc_id)
+    "q151_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(((((doc_id + 7) % 1048576) + 1048576) % 1048576)
+        |      * 2654435761 % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, lang, u,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY u, doc_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source, lang) AS n_stratum
+        |  FROM d)
+        |SELECT doc_id, source, lang, ROUND(u, 6) AS u, rk, n_stratum,
+        |  (n_stratum + 3) // 4 AS k_keep
+        |FROM r WHERE rk <= (n_stratum + 3) // 4""".stripMargin,
+    // q152: the q128 float-cast centroid cosine per row, then the
+    // coldest ceil(10%) of each cell by (4dp cos, vec_id)
+    "q152_cell_outliers" ->
+      s"""WITH $ivfKmeans,
+         |cn AS (
+         |  SELECT cluster,
+         |    list_transform(c, v -> CAST(CAST(v AS REAL) AS DOUBLE)) AS cf,
+         |    sqrt(list_sum(list_transform(c,
+         |      v -> CAST(CAST(v AS REAL) AS DOUBLE)
+         |        * CAST(CAST(v AS REAL) AS DOUBLE)))) AS cnrm
+         |  FROM c2),
+         |r AS (
+         |  SELECT af.vec_id, CAST(af.cluster AS INT) AS cell,
+         |    ROUND(${ivfDot("af.embedding", "cn.cf")}
+         |      / (af.nrm * cn.cnrm), 4) AS cos_centroid
+         |  FROM af JOIN cn ON af.cluster = cn.cluster),
+         |rr AS (
+         |  SELECT vec_id, cell, cos_centroid,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY cos_centroid, vec_id) AS BIGINT) AS rk_cold,
+         |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM r)
+         |SELECT vec_id, cell, cos_centroid, rk_cold, n_cell,
+         |  (n_cell * 10 + 99) // 100 AS k_cut
+         |FROM rr WHERE rk_cold <= (n_cell * 10 + 99) // 100""".stripMargin,
     "q124_bigram_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |uni AS (

@@ -259,6 +259,52 @@ object Ivf {
       .select(col("cell"), col("doc_id"), col("cell_rank"), col("lm_score"))
   }
 
+  /** q152: per-cell semantic outlier detection — flag the vectors
+    * furthest from their own cell centroid (lowest cosine), the
+    * embedding-space noise filter a curation pipeline runs after
+    * clustering: off-manifold points (OCR garbage, wrong-modality
+    * rows, encoder failures) sit at their cell's cold edge. Per cell,
+    * the bottom ⌈10%⌉ by (4dp cosine asc, vec_id) are emitted with
+    * their margin and rank. Centroids are float-cast exactly as
+    * [[clusterProfile]]'s (the dot_f32 arithmetic the scan runs), so
+    * the cosines — and with them the cut — replay bit-exactly in the
+    * unrolled-Lloyd oracle.
+    *
+    * Scale shape: one map-only assignment + cosine pass against the
+    * broadcast k×d centroid literal, then a per-cell window over
+    * (vec_id, cell, cos) ONLY — embeddings are projected away before
+    * the shuffle, and cell populations are target-cell-size-bounded
+    * when k comes from [[deriveK]]. */
+  def cellOutliers(spark: SparkSession, sfDir: String, frac: Double = 0.1,
+                   kClusters: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = fittedCentroids(spark, sfDir, kClusters, iters)
+    val cdf = centroids.zipWithIndex.map { case (c, i) =>
+      val cf = c.map(_.toFloat)
+      var s = 0.0; var j = 0
+      while (j < cf.length) { s += cf(j).toDouble * cf(j).toDouble; j += 1 }
+      (i, cf, math.sqrt(s))
+    }.toSeq.toDF("cell", "centroid", "cnrm")
+    val pct = math.round(frac * 100).toInt
+    val rows = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+      .withColumn("cell", assignExpr(centroids)(col("embedding")))
+      .join(broadcast(cdf), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(Similarity.dot(col("embedding"), col("centroid")) /
+          (col("nrm") * col("cnrm")), 4).as("cos_centroid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    rows
+      .withColumn("rk_cold", row_number()
+        .over(w.orderBy(col("cos_centroid"), col("vec_id"))).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("k_cut", expr(s"(n_cell * $pct + 99) div 100"))
+      .filter(col("rk_cold") <= col("k_cut"))
+      .select(col("vec_id"), col("cell"), col("cos_centroid"),
+        col("rk_cold"), col("n_cell"), col("k_cut"))
+  }
+
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */
   def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Lexical retrieval over the corpus — BM25 (Robertson & Zaragoza
+  * 2009, "The Probabilistic Relevance Framework"), the scoring the
+  * reference stack delegates to its search engine and every curation
+  * pipeline uses for targeted corpus probes ("find the docs about X"
+  * before a removal or upweight decision).
+  */
+object Retrieval {
+
+  /** BM25 free parameters — the standard defaults. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** q149's fixed probe — terms present in the synthetic vocabulary so
+    * the ranking exercises real tf/df spread. */
+  val QueryTerms: Seq[String] = Seq("spark", "merge", "window")
+
+  /** BM25 top-k: score = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
+    * tf(k₁+1)/(tf + k₁(1 − b + b·dl/avgdl)) over the query terms.
+    *
+    * Scale shape: the term filter pushes into the tokenize pass, so
+    * only postings of the |q| query terms survive the explode — the
+    * tf aggregation (map-side combined) shuffles at most |q| rows per
+    * matching document, never the corpus token stream. The df table is
+    * |q| rows and the corpus totals one row, both broadcast; doc
+    * length joins tf on doc_id (narrow, payload-free). The final
+    * top-k is `orderBy.limit` — Spark's distributed take-ordered, one
+    * k-row reduction per partition, NO global window (ranks are
+    * assigned after the k-row cut). Per-term scores round to
+    * 9dp-decimal before the per-doc sum (order-independent fold). */
+  def bm25TopK(spark: SparkSession, sfDir: String,
+               terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val tot = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(K1) + 1.0) /
+      (col("tf") + lit(K1) * (lit(1.0) - lit(B) +
+        lit(B) * (col("dl").cast("double") / (col("sum_dl") / col("n_docs")))))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dft), "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_score", round(idf * tfNorm, 9).cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("term_score")).cast("double"), 6).as("score"))
+    // rank assigned AFTER the distributed k-row cut — the window runs
+    // over k rows, not the corpus
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+}

@@ -810,4 +810,133 @@ object TextOps {
         (col("n_f") === col("n_text")).as("fnv_respects_dups"),
         (col("n_x") === col("n_text")).as("xxh_respects_dups"))
   }
+
+  /** q147 Gopher-rule thresholds (Rae et al. 2021, arXiv:2112.11446,
+    * table A1, rescaled to the fixture's 10–99-word documents; the
+    * word-length and stop-word rules keep the paper's values). One
+    * definition so the flags, the composite verdict and the spec all
+    * gate identically. */
+  private[graft] val GopherMinWords = 20
+  private[graft] val GopherMaxWords = 100000
+  private[graft] val GopherMinWordLen = 3.0
+  private[graft] val GopherMaxWordLen = 10.0
+  private[graft] val GopherMinStopHits = 2
+  private[graft] val GopherMinTtr = 0.35
+  private[graft] val GopherMaxTopFrac = 0.14
+
+  /** Gopher-style repetition-and-shape quality rules (Rae et al. 2021
+    * §A1.1, the subset meaningful on a corpus without line structure
+    * or symbols): word-count bounds, mean-word-length bounds, ≥2
+    * stop-word hits, type-token-ratio floor, and a most-frequent-word
+    * fraction ceiling (the word-level twin of the paper's duplicate
+    * line fraction). Emits every metric, the per-rule flag, and the
+    * composite verdict — curation pipelines tune rules individually,
+    * so the flags are first-class output, not just a WHERE.
+    *
+    * Scale shape: map-only, zero shuffle — every metric is a
+    * per-document array fold. The top-word count is
+    * O(distinct·n_words) per document, bounded by the document itself,
+    * never the corpus. Rule comparisons run on the UNROUNDED doubles
+    * (both engines compute the identical IEEE expression from the same
+    * integers); the emitted metrics round to 6dp for the hash. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(toks)
+    val meanWlen =
+      (col("n_chars") - (nWords - lit(1))).cast("double") / nWords
+    val ttr = size(array_distinct(toks)).cast("double") / nWords
+    val topFrac = expr(
+      "array_max(transform(array_distinct(split(text, ' ')), " +
+        "w -> size(filter(split(text, ' '), x -> x = w))))")
+      .cast("double") / nWords
+    Tables.documents(spark, sfDir)
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("n_stop", stopHits)
+      .select(
+        col("doc_id"), col("n_words"),
+        round(meanWlen, 6).as("mean_wlen"),
+        col("n_stop").cast("long").as("n_stop"),
+        round(ttr, 6).as("ttr"),
+        round(topFrac, 6).as("top_frac"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("ok_words"),
+        (meanWlen >= GopherMinWordLen &&
+          meanWlen <= GopherMaxWordLen).as("ok_wlen"),
+        (col("n_stop") >= GopherMinStopHits).as("ok_stop"),
+        (ttr >= GopherMinTtr).as("ok_ttr"),
+        (topFrac <= GopherMaxTopFrac).as("ok_rep"))
+      .withColumn("passes_gopher",
+        col("ok_words") && col("ok_wlen") && col("ok_stop") &&
+          col("ok_ttr") && col("ok_rep"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per source, split documents into head /
+    * middle / tail thirds by LM quality score ([[lmScore]], the
+    * shared `lm_model` layer) and keep head+middle. Bucket boundaries
+    * are SCORE-VALUE thresholds, not per-document ranks: for each
+    * distinct 6dp score `s`, `cum(s)` = docs scoring ≥ s, and the
+    * bucket is head while `cum ≤ ⌈n/3⌉`, middle while `cum ≤ ⌈2n/3⌉`
+    * — all docs sharing a score land in one bucket, so the split is
+    * deterministic with no per-document tie-break and replays exactly
+    * in the oracle.
+    *
+    * Scale shape: documents NEVER enter a window. The only window
+    * runs over the per-(source, score) frequency frame, whose size is
+    * bounded by the 6dp score grid — lm_score lives in
+    * [ln(0.4/(N+1)), 0], so distinct values per source are capped by
+    * range·10⁶ independent of corpus size (CCNet itself thresholds on
+    * a sampled histogram for the same reason). Docs then bucket by a
+    * (source, score) equi-join against that bounded threshold table
+    * — broadcastable at any corpus scale. */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmScore(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val freq = scored.groupBy(col("source"), col("lm_score"))
+      .agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+    val cumW = bySrc.orderBy(col("lm_score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = freq
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n_src", sum(col("c")).over(bySrc))
+      .select(col("source"), col("lm_score"),
+        when(col("cum") <= expr("(n_src + 2) div 3"), lit("head"))
+          .when(col("cum") <= expr("(2 * n_src + 2) div 3"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    scored.join(broadcast(buckets), Seq("source", "lm_score"))
+      .select(col("doc_id"), col("source"), col("lm_score"),
+        col("ppl_bucket"), (col("ppl_bucket") =!= "tail").as("keep"))
+  }
+
+  /** Exact-count stratified sampling: every (source, lang) stratum
+    * keeps exactly ⌈n/4⌉ documents, chosen by the deterministic
+    * Knuth-hash uniform ([[Analytics.arithHash]], offset 7 — an
+    * independent stream from q97's rate sampler). The complement of
+    * [[mixtureSample]]: rate-based sampling meets a budget in
+    * expectation, this meets it exactly — the variant a pipeline uses
+    * when the downstream token budget is a hard number.
+    *
+    * Scale shape: the per-stratum rank is a window over (doc_id,
+    * source, lang, u) ONLY — text never enters the shuffle, and the
+    * sampled ids join back to payloads downstream. Strata are
+    * (source, lang) pairs; a stratum too large for one window
+    * partition is exactly the case where the q97 rate sampler (whose
+    * expected count concentrates at that size) replaces this. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Analytics.arithHash(col("doc_id"), offset = 7L) / lit(1048576.0)
+    val w = Window.partitionBy(col("source"), col("lang"))
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("u", u)
+      .withColumn("rk", row_number().over(w.orderBy(col("u"), col("doc_id"))))
+      .withColumn("n_stratum", count(lit(1)).over(w))
+      .withColumn("k_keep", expr("(n_stratum + 3) div 4"))
+    d.filter(col("rk") <= col("k_keep"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        round(col("u"), 6).as("u"), col("rk").cast("long").as("rk"),
+        col("n_stratum"), col("k_keep"))
+  }
 }

@@ -85,7 +85,20 @@ object ScaleBench {
     // round 13: q145 + both decontamination gates — the gates add a
     // broadcast shingle semi-join and the q142 map-side argmax; the
     // ratio bounds their overhead staying linear alongside the chain
-    "q146_curation_decontam")
+    "q146_curation_decontam",
+    // round 13: BM25 — the 10x lake grows the postings of the three
+    // probe terms 10x; the ratio measures the term-filtered tf shuffle
+    // + broadcast df staying linear (the take-ordered cut is k-fixed)
+    "q149_bm25_topk",
+    // round 13: perplexity bucketing — docs never enter a window; the
+    // ratio bounds the (source, score)-grid threshold frame + the
+    // bucket equi-join staying linear in the scoring pass
+    "q150_ppl_buckets",
+    // round 13: per-cell outliers — one assignment scan + a per-cell
+    // rank window over (id, cell, cos); with the 10x lake still inside
+    // the k=16 fixture pin the ratio measures the window staying
+    // cell-population-bounded
+    "q152_cell_outliers")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
