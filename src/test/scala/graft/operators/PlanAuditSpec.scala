@@ -548,4 +548,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(textScans <= 5,
       s"a metadata-only stage reads the wide text column ($textScans):\n$p")
   }
+
+  test("bm25: df/totals broadcast, no UDF, and no corpus-sized ranking window") {
+    val df = Retrieval.bm25TopK(spark, sf())
+    df.collect()
+    val p = plan(df)
+    val fp = finalSection(p)
+    assert(!fp.contains("ScalaUDF"), s"UDF in the scoring path:\n$p")
+    assert(fp.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+    assert(!fp.contains("CartesianProduct"), s"bm25 degenerated:\n$p")
+    // the k-row cut must be Spark's distributed take-ordered; the only
+    // window (rank assignment) runs AFTER it, over k rows
+    assert(fp.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    val iTake = fp.indexOf("TakeOrderedAndProject")
+    val iWin = fp.indexOf("Window")
+    assert(iWin >= 0 && iWin < iTake,
+      s"rank window must sit above the k-row cut, not under it:\n$p")
+  }
+
+  test("perplexity buckets: docs join thresholds broadcast, no per-doc window") {
+    val df = TextOps.perplexityBuckets(spark, sf())
+    df.collect()
+    val p = plan(df)
+    val fp = finalSection(p)
+    assert(!fp.contains("ScalaUDF"), s"UDF in the path:\n$p")
+    // the bucket table (distinct scores per source) must broadcast to
+    // the scored docs — a sort-merge here would shuffle the corpus for
+    // a score-grid-bounded dim
+    assert(fp.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$p")
+    // windows exist only over the frequency frame, partitioned by
+    // source — never unpartitioned (the single-partition corpus sort)
+    assert(!fp.contains("Window [") || !fp.contains("SinglePartition"),
+      s"an unpartitioned window crept in:\n$p")
+  }
+
+  test("cell outliers: centroid cosine map-side, window carries ids not embeddings") {
+    val df = Ivf.cellOutliers(spark, sf())
+    df.collect()
+    val p = plan(df)
+    val fp = finalSection(p)
+    assert(!fp.contains("ScalaUDF"), s"UDF in the cosine path:\n$p")
+    assert(fp.contains("BroadcastHashJoin"), s"centroid frame not broadcast:\n$p")
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoop"),
+      s"outlier pass degenerated:\n$p")
+    // the rank exchange must be keyed on the cell, and the embedding
+    // column must be projected away before it — the window sorts
+    // (vec_id, cell, cos) triples only (structural check: the
+    // WindowExec's child output)
+    // plain collect() stops at AQE QueryStageExec leaves — descend
+    // through stage plans explicitly
+    def all(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = n +: (n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        all(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        all(q.plan)
+      case other => other.children.flatMap(all)
+    })
+    val wins = all(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"per-cell ranking window lost:\n$p")
+    wins.foreach { w =>
+      assert(!w.child.output.exists(_.name == "embedding"),
+        s"embeddings flow through the ranking window: ${w.child.output}")
+    }
+  }
 }
