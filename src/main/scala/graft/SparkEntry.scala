@@ -375,6 +375,19 @@ object SparkEntry {
     // per-cell semantic outliers: coldest 10% by cosine-to-centroid
     // within each IVF cell — embedding-space noise filter
     "q152_cell_outliers" -> ((s, d) => operators.Ivf.cellOutliers(s, d)),
+    // curation v2: the q145 chain + the q147 Gopher composite applied
+    // inline to the cleaned text + the q150 tail-bucket drop — the
+    // model-quality-hardened nightly set
+    "q153_curation_v2" -> ((s, d) => operators.Curation.trainingSetV2(s, d)),
+    // exact-phrase search over positional postings: per-doc occurrence
+    // count + first position for the fixed probe phrase — the quoted-
+    // query complement of q149's ranked retrieval
+    "q154_phrase_search" -> ((s, d) => operators.Retrieval.phraseSearch(s, d)),
+    // per-source contamination report card: how much of each source's
+    // eligible pool the lexical (q79) and semantic (q142) gates would
+    // remove, and what survives both — sources-bounded output
+    "q155_contamination_report" ->
+      ((s, d) => operators.Curation.contaminationReport(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -419,6 +432,9 @@ object SparkEntry {
     // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
     // counting passes over the train split, checkpointed once
     "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),
+    // per-document LM scores over lm_model — one narrow row per doc,
+    // read by q130/q139/q150/q153 (q150 alone reads it twice)
+    "lm_scores" -> ((s, d) => { TextOps.materializedLmScores(s, d); () }),
     // hashed gram counts collapsed per (doc, bucket) — the text
     // explode behind DSIR (q138), paid once; both the λ-distribution
     // collect and the scoring join read the collapsed frame
@@ -3242,6 +3258,119 @@ object SparkEntry {
         |SELECT doc_id, source, lang, ROUND(u, 6) AS u, rk, n_stratum,
         |  (n_stratum + 3) // 4 AS k_keep
         |FROM r WHERE rk <= (n_stratum + 3) // 4""".stripMargin,
+    // q153: the q145 chain + the Gopher composite replayed on keepg's
+    // clean_text (q147 arithmetic verbatim) + the q150 threshold CTEs
+    // over the shared LM chain; tail-bucket docs leave the pool
+    "q153_curation_v2" ->
+      s"""WITH RECURSIVE $curationChain,
+         |$lmScoreChain,
+         |vds AS (
+         |  SELECT lmdoc.doc_id, documents.source, lmdoc.lm_score
+         |  FROM lmdoc JOIN documents USING (doc_id)),
+         |vf AS (SELECT source, lm_score, COUNT(*) AS c FROM vds GROUP BY 1, 2),
+         |vb AS (
+         |  SELECT source, lm_score,
+         |    CASE WHEN cum <= (n_src + 2) // 3 THEN 'head'
+         |         WHEN cum <= (2 * n_src + 2) // 3 THEN 'middle'
+         |         ELSE 'tail' END AS ppl_bucket
+         |  FROM (SELECT source, lm_score,
+         |          SUM(c) OVER (PARTITION BY source
+         |            ORDER BY lm_score DESC) AS cum,
+         |          SUM(c) OVER (PARTITION BY source) AS n_src
+         |        FROM vf)),
+         |vk AS (
+         |  SELECT vds.doc_id, vb.ppl_bucket
+         |  FROM vds JOIN vb
+         |    ON vds.source = vb.source AND vds.lm_score = vb.lm_score
+         |  WHERE vb.ppl_bucket <> 'tail'),
+         |gw AS (
+         |  SELECT doc_id, string_split(clean_text, ' ') AS t,
+         |    len(clean_text) AS nc
+         |  FROM keepg),
+         |gm AS (
+         |  SELECT doc_id,
+         |    len(t) AS nw,
+         |    CAST(nc - (len(t) - 1) AS DOUBLE) / len(t) AS mw,
+         |    len(list_filter(t,
+         |      x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS ns,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         |    CAST(list_max(list_transform(list_distinct(t),
+         |      w -> len(list_filter(t, x -> x = w)))) AS DOUBLE) / len(t) AS tfrac
+         |  FROM gw),
+         |gpass AS (
+         |  SELECT doc_id FROM gm
+         |  WHERE nw >= 20 AND nw <= 100000 AND mw >= 3.0 AND mw <= 10.0
+         |    AND ns >= 2 AND ttr >= 0.35 AND tfrac <= 0.14)
+         |SELECT k.doc_id, smp.lang, d2.source, sem.cell,
+         |  k.n_tokens_clean, k.n_removed, vk.ppl_bucket, k.clean_text
+         |FROM keepg k
+         |JOIN clusters c ON c.doc_id = k.doc_id AND c.doc_id = c.cluster_id
+         |JOIN sem ON sem.doc_id = k.doc_id
+         |JOIN smp ON smp.doc_id = k.doc_id
+         |JOIN documents d2 ON d2.doc_id = k.doc_id
+         |JOIN gpass ON gpass.doc_id = k.doc_id
+         |JOIN vk ON vk.doc_id = k.doc_id""".stripMargin,
+    // q155: the q79 shingle gate + the q142 cosine verdicts joined to
+    // the eligible pool (non-eval docs with a semantic verdict), then
+    // one source-level aggregation
+    "q155_contamination_report" ->
+      s"""WITH sh AS ($shingles),
+         |g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |evg AS (SELECT DISTINCT g FROM g WHERE doc_id < 5),
+         |lex AS (SELECT DISTINCT g.doc_id FROM g JOIN evg USING (g)
+         |        WHERE g.doc_id >= 5),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |      AS nrm
+         |  FROM embeddings),
+         |vev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
+         |        FROM e WHERE vec_id % 50 = 0),
+         |p AS (
+         |  SELECT e.vec_id, vev.eid,
+         |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(vev.eemb[i] AS DOUBLE)))
+         |      / (e.nrm * vev.enrm), 4) AS cos_eval
+         |  FROM e CROSS JOIN vev WHERE e.vec_id % 50 <> 0),
+         |verd AS (
+         |  SELECT vec_id, cos_eval >= 0.6 AS contaminated
+         |  FROM (SELECT vec_id, cos_eval, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cos_eval DESC, eid) AS r
+         |        FROM p)
+         |  WHERE r = 1),
+         |pool AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN lex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_lex,
+         |    verd.contaminated
+         |  FROM documents d
+         |  JOIN verd ON verd.vec_id = d.doc_id
+         |  LEFT JOIN lex ON lex.doc_id = d.doc_id
+         |  WHERE d.doc_id >= 5)
+         |SELECT source, COUNT(*) AS n_pool,
+         |  CAST(SUM(is_lex) AS BIGINT) AS n_lexical,
+         |  CAST(SUM(CAST(contaminated AS INT)) AS BIGINT) AS n_semantic,
+         |  CAST(SUM(CASE WHEN is_lex = 0 AND NOT contaminated
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  ROUND(CAST(SUM(is_lex) AS DOUBLE) / COUNT(*), 6) AS lex_rate,
+         |  ROUND(CAST(SUM(CAST(contaminated AS INT)) AS DOUBLE) / COUNT(*), 6)
+         |    AS sem_rate
+         |FROM pool GROUP BY source""".stripMargin,
+    // q154: positional-postings phrase match — 1-based positions via
+    // the range walk, adjacency as a (doc_id, pos) self-join of the
+    // term-filtered postings
+    "q154_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM d),
+        |tokp AS (SELECT doc_id, pos, t[pos] AS w FROM p
+        |         WHERE t[pos] IN ('spark', 'window')),
+        |m AS (
+        |  SELECT a.doc_id, a.pos
+        |  FROM tokp a JOIN tokp b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w = 'spark' AND b.w = 'window')
+        |SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+        |FROM m GROUP BY doc_id""".stripMargin,
     // q152: the q128 float-cast centroid cosine per row, then the
     // coldest ceil(10%) of each cell by (4dp cos, vec_id)
     "q152_cell_outliers" ->

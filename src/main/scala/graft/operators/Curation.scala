@@ -120,4 +120,71 @@ object Curation {
         col("n_tokens_clean"), col("n_removed"), col("max_eval_cos"),
         col("clean_text"))
   }
+
+  /** q153: [[trainingSet]] hardened with the round-13 model-quality
+    * gates — the "curation v2" a pipeline upgrades to once it has an
+    * LM and rule thresholds it trusts:
+    *
+    *   - the Gopher composite ([[TextOps.gopherPass]], q147's exact
+    *     rules) applied to the CLEANED text — an INLINE map-side
+    *     predicate on the chain, not a self-join back to a second
+    *     q147 scan, so the span-strip subtree still executes once;
+    *   - CCNet perplexity bucketing ([[TextOps.perplexityBuckets]],
+    *     q150): documents in their source's `tail` third by LM score
+    *     leave the pool; survivors carry their bucket.
+    *
+    * Scale shape on top of q145's: the Gopher gate is pure projection
+    * arithmetic on a column already in flight; the bucket gate is one
+    * doc-keyed equi-join against q150's output (whose own shape is
+    * layer-fed and window-free). Nothing new shuffles the corpus. */
+  def trainingSetV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = TextOps.perplexityBuckets(spark, sfDir)
+      .filter(col("ppl_bucket") =!= "tail")
+      .select(col("doc_id"), col("ppl_bucket"))
+    trainingSet(spark, sfDir)
+      .filter(TextOps.gopherPass(col("clean_text")))
+      .join(buckets, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("cell"),
+        col("n_tokens_clean"), col("n_removed"), col("ppl_bucket"),
+        col("clean_text"))
+  }
+
+  /** q155: the per-source contamination report card — for every
+    * source, how much of its eligible pool each decontamination gate
+    * (q79 lexical shingles, q142 embedding cosine) would remove, and
+    * how much survives both. The audit a lab publishes alongside a
+    * release: per-domain leakage rates, not just the scrubbed set.
+    * The pool is exactly q146's eligible population (non-eval docs
+    * with a semantic verdict), so the report's `n_clean` accounts for
+    * precisely the documents the decontaminated set draws from.
+    *
+    * Scale shape: both gate frames arrive doc-keyed and bounded (the
+    * q79 hit list by contamination density, the q142 verdicts one row
+    * per corpus vector); the report is then one (source) aggregation
+    * with map-side combine — sources-bounded output. */
+  def contaminationReport(spark: SparkSession, sfDir: String,
+                          nEvalDocs: Int = 5): DataFrame = {
+    val lex = TextOps.decontamination(spark, sfDir, nEvalDocs)
+      .select(col("doc_id"), lit(1L).as("lex"))
+    val sem = Similarity.embeddingDecontam(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("contaminated"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .filter(col("doc_id") >= nEvalDocs)
+      .join(lex, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pool"),
+        sum(coalesce(col("lex"), lit(0L))).as("n_lexical"),
+        sum(col("contaminated").cast("long")).as("n_semantic"),
+        sum((coalesce(col("lex"), lit(0L)) === 0 && !col("contaminated"))
+          .cast("long")).as("n_clean"))
+      .select(col("source"), col("n_pool"), col("n_lexical"),
+        col("n_semantic"), col("n_clean"),
+        round(col("n_lexical").cast("double") / col("n_pool"), 6)
+          .as("lex_rate"),
+        round(col("n_semantic").cast("double") / col("n_pool"), 6)
+          .as("sem_rate"))
+  }
 }

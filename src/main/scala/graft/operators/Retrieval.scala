@@ -66,4 +66,44 @@ object Retrieval {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
   }
+
+  /** q154's fixed probe phrase. */
+  val Phrase: Seq[String] = Seq("spark", "window")
+
+  /** Exact-phrase search via positional postings — the operator a
+    * search engine layers under quoted queries, and a curation
+    * pipeline uses to locate a literal string (a leaked prompt, a
+    * boilerplate sentence) across the corpus: per matching document,
+    * the occurrence count and the first match position (1-based).
+    *
+    * Scale shape: the tokenize pass keeps positions ONLY for the
+    * phrase's terms (the isin filter runs inside the posting
+    * projection), so the shuffle carries |phrase| narrow posting
+    * streams, never the corpus token stream. Adjacency is a
+    * (doc_id, pos) equi-join per subsequent term — each join keyed,
+    * each side pre-filtered to one term's postings; the final count
+    * is one doc-keyed aggregation. At |phrase| = m that is m−1
+    * narrow joins, the inverted-index plan, never a per-document
+    * scan-and-regex. */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   phrase: Seq[String] = Phrase): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "t")))
+      .filter(col("t").isin(phrase: _*))
+      // 1-based positions, matching the oracle's range(1, len+1) walk
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("t"))
+    val first = tok.filter(col("t") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (cur, (w, i)) =>
+        cur.join(
+          tok.filter(col("t") === w)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
 }

@@ -625,8 +625,24 @@ object TextOps {
     * counting passes run once per (session, lake), the same
     * build-once discipline as `bpe_merges` and `quality_lr_weights`. */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame =
-    lmScoreWith(Tables.documents(spark, sfDir),
-      materializedLmModel(spark, sfDir))
+    materializedLmScores(spark, sfDir)
+
+  /** Per-document LM score layer (`lm_scores`): the corpus scoring
+    * pass over [[materializedLmModel]] (two keyed joins + one doc
+    * aggregation), checkpointed once per (session, lake). One narrow
+    * row per document — the standard materialization a pipeline keeps
+    * next to its corpus. Before this layer, every consumer (q130's
+    * report, q139's cell ranking, q150's bucketing — which reads the
+    * scores TWICE, once for thresholds and once to bucket, and q153
+    * through it) re-ran the corpus bigram pass per reference. */
+  def materializedLmScores(spark: SparkSession, sfDir: String): DataFrame =
+    lmScoresCache.getOrCompute(spark, sfDir) {
+      lmScoreWith(Tables.documents(spark, sfDir),
+        materializedLmModel(spark, sfDir)).localCheckpoint()
+    }
+
+  private val lmScoresCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** [[lmScore]] over an explicit corpus frame (`doc_id`, `text`) —
     * the planted-corpus entry point the spec drives with degenerate
@@ -824,6 +840,43 @@ object TextOps {
   private[graft] val GopherMinTtr = 0.35
   private[graft] val GopherMaxTopFrac = 0.14
 
+  /** The five Gopher rule metrics over an arbitrary text column —
+    * every consumer (the q147 report, the q153 curation gate) derives
+    * the rules from these same expressions, so the report and the
+    * inline gate cannot drift. `n_chars` is computed as
+    * `length(text)` (the fixture's `n_chars` column equals it by
+    * construction, verified at every SF). */
+  private[operators] final case class GopherMetrics(
+      nWords: Column, meanWlen: Column, nStop: Column,
+      ttr: Column, topFrac: Column) {
+    def okWords: Column =
+      nWords >= GopherMinWords && nWords <= GopherMaxWords
+    def okWlen: Column =
+      meanWlen >= GopherMinWordLen && meanWlen <= GopherMaxWordLen
+    def okStop: Column = nStop >= GopherMinStopHits
+    def okTtr: Column = ttr >= GopherMinTtr
+    def okRep: Column = topFrac <= GopherMaxTopFrac
+    def passes: Column = okWords && okWlen && okStop && okTtr && okRep
+  }
+
+  private[operators] def gopherMetrics(text: Column): GopherMetrics = {
+    val t = split(text, " ")
+    val nWords = size(t)
+    val stopArr = array(StopWords.map(lit): _*)
+    GopherMetrics(
+      nWords = nWords,
+      meanWlen = (length(text) - (nWords - lit(1))).cast("double") / nWords,
+      nStop = size(filter(t, x => array_contains(stopArr, x))),
+      ttr = size(array_distinct(t)).cast("double") / nWords,
+      topFrac = array_max(transform(array_distinct(t),
+        w => size(filter(t, x => x === w)))).cast("double") / nWords)
+  }
+
+  /** The composite Gopher verdict as a single predicate over a text
+    * column — the inline form composition queries (q153) gate with. */
+  private[graft] def gopherPass(text: Column): Column =
+    gopherMetrics(text).passes
+
   /** Gopher-style repetition-and-shape quality rules (Rae et al. 2021
     * §A1.1, the subset meaningful on a corpus without line structure
     * or symbols): word-count bounds, mean-word-length bounds, ≥2
@@ -840,33 +893,20 @@ object TextOps {
     * (both engines compute the identical IEEE expression from the same
     * integers); the emitted metrics round to 6dp for the hash. */
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val nWords = size(toks)
-    val meanWlen =
-      (col("n_chars") - (nWords - lit(1))).cast("double") / nWords
-    val ttr = size(array_distinct(toks)).cast("double") / nWords
-    val topFrac = expr(
-      "array_max(transform(array_distinct(split(text, ' ')), " +
-        "w -> size(filter(split(text, ' '), x -> x = w))))")
-      .cast("double") / nWords
+    val m = gopherMetrics(col("text"))
     Tables.documents(spark, sfDir)
-      .withColumn("n_words", nWords.cast("long"))
-      .withColumn("n_stop", stopHits)
       .select(
-        col("doc_id"), col("n_words"),
-        round(meanWlen, 6).as("mean_wlen"),
-        col("n_stop").cast("long").as("n_stop"),
-        round(ttr, 6).as("ttr"),
-        round(topFrac, 6).as("top_frac"),
-        (col("n_words") >= GopherMinWords &&
-          col("n_words") <= GopherMaxWords).as("ok_words"),
-        (meanWlen >= GopherMinWordLen &&
-          meanWlen <= GopherMaxWordLen).as("ok_wlen"),
-        (col("n_stop") >= GopherMinStopHits).as("ok_stop"),
-        (ttr >= GopherMinTtr).as("ok_ttr"),
-        (topFrac <= GopherMaxTopFrac).as("ok_rep"))
-      .withColumn("passes_gopher",
-        col("ok_words") && col("ok_wlen") && col("ok_stop") &&
-          col("ok_ttr") && col("ok_rep"))
+        col("doc_id"), m.nWords.cast("long").as("n_words"),
+        round(m.meanWlen, 6).as("mean_wlen"),
+        m.nStop.cast("long").as("n_stop"),
+        round(m.ttr, 6).as("ttr"),
+        round(m.topFrac, 6).as("top_frac"),
+        m.okWords.as("ok_words"),
+        m.okWlen.as("ok_wlen"),
+        m.okStop.as("ok_stop"),
+        m.okTtr.as("ok_ttr"),
+        m.okRep.as("ok_rep"),
+        m.passes.as("passes_gopher"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,

@@ -21,6 +21,32 @@ class CurationSpec extends SparkSpec {
       "on a corpus whose eval slices overlap the pool by construction")
   }
 
+  test("curation v2 is the q145 set minus exactly the gopher and tail-bucket failures") {
+    val base = Curation.trainingSet(spark, sf())
+    val v2 = Curation.trainingSetV2(spark, sf())
+    val v2Ids = v2.select("doc_id").collect().map(_.getLong(0)).toSet
+    // recompute the expected survivor set from the component operators
+    val gopherOk = base
+      .filter(TextOps.gopherPass(col("clean_text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val notTail = TextOps.perplexityBuckets(spark, sf())
+      .filter(col("ppl_bucket") =!= "tail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(v2Ids == (baseIds intersect gopherOk intersect notTail),
+      "v2 survivors != base ∩ gopher-pass ∩ non-tail")
+    assert(v2Ids.nonEmpty && v2Ids.size < baseIds.size,
+      "the v2 gates must bite on the fixture")
+    // carried buckets agree with q150's verdicts
+    val buckets = TextOps.perplexityBuckets(spark, sf())
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    v2.select("doc_id", "ppl_bucket").collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} carries a bucket q150 disagrees with")
+    }
+  }
+
   test("no survivor shares a shingle with the eval docs or sits near an eval vector") {
     val dec = Curation.trainingSetDecontaminated(spark, sf())
     // lexical: the q79 hit list and the survivor set must be disjoint

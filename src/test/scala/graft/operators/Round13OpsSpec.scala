@@ -116,6 +116,50 @@ class Round13OpsSpec extends SparkSpec {
     assert(a == b, "resampling must be a pure function of the ids")
   }
 
+  test("phrase search agrees with a driver-side scan of every document") {
+    val got = Retrieval.phraseSearch(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text").collect()
+    val expect = docs.flatMap { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val hits = (0 until toks.length - 1).filter(i =>
+        toks(i) == "spark" && toks(i + 1) == "window")
+      if (hits.isEmpty) None
+      else Some(r.getLong(0) -> (hits.length.toLong, hits.head.toLong + 1))
+    }.toMap
+    assert(got == expect, {
+      val extra = got.keySet -- expect.keySet
+      val missing = expect.keySet -- got.keySet
+      s"extra=$extra missing=$missing"
+    })
+    assert(expect.nonEmpty, "probe phrase never occurs — dead fixture")
+  }
+
+  test("contamination report rows reconcile with the gate operators") {
+    val rep = Curation.contaminationReport(spark, sf()).collect()
+    assert(rep.nonEmpty)
+    val lexHits = TextOps.decontamination(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val verdicts = Similarity.embeddingDecontam(spark, sf())
+      .select(col("vec_id"), col("contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pool = graft.Tables.documents(spark, sf())
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, _) => id >= 5 && verdicts.contains(id) }
+    val bySrc = pool.groupBy(_._2)
+    rep.foreach { r =>
+      val src = r.getString(0)
+      val ids = bySrc(src).map(_._1)
+      assert(r.getLong(1) == ids.length, s"$src n_pool")
+      assert(r.getLong(2) == ids.count(lexHits), s"$src n_lexical")
+      assert(r.getLong(3) == ids.count(verdicts(_)), s"$src n_semantic")
+      assert(r.getLong(4) == ids.count(id => !lexHits(id) && !verdicts(id)),
+        s"$src n_clean")
+    }
+  }
+
   test("cell outliers are exactly the coldest ceil(10%) of the full per-cell ranking") {
     val full = Ivf.cellOutliers(spark, sf(), frac = 1.0)
       .collect()
