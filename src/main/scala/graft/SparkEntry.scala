@@ -388,6 +388,13 @@ object SparkEntry {
     // remove, and what survives both — sources-bounded output
     "q155_contamination_report" ->
       ((s, d) => operators.Curation.contaminationReport(s, d)),
+    // cross-source duplicate-flow matrix: verified near-dup pairs +
+    // exact-dup star edges per unordered source pair — the provenance
+    // diagnostic behind source drop/reweight decisions
+    "q156_dup_flow_matrix" -> ((s, d) => operators.Dedup.dupFlowMatrix(s, d)),
+    // cluster labeling: top-3 distinctive terms per semantic cell by
+    // summed TF-IDF (tfidf_postings layer ⋈ IVF cells, decimal fold)
+    "q157_cell_top_terms" -> ((s, d) => operators.Ivf.cellTopTerms(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -3356,6 +3363,62 @@ object SparkEntry {
          |  ROUND(CAST(SUM(CAST(contaminated AS INT)) AS DOUBLE) / COUNT(*), 6)
          |    AS sem_rate
          |FROM pool GROUP BY source""".stripMargin,
+    // q156: the dupClusters fragment's verified jaccard pairs + exact
+    // star edges, each mapped to an unordered source pair and counted;
+    // the recursive label CTEs in the fragment go unreferenced (lazy)
+    "q156_dup_flow_matrix" ->
+      s"""WITH RECURSIVE $dupClusters,
+         |srcm AS (SELECT doc_id, source FROM documents),
+         |nearm AS (
+         |  SELECT LEAST(a.source, b.source) AS source_a,
+         |         GREATEST(a.source, b.source) AS source_b,
+         |         COUNT(*) AS n_near
+         |  FROM pairs JOIN srcm a ON pairs.doc_i = a.doc_id
+         |             JOIN srcm b ON pairs.doc_j = b.doc_id
+         |  GROUP BY 1, 2),
+         |exm AS (
+         |  SELECT LEAST(a.source, b.source) AS source_a,
+         |         GREATEST(a.source, b.source) AS source_b,
+         |         COUNT(*) AS n_exact
+         |  FROM xe JOIN srcm a ON xe.doc_i = a.doc_id
+         |          JOIN srcm b ON xe.doc_j = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT COALESCE(n.source_a, e.source_a) AS source_a,
+         |  COALESCE(n.source_b, e.source_b) AS source_b,
+         |  COALESCE(n.n_near, 0) AS n_near,
+         |  COALESCE(e.n_exact, 0) AS n_exact
+         |FROM nearm n FULL OUTER JOIN exm e
+         |  ON n.source_a = e.source_a AND n.source_b = e.source_b""".stripMargin,
+    // q157: the q34 TF-IDF arithmetic re-derived per (cell, term) with
+    // a 6dp-decimal fold, cells from the unrolled-Lloyd assignment
+    "q157_cell_top_terms" ->
+      s"""WITH $ivfKmeans,
+         |ttok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |ttf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ttok GROUP BY 1, 2),
+         |tn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |tdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |        FROM ttok GROUP BY 1),
+         |tsc AS (
+         |  SELECT doc_id, ttf.term,
+         |    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+         |  FROM ttf JOIN tdf ON ttf.term = tdf.term CROSS JOIN tn),
+         |cellsq AS (SELECT vec_id AS doc_id, CAST(cluster AS INT) AS cell
+         |           FROM af),
+         |ag AS (
+         |  SELECT cell, term,
+         |    SUM(CAST(tfidf AS DECIMAL(18, 6))) AS w_dec,
+         |    COUNT(*) AS n_docs_term
+         |  FROM tsc JOIN cellsq USING (doc_id) GROUP BY 1, 2)
+         |SELECT cell, term, ROUND(CAST(w_dec AS DOUBLE), 6) AS weight,
+         |  n_docs_term, rnk
+         |FROM (
+         |  SELECT cell, term, w_dec, n_docs_term,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY w_dec DESC, term) AS rnk
+         |  FROM ag)
+         |WHERE rnk <= 3""".stripMargin,
     // q154: positional-postings phrase match — 1-based positions via
     // the range walk, adjacency as a (doc_id, pos) self-join of the
     // term-filtered postings

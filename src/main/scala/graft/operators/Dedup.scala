@@ -163,6 +163,43 @@ object Dedup {
                    maxDf: Long = DefaultMaxDf): DataFrame =
     jaccardPairsFrom(shingled(spark, sfDir), threshold, maxDf)
 
+  /** q156: the cross-source duplicate-flow matrix — for every
+    * unordered source pair, how many verified near-dup pairs
+    * ([[jaccardPairs]] at `threshold`) and exact-duplicate star edges
+    * ([[exactEdgesFrom]], group-min → member) connect them. The
+    * provenance diagnostic a curation team reads before dropping or
+    * reweighting a source: a hot off-diagonal cell means one source
+    * syndicates another's content. The two channels are reported
+    * side by side exactly as their parent operators define them (an
+    * identical-text pair that survives the DF cap and involves its
+    * group min appears in both — the channels are counts of their
+    * operators' outputs, not a partition of pair-space).
+    *
+    * Scale shape: both pair channels arrive bounded (near-dup density
+    * / duplicate-group fan-out); attaching sources is two doc-keyed
+    * equi-joins against the narrow (doc_id, source) projection, and
+    * the matrix aggregation is sources²-bounded with map-side
+    * combine. */
+  def dupFlowMatrix(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    def matrix(pairs: DataFrame, as: String): DataFrame = pairs
+      .join(src.toDF("doc_i", "src_i"), "doc_i")
+      .join(src.toDF("doc_j", "src_j"), "doc_j")
+      .select(least(col("src_i"), col("src_j")).as("source_a"),
+        greatest(col("src_i"), col("src_j")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as(as))
+    matrix(jaccardPairs(spark, sfDir, threshold)
+        .select(col("doc_i"), col("doc_j")), "n_near")
+      .join(matrix(exactEdgesFrom(Tables.documents(spark, sfDir))
+        .select(col("doc_i"), col("doc_j")), "n_exact"),
+        Seq("source_a", "source_b"), "full_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
   /** [[jaccardPairs]] over an arbitrary `(doc_id, shingles)` frame —
     * spec-visible so the stop-shingle guard is testable on planted
     * corpora. */

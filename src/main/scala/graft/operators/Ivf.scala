@@ -305,6 +305,40 @@ object Ivf {
         col("rk_cold"), col("n_cell"), col("k_cut"))
   }
 
+  /** q157: cluster labeling — the `perCell` most distinctive terms of
+    * every semantic cell, by summed per-document TF-IDF weight (ties →
+    * term asc). The human-readable face of the IVF layer: a curation
+    * review reads these labels to decide which cells to upweight,
+    * cap, or drop. Composes the `tfidf_postings` layer with the cell
+    * assignment; weights sum as 6dp DECIMAL (order-independent fold),
+    * so the ranking is partitioning-independent and replays exactly.
+    *
+    * Scale shape: one doc-keyed equi-join (postings ↔ cell), one
+    * (cell, term) aggregation with map-side combine — the ranked
+    * frame is (cells × vocabulary)-bounded, never corpus-sized, and
+    * the per-cell window runs over that bounded frame. */
+  def cellTopTerms(spark: SparkSession, sfDir: String, perCell: Int = 3,
+                   kClusters: Int = 16, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val centroids = fittedCentroids(spark, sfDir, kClusters, iters)
+    val cells = Similarity.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id").as("doc_id"),
+        assignExpr(centroids)(col("embedding")).as("cell"))
+    val agg = graft.features.Features.materializedTfidf(spark, sfDir)
+      .join(cells, Seq("doc_id"))
+      .withColumn("tfd", col("tfidf").cast(DecimalType(18, 6)))
+      .groupBy(col("cell"), col("term"))
+      .agg(sum(col("tfd")).as("w_dec"), count(lit(1)).as("n_docs_term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(desc("w_dec"), asc("term"))
+    agg
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perCell)
+      .select(col("cell"), col("term"),
+        round(col("w_dec").cast("double"), 6).as("weight"),
+        col("n_docs_term"), col("rnk"))
+  }
+
   /** ANN top-k probing `nProbe` of `k` cells. `nProbe == k` degenerates
     * to exact brute force (spec-asserted invariant). */
   def topK(spark: SparkSession, sfDir: String, nQueries: Int = 10, topk: Int = 5,

@@ -98,7 +98,11 @@ object ScaleBench {
     // rank window over (id, cell, cos); with the 10x lake still inside
     // the k=16 fixture pin the ratio measures the window staying
     // cell-population-bounded
-    "q152_cell_outliers")
+    "q152_cell_outliers",
+    // round 13: curation v2 — the q145 chain + the inline Gopher gate
+    // + the lm_scores-layer bucket join; the ratio bounds the two new
+    // gates adding only map-side + doc-keyed work on top of q145's
+    "q153_curation_v2")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

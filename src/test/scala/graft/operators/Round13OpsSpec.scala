@@ -160,6 +160,61 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup flow matrix totals reconcile with the pair operators") {
+    val rep = Dedup.dupFlowMatrix(spark, sf()).collect()
+    assert(rep.nonEmpty)
+    rep.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "matrix keys must be unordered (source_a <= source_b)"))
+    val nearTotal = rep.map(_.getLong(2)).sum
+    val exactTotal = rep.map(_.getLong(3)).sum
+    assert(nearTotal == Dedup.jaccardPairs(spark, sf(), 0.5).count(),
+      "near channel total != q20 pair count at the same threshold")
+    val docs = graft.Tables.documents(spark, sf())
+    assert(exactTotal == Dedup.exactEdgesFrom(docs).count(),
+      "exact channel total != star-edge count")
+    // the sf0.001 fixture has no byte-identical pair, so only the near
+    // channel is guaranteed live here; the exact channel is exercised
+    // (8 star edges) by the q156 oracle at sf0.1
+    assert(nearTotal > 0, "near channel must be live on the fixture")
+  }
+
+  test("cell top terms: dense ranks and the true decimal-fold argmax per cell") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = Ivf.cellTopTerms(spark, sf()).collect()
+      .groupBy(_.getInt(0))
+    assert(got.nonEmpty)
+    // driver replay of the (cell, term) decimal fold
+    val cells = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val centroids = Ivf.fittedCentroids(spark, sf(), 16, 2)
+    val assigned = cells
+      .withColumn("cell", Ivf.assignExpr(centroids)(col("embedding")))
+      .select("doc_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sums = graft.features.Features.materializedTfidf(spark, sf())
+      .select(col("doc_id"), col("term"),
+        col("tfidf").cast(DecimalType(18, 6)).as("t"))
+      .collect()
+      .flatMap { r =>
+        assigned.get(r.getLong(0)).map(c =>
+          (c, r.getString(1)) -> r.getDecimal(2))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(v => BigDecimal(v._2)).sum
+      }
+    got.foreach { case (cell, rows) =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq ==
+        (1L to rows.length), s"cell $cell: ranks not dense")
+      val best = sums.collect { case ((c, t), w) if c == cell => (t, w) }
+        .toSeq.sortBy { case (t, w) => (-w, t) }
+      val expectTop = best.take(rows.length).map(_._1)
+      val gotTerms = rows.sortBy(_.getLong(4)).map(_.getString(1)).toSeq
+      assert(gotTerms == expectTop,
+        s"cell $cell: $gotTerms != replayed ${expectTop}")
+    }
+  }
+
   test("cell outliers are exactly the coldest ceil(10%) of the full per-cell ranking") {
     val full = Ivf.cellOutliers(spark, sf(), frac = 1.0)
       .collect()
