@@ -52,7 +52,7 @@ object SparkEntry {
     "q18_json_extract_agg" -> ((s, d) => ScalarFuncs.jsonExtractAgg(s, d)),
     // --- dedup family ---
     "q19_dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
-    "q20_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d, 0.5)),
+    "q20_jaccard_pairs" -> ((s, d) => Dedup.materializedNearPairs(s, d, 0.5)),
     "q21_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d, 0.5)),
     "q22_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q23_embedding_pairs" -> ((s, d) => Dedup.embeddingPairsBucketed(s, d, 0.4)),
@@ -436,6 +436,11 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
     // duplicated-span table (q133 reads it, q134 strips through it)
     "dup_spans" -> ((s, d) => { operators.Dedup.materializedDupSpans(s, d); () }),
+    // verified near-dup pairs at 0.5 — read by q20, q156 and the
+    // dedup_clusters build (alphabetical layer order builds clusters
+    // first, so the pair cost lands in that entry; this one is then a
+    // cache hit priming q20/q156)
+    "near_pairs" -> ((s, d) => { operators.Dedup.materializedNearPairs(s, d); () }),
     // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
     // counting passes over the train split, checkpointed once
     "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),

@@ -163,6 +163,25 @@ object Dedup {
                    maxDf: Long = DefaultMaxDf): DataFrame =
     jaccardPairsFrom(shingled(spark, sfDir), threshold, maxDf)
 
+  /** The MATERIALIZED verified near-dup pair layer (`near_pairs`):
+    * [[jaccardPairs]] at `threshold` computed once per (session,
+    * sfDir, threshold) and re-entered as a checkpointed frame. Three
+    * consumers read the identical pair set — the q20 report, the
+    * q156 flow matrix, and the cluster-label build — and before this
+    * layer each re-ran the full shingle-join + verification pass
+    * (q156 alone paid ~3 s of the ~4 s the bench charged it). The
+    * pair frame is near-dup-density-bounded, so the checkpoint is
+    * tiny relative to the corpus at any scale. */
+  def materializedNearPairs(spark: SparkSession, sfDir: String,
+                            threshold: Double = 0.5): DataFrame =
+    nearPairsCache.getOrCompute(spark, (sfDir, threshold)) {
+      jaccardPairs(spark, sfDir, threshold).localCheckpoint()
+    }
+
+  private val nearPairsCache =
+    new graft.SessionCache[(String, Double), DataFrame](
+      onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** q156: the cross-source duplicate-flow matrix — for every
     * unordered source pair, how many verified near-dup pairs
     * ([[jaccardPairs]] at `threshold`) and exact-duplicate star edges
@@ -190,7 +209,7 @@ object Dedup {
         greatest(col("src_i"), col("src_j")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as(as))
-    matrix(jaccardPairs(spark, sfDir, threshold)
+    matrix(materializedNearPairs(spark, sfDir, threshold)
         .select(col("doc_i"), col("doc_j")), "n_near")
       .join(matrix(exactEdgesFrom(Tables.documents(spark, sfDir))
         .select(col("doc_i"), col("doc_j")), "n_exact"),
@@ -365,8 +384,18 @@ object Dedup {
     * the canonical representative, which is what a keep-one dedup pass
     * keys on. */
   def nearDupClusters(spark: SparkSession, sfDir: String,
-                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame =
-    nearDupClustersFrom(Tables.documents(spark, sfDir), threshold, maxRounds)
+                      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    // the lake path reads the near_pairs layer (one pair build per
+    // session, shared with q20/q156); the spec-generic planted-corpus
+    // path below keeps building its own pairs
+    val docs = Tables.documents(spark, sfDir)
+    val edges = materializedNearPairs(spark, sfDir, threshold)
+      .select(col("doc_i"), col("doc_j"))
+      .unionByName(exactEdgesFrom(docs))
+    docs.select(col("doc_id"))
+      .join(propagateLabels(edges, maxRounds), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
 
   /** [[nearDupClusters]] over an arbitrary documents frame — spec-visible
     * so the DF-cap ∪ exact-edge interplay is testable on planted
