@@ -395,6 +395,19 @@ object SparkEntry {
     // cluster labeling: top-3 distinctive terms per semantic cell by
     // summed TF-IDF (tfidf_postings layer ⋈ IVF cells, decimal fold)
     "q157_cell_top_terms" -> ((s, d) => operators.Ivf.cellTopTerms(s, d)),
+    // hybrid retrieval: BM25 top-20 ⊕ exact-cosine top-20 fused by
+    // reciprocal-rank (k=60); fusion is k-row algebra over the two
+    // bounded retrieval stages
+    "q158_hybrid_rrf" -> ((s, d) => operators.Retrieval.hybridTopK(s, d)),
+    // binary-quantized ANN: sign-packed 16 B codes, XOR+popcount
+    // candidate scan, exact cosine re-rank of the bounded candidates
+    "q159_hamming_topk" -> ((s, d) => operators.BinaryAnn.hammingTopK(s, d)),
+    // tokenizer fertility per language over the learned-BPE layer:
+    // subwords/word + chars/subword — languages-bounded rollup
+    "q160_token_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
+    // more-like-this: query-by-document BM25 — the probe doc's top
+    // TF-IDF terms drive the q149 scoring core, probe doc excluded
+    "q161_more_like_this" -> ((s, d) => operators.Retrieval.moreLikeThis(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -3704,5 +3717,173 @@ object SparkEntry {
         |FROM t WHERE t3 IS NOT NULL
         |GROUP BY t1, t2, t3
         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    // q158: the q149 BM25 chain cut at 20 ⊕ the q24 brute chain for
+    // qid 0 cut at 20, fused by 1/(60+rank) with absent sides at 0 —
+    // Cormack 2009 verbatim on both engines
+    "q158_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+        |               COUNT(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS t FROM d)
+        |  WHERE t IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+        |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))), 9)
+        |      AS DECIMAL(18, 9)) AS term_score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS lex_rank
+        |  FROM agg ORDER BY score DESC, doc_id LIMIT 20),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM e
+        |      WHERE vec_id < 1),
+        |cosed AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM e JOIN q ON e.vec_id <> qid),
+        |sem AS (
+        |  SELECT vec_id AS doc_id, sem_rank FROM (
+        |    SELECT vec_id,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+        |        AS sem_rank
+        |    FROM cosed)
+        |  WHERE sem_rank <= 20),
+        |f AS (
+        |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+        |    ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0) +
+        |          COALESCE(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        |SELECT doc_id, lex_rank, sem_rank, rrf_score,
+        |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // q159: sign-pack each 64-dim vector into two little-endian 32-bit
+    // half-words (bit set iff component > 0), Hamming = summed
+    // popcounts of the XORs, top-20 candidates per query, then the
+    // exact q24 cosine re-rank over candidates only
+    "q159_hamming_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS b_lo,
+        |    CAST(list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+        |                ELSE 0::BIGINT END)) AS BIGINT) AS b_hi
+        |  FROM embeddings),
+        |qc AS (SELECT vec_id AS qid, b_lo AS q_lo, b_hi AS q_hi FROM p
+        |       WHERE vec_id < 10),
+        |h AS (
+        |  SELECT qid, p.vec_id,
+        |    CAST(bit_count(xor(p.b_lo, q_lo)) + bit_count(xor(p.b_hi, q_hi))
+        |      AS BIGINT) AS hamming
+        |  FROM p JOIN qc ON p.vec_id <> qid),
+        |cand AS (
+        |  SELECT qid, vec_id, hamming FROM (
+        |    SELECT qid, vec_id, hamming,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rk
+        |    FROM h)
+        |  WHERE rk <= 20),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm FROM e
+        |      WHERE vec_id < 10),
+        |r AS (
+        |  SELECT cand.qid, cand.vec_id, cand.hamming,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid)
+        |SELECT qid, vec_id AS nbr_id, rank, hamming, cos_sim FROM (
+        |  SELECT qid, vec_id, hamming, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM r)
+        |WHERE rank <= 5""".stripMargin,
+    // q161: q34's TF-IDF chain picks the probe doc's top-3 terms
+    // (6dp round, term tie-break), which join-filter the q149 BM25
+    // core; the probe doc is excluded from the ranking only — corpus
+    // statistics keep every document
+    "q161_more_like_this" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+        |tsc AS (
+        |  SELECT doc_id, tfq.term,
+        |    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tfq JOIN dfv USING (term) CROSS JOIN n),
+        |qterms AS (SELECT term AS t FROM tsc WHERE doc_id = 0
+        |           ORDER BY tfidf DESC, term LIMIT 3),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+        |tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+        |               COUNT(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS t FROM d) u
+        |  JOIN qterms USING (t) GROUP BY 1, 2),
+        |dft AS (SELECT t, COUNT(*) AS dft FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+        |      (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))), 9)
+        |      AS DECIMAL(18, 9)) AS term_score
+        |  FROM tf JOIN dl USING (doc_id) JOIN dft USING (t) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_terms_hit,
+        |    ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms_hit, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM agg WHERE doc_id <> 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q160: the q132 BPE-apply chain rolled up per language — integer
+    // sums (exact under any partitioning), ratios rounded at the end
+    "q160_token_fertility" ->
+      (s"WITH $bpeChain,\n" +
+        s"""wt AS (SELECT word, CAST(len(t) AS BIGINT) AS n_sub FROM w$bpeMergeCount),
+           |d AS (SELECT doc_id, lang, n_chars,
+           |        unnest(string_split(text, ' ')) AS word
+           |      FROM documents),
+           |j AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    COALESCE(wt.n_sub, CASE WHEN len(d.word) > 0 THEN 1 ELSE 0 END) AS n_tok,
+           |    CASE WHEN len(d.word) > 0 THEN 1 ELSE 0 END AS is_word
+           |  FROM d LEFT JOIN wt ON d.word = wt.word),
+           |doc AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    SUM(is_word) AS n_words, SUM(n_tok) AS n_sub
+           |  FROM j GROUP BY 1, 2, 3)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           |  ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words), 4) AS fertility,
+           |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sub), 4) AS chars_per_subword
+           |FROM doc GROUP BY lang""".stripMargin),
   )
 }

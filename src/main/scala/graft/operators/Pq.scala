@@ -408,7 +408,7 @@ object Pq {
     * match as < 1 (equal whenever the corpus has ≥ topk non-query
     * vectors, the fixture case). Both sides arrive from their serving
     * operators unchanged, so the gate measures exactly what serves. */
-  private def recallAgainst(ann: DataFrame, bruteTopK: DataFrame): DataFrame = {
+  private[operators] def recallAgainst(ann: DataFrame, bruteTopK: DataFrame): DataFrame = {
     val brute = bruteTopK.select(col("qid"), col("nbr_id"), lit(1L).as("hit"))
     // ≤ nQueries rows — a broadcast-sized denominator frame
     val bruteK = brute.groupBy(col("qid")).agg(count(lit(1)).as("brute_k"))

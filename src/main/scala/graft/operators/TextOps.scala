@@ -599,6 +599,36 @@ object TextOps {
           .as("subwords_per_char"))
   }
 
+  /** q160: tokenizer fertility per language (Rust et al. 2021, "How
+    * Good is Your Tokenizer?") — subwords per whitespace word
+    * (fertility) and characters per subword, rolled up per `lang` over
+    * the SAME learned-BPE application as q132. The metric every
+    * multilingual pipeline reads before fixing a token budget: a
+    * language with fertility 2× pays 2× the compute per word.
+    *
+    * Scale shape: one narrow join of the q132 per-doc counts against
+    * (doc_id, lang, n_chars), then a map-side-combined groupBy on a
+    * languages-bounded key. Integer sums are exact under any
+    * partitioning; only the final two ratios round. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String,
+                         merges: Int = 10): DataFrame = {
+    val perDoc = bpeApply(spark, sfDir, merges)
+      .select(col("doc_id"), col("n_words"), col("n_subwords"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    perDoc.join(docs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("fertility"),
+        round(col("sum_chars").cast("double") / col("n_subwords"), 4)
+          .as("chars_per_subword"))
+  }
+
   /** CCNet-style language-model quality scoring: train a bigram LM
     * with stupid backoff (Brants et al. 2007 — `S(w2|w1) =
     * c(w1w2)/c(w1)` when the bigram was seen, else `0.4·(c(w2)+1)/
