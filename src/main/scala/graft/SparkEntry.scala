@@ -408,6 +408,14 @@ object SparkEntry {
     // more-like-this: query-by-document BM25 — the probe doc's top
     // TF-IDF terms drive the q149 scoring core, probe doc excluded
     "q161_more_like_this" -> ((s, d) => operators.Retrieval.moreLikeThis(s, d)),
+    // token-balanced output sharding: snake assignment over the global
+    // token-desc rank via the range-partitioned prefix scan — no
+    // single-partition window
+    "q162_token_shards" -> ((s, d) => operators.Sharding.tokenBalancedShards(s, d)),
+    // split-leakage audit: near-dup + exact-dup pairs crossing the q81
+    // train/val/test hash split — splits²-bounded matrix over the
+    // shared pair layers
+    "q163_split_leakage" -> ((s, d) => operators.Dedup.splitLeakage(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -3885,5 +3893,58 @@ object SparkEntry {
            |  ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words), 4) AS fertility,
            |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sub), 4) AS chars_per_subword
            |FROM doc GROUP BY lang""".stripMargin),
+    // q162: global token-desc rank, then the boustrophedon block walk —
+    // floor-div/mod on the 0-based rank, odd blocks reversed
+    "q162_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+        |      AS rn
+        |  FROM t)
+        |SELECT doc_id, n_tokens, rn,
+        |  CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+        |       ELSE 7 - (rn - 1) % 8 END AS shard
+        |FROM r""".stripMargin,
+    // q163: the q156 pair channels re-keyed by the q81 split hash —
+    // LEAST/GREATEST normalize the unordered split pair, counts
+    // coalesce to 0 across the channel outer-join
+    "q163_split_leakage" ->
+      s"""WITH RECURSIVE $dupClusters,
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u < 0.8 THEN 'train'
+         |         WHEN u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(((((doc_id % 1048576) + 1048576) % 1048576) * 2654435761)
+         |        % 1048576 AS DOUBLE) / 1048576.0 AS u
+         |    FROM documents)),
+         |nearm AS (
+         |  SELECT LEAST(a.split, b.split) AS split_a,
+         |         GREATEST(a.split, b.split) AS split_b,
+         |         COUNT(*) AS n_near
+         |  FROM pairs JOIN spl a ON pairs.doc_i = a.doc_id
+         |             JOIN spl b ON pairs.doc_j = b.doc_id
+         |  GROUP BY 1, 2),
+         |exm AS (
+         |  SELECT LEAST(a.split, b.split) AS split_a,
+         |         GREATEST(a.split, b.split) AS split_b,
+         |         COUNT(*) AS n_exact
+         |  FROM xe JOIN spl a ON xe.doc_i = a.doc_id
+         |          JOIN spl b ON xe.doc_j = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT COALESCE(n.split_a, e.split_a) AS split_a,
+         |  COALESCE(n.split_b, e.split_b) AS split_b,
+         |  COALESCE(n.n_near, 0) AS n_near,
+         |  COALESCE(e.n_exact, 0) AS n_exact,
+         |  COALESCE(n.split_a, e.split_a) <> COALESCE(n.split_b, e.split_b)
+         |    AS leaked
+         |FROM nearm n FULL OUTER JOIN exm e
+         |  ON n.split_a = e.split_a AND n.split_b = e.split_b""".stripMargin,
   )
 }

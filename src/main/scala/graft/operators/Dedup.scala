@@ -219,6 +219,43 @@ object Dedup {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
+  /** q163: train/test split leakage audit — for every unordered split
+    * pair, how many verified near-dup pairs and exact-duplicate star
+    * edges cross it. The check behind "dedup BEFORE splitting": a
+    * near-duplicate of a training document sitting in the test split
+    * inflates every evaluation metric (Lee et al. 2022 measured the
+    * effect directly), and this is the query that finds those pairs
+    * using the SAME split hash the pipeline splits by (q81) and the
+    * SAME pair channels the dedup layer materializes (q20/q156). Rows
+    * with `leaked = true` and nonzero counts are the finding.
+    *
+    * Scale shape: identical to [[dupFlowMatrix]] — both pair channels
+    * arrive bounded from their layers, the split column is a map-side
+    * hash of doc_id (no join against an assignment table needed, but
+    * the frame form keeps one definition with q81), and the matrix
+    * aggregation is splits²-bounded. */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val sp = Analytics.splitAssign(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    def matrix(pairs: DataFrame, as: String): DataFrame = pairs
+      .join(sp.toDF("doc_i", "split_i"), "doc_i")
+      .join(sp.toDF("doc_j", "split_j"), "doc_j")
+      .select(least(col("split_i"), col("split_j")).as("split_a"),
+        greatest(col("split_i"), col("split_j")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as(as))
+    matrix(materializedNearPairs(spark, sfDir, threshold)
+        .select(col("doc_i"), col("doc_j")), "n_near")
+      .join(matrix(exactEdgesFrom(Tables.documents(spark, sfDir))
+        .select(col("doc_i"), col("doc_j")), "n_exact"),
+        Seq("split_a", "split_b"), "full_outer")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+  }
+
   /** [[jaccardPairs]] over an arbitrary `(doc_id, shingles)` frame —
     * spec-visible so the stop-shingle guard is testable on planted
     * corpora. */

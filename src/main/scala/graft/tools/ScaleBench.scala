@@ -102,7 +102,31 @@ object ScaleBench {
     // round 13: curation v2 — the q145 chain + the inline Gopher gate
     // + the lm_scores-layer bucket join; the ratio bounds the two new
     // gates adding only map-side + doc-keyed work on top of q145's
-    "q153_curation_v2")
+    "q153_curation_v2",
+    // round 13: hybrid RRF — both retrieval stages grow 10x (BM25
+    // postings, one-query brute cosine scan) while fusion stays k-row;
+    // the ratio measures max(q149, 1-query-q24) staying linear
+    "q158_hybrid_rrf",
+    // round 13: binary ANN — the 16 B code scan and the packing pass
+    // grow 10x, candidates stay 10x20; the ratio measures the
+    // XOR+popcount scan + bounded re-rank staying linear per row
+    "q159_hamming_topk",
+    // round 13: fertility — rides the BPE chain (distinct-word table
+    // grows with the 10x token-prefixed vocabulary) plus one narrow
+    // doc-keyed join; languages-bounded rollup
+    "q160_token_fertility",
+    // round 13: more-like-this — term derivation reads one doc_id from
+    // the tfidf layer; the scoring core's postings grow with the
+    // derived terms' document frequency; same plan family as q149
+    "q161_more_like_this",
+    // round 13: token sharding — the prefix-scan rank shuffles
+    // (doc_id, n_tokens) only; per-partition counts stay config-
+    // bounded; the ratio measures the range exchange staying linear
+    "q162_token_shards",
+    // round 13: split leakage — both pair channels arrive bounded from
+    // the near_pairs/exact layers; the ratio measures the two
+    // doc-keyed split joins + splits²-bounded matrix staying linear
+    "q163_split_leakage")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

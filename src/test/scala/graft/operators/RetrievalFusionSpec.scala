@@ -115,6 +115,28 @@ class RetrievalFusionSpec extends SparkSpec {
     }
   }
 
+  test("plan audit: hamming scan native (bit_count/xor), no UDF, no cartesian") {
+    val p = BinaryAnn.hammingTopK(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"UDF in the binary ANN path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the scan:\n$p")
+    assert(p.contains("bit_count"), s"popcount not native:\n$p")
+    // the broadcast side of the candidate scan is the nQueries-row code
+    // frame — same bounded-broadcast shape as the brute baseline
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("plan audit: hybrid fusion runs over two take-ordered cuts") {
+    val p = Retrieval.hybridTopK(spark, sf())
+      .queryExecution.executedPlan.toString
+    // each retrieval side must reach the fusion through a distributed
+    // k-row cut (TakeOrdered), never a global sort materialization
+    val cuts = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(cuts >= 2, s"fusion inputs not take-ordered ($cuts):\n$p")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("more-like-this: probe doc excluded, every hit shares a derived term") {
     val probe = Retrieval.MltQueryDoc
     val qterms = graft.features.Features.materializedTfidf(spark, sf())
