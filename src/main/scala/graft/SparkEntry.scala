@@ -416,6 +416,13 @@ object SparkEntry {
     // train/val/test hash split — splits²-bounded matrix over the
     // shared pair layers
     "q163_split_leakage" -> ((s, d) => operators.Dedup.splitLeakage(s, d)),
+    // ensemble quality ranking: rank-average blend of lm_score (q130),
+    // surprisal (q98) and entropy (q94) percentiles — prefix-scan
+    // cnt_before frames, no single-partition window
+    "q164_quality_ensemble" -> ((s, d) => TextOps.qualityEnsemble(s, d)),
+    // hard-negative mining: top-k nearest wrong-label neighbors per
+    // query — the brute plan with the label filter fused pre-dot
+    "q165_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -3946,5 +3953,74 @@ object SparkEntry {
          |    AS leaked
          |FROM nearm n FULL OUTER JOIN exm e
          |  ON n.split_a = e.split_a AND n.split_b = e.split_b""".stripMargin,
+    // q164: the q130/q98/q94 chains joined per doc, per-signal
+    // percentile = (rank()−1)/(n−1) — ties share — and the blend is
+    // ONE integer-count ratio over 3(n−1); surprisal ranks descending
+    // (lower = better)
+    "q164_quality_ensemble" ->
+      s"""WITH $lmScoreChain,
+         |stok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |stf AS (SELECT t, COUNT(*) AS ctf FROM stok GROUP BY t),
+         |sn AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_corpus FROM stf),
+         |sur AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(ROUND(-log2(CAST(ctf AS DOUBLE) / n_corpus), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS mean_surprisal
+         |  FROM stok JOIN stf USING (t), sn
+         |  GROUP BY doc_id),
+         |ec AS (
+         |  SELECT doc_id, t, COUNT(*) AS cnt FROM stok GROUP BY doc_id, t),
+         |ep AS (
+         |  SELECT doc_id, cnt,
+         |    CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS p
+         |  FROM ec),
+         |ent AS (
+         |  SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(ROUND(-p * log2(p), 9) AS DECIMAL(18,9)))
+         |      AS DOUBLE), 6) AS entropy
+         |  FROM ep GROUP BY doc_id),
+         |base AS (
+         |  SELECT lmdoc.doc_id, lm_score, mean_surprisal, entropy
+         |  FROM lmdoc JOIN sur USING (doc_id) JOIN ent USING (doc_id)
+         |  WHERE n_bigrams >= 1),
+         |nn AS (SELECT GREATEST(COUNT(*) - 1, 1) AS nm1 FROM base),
+         |r AS (
+         |  SELECT doc_id, lm_score, mean_surprisal, entropy,
+         |    rank() OVER (ORDER BY lm_score) - 1 AS r_lm,
+         |    rank() OVER (ORDER BY mean_surprisal DESC) - 1 AS r_sur,
+         |    rank() OVER (ORDER BY entropy) - 1 AS r_ent
+         |  FROM base)
+         |SELECT doc_id, lm_score, mean_surprisal, entropy,
+         |  ROUND(CAST(r_lm AS DOUBLE) / nm1, 6) AS p_lm,
+         |  ROUND(CAST(r_sur AS DOUBLE) / nm1, 6) AS p_surprisal,
+         |  ROUND(CAST(r_ent AS DOUBLE) / nm1, 6) AS p_entropy,
+         |  ROUND((r_lm + r_sur + r_ent) / (3.0 * nm1), 6) AS blend,
+         |  ROUND((r_lm + r_sur + r_ent) / (3.0 * nm1), 6) >= 0.5 AS keep
+         |FROM r CROSS JOIN nn""".stripMargin,
+    // q165: the q24 brute chain with the wrong-label filter fused into
+    // the pair condition
+    "q165_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS q_label, embedding AS qemb,
+        |             nrm AS qnrm
+        |      FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT qid, q_label, e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+        |      / (e.nrm * qnrm), 4) AS cos_sim
+        |  FROM e JOIN q ON e.vec_id <> qid AND e.label <> q_label)
+        |SELECT qid, q_label, vec_id AS neg_id, label AS neg_label, rank, cos_sim
+        |FROM (
+        |  SELECT qid, q_label, vec_id, label, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
   )
 }

@@ -72,6 +72,35 @@ object Similarity {
     e.select(col("vec_id") +: comps: _*)
   }
 
+  /** q165: hard-negative mining — for each query vector, the top-k
+    * most-similar corpus vectors with a DIFFERENT label. The training-
+    * data operator behind contrastive/dense-retriever fine-tuning
+    * (ANCE, Xiong et al. 2020): random negatives are trivially easy;
+    * the informative ones are the nearest wrong-label neighbors this
+    * query surfaces. Same plan as [[bruteForceTopK]] with the label
+    * inequality fused into the broadcast join condition — the label
+    * filter prunes pairs BEFORE the dot product, and on a deployment
+    * the scan stage swaps to any bounded ANN family exactly as the
+    * kNN classifier's did (q117 → q127). */
+  def hardNegatives(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val e = spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qemb"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("qid") && col("label") =!= col("q_label"))
+      .withColumn("cos_sim",
+        round(dot(col("embedding"), col("qemb")) / (col("nrm") * col("qnrm")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"), col("cos_sim"))
+  }
+
   /** Per-label embedding-space statistics: count and the norm envelope
     * (min/max L2 norm, min/max first component) per class label — the
     * sanity profile run before training on an embedding column. Only

@@ -980,6 +980,88 @@ object TextOps {
         col("ppl_bucket"), (col("ppl_bucket") =!= "tail").as("keep"))
   }
 
+  /** Strictly-before counts over a (value, c) frequency frame in the
+    * given order, WITHOUT a single-partition window: the q108
+    * range-partitioned prefix scan — range-repartition on the value,
+    * per-partition count sums collected (nParts rows, config-bounded),
+    * offsets broadcast back, cumsum within partitions. Returns
+    * (value, cnt_before) where cnt_before = Σ counts of values
+    * strictly earlier in the order — exactly `rank() − 1` of any row
+    * holding that value in the corpus-level ordering. */
+  private def cntBefore(freq: DataFrame, valueCol: String,
+                        ascending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = freq.sparkSession
+    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val ranged = freq.repartitionByRange(nParts, ord)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = ranged.groupBy(col("pid")).agg(sum(col("c")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val scanned = perPart.scanLeft((-1, 0L)) {
+      case ((_, acc), (p, s)) => (p, acc + s)
+    }
+    val offs = scanned.sliding(2)
+      .collect { case Array((_, prev), (p, _)) => (p, prev) }.toSeq
+    import spark.implicits._
+    val offDf = offs.toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "pid")
+      .select(col(valueCol),
+        (col("off") + sum(col("c")).over(w) - col("c")).as("cnt_before"))
+  }
+
+  /** q164: ensemble quality ranking — the rank-average ("Borda") blend
+    * of three independent continuous quality signals the engine
+    * already computes: the bigram LM score (q130, higher = better),
+    * mean unigram surprisal (q98, lower = better — rare-token noise),
+    * and token entropy (q94, higher = better — low entropy flags
+    * templated/repetitive text). Single-signal filters inherit that
+    * signal's blind spots; production pipelines blend classifier
+    * ranks for exactly this reason, and the rank domain makes wildly
+    * different score scales commensurable without calibration.
+    * Per-signal percentile = strictly-better-count / (n−1) (ties
+    * share), blend = the integer count sum over 3(n−1) — one exact
+    * integer ratio, no float accumulation — and `keep` = top half.
+    *
+    * Scale shape: signals come from the shared lm_scores layer plus
+    * two one-pass aggregations; each percentile joins the corpus
+    * against its (distinct-value, cnt_before) frame built by the
+    * range-partitioned prefix scan ([[cntBefore]]) — no
+    * single-partition window at ANY value-grid size (where q150's
+    * per-source threshold frame could lean on the source partition
+    * key, a global percentile gets the q108 treatment instead). */
+  def qualityEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = lmScore(spark, sfDir)
+      .filter(col("n_bigrams") >= 1)
+      .select(col("doc_id"), col("lm_score"))
+      .join(unigramSurprisal(spark, sfDir)
+        .select(col("doc_id"), col("mean_surprisal")), "doc_id")
+      .join(tokenEntropy(spark, sfDir)
+        .select(col("doc_id"), col("entropy")), "doc_id")
+      .localCheckpoint()
+    val nMinus1 = math.max(base.count() - 1, 1L)
+    def freq(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as("c"))
+    val pLm = cntBefore(freq("lm_score"), "lm_score", ascending = true)
+      .withColumnRenamed("cnt_before", "r_lm")
+    val pSur = cntBefore(freq("mean_surprisal"), "mean_surprisal",
+      ascending = false).withColumnRenamed("cnt_before", "r_sur")
+    val pEnt = cntBefore(freq("entropy"), "entropy", ascending = true)
+      .withColumnRenamed("cnt_before", "r_ent")
+    val blend = round((col("r_lm") + col("r_sur") + col("r_ent")) /
+      (lit(3.0) * nMinus1), 6)
+    base.join(pLm, "lm_score").join(pSur, "mean_surprisal")
+      .join(pEnt, "entropy")
+      .select(col("doc_id"), col("lm_score"), col("mean_surprisal"),
+        col("entropy"),
+        round(col("r_lm").cast("double") / nMinus1, 6).as("p_lm"),
+        round(col("r_sur").cast("double") / nMinus1, 6).as("p_surprisal"),
+        round(col("r_ent").cast("double") / nMinus1, 6).as("p_entropy"),
+        blend.as("blend"), (blend >= 0.5).as("keep"))
+  }
+
   /** Exact-count stratified sampling: every (source, lang) stratum
     * keeps exactly ⌈n/4⌉ documents, chosen by the deterministic
     * Knuth-hash uniform ([[Analytics.arithHash]], offset 7 — an

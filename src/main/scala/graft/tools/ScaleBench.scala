@@ -126,7 +126,17 @@ object ScaleBench {
     // round 13: split leakage — both pair channels arrive bounded from
     // the near_pairs/exact layers; the ratio measures the two
     // doc-keyed split joins + splits²-bounded matrix staying linear
-    "q163_split_leakage")
+    "q163_split_leakage",
+    // round 13: ensemble blend — three signal passes + three
+    // prefix-scan percentile frames (distinct-value-bounded) + three
+    // value-keyed joins; the ratio measures the whole chain staying
+    // linear while the 10x vocabulary grows the surprisal/entropy
+    // token passes 10x
+    "q164_quality_ensemble",
+    // round 13: hard negatives — the brute scan with the label filter
+    // fused pre-dot; pair work grows linearly with the corpus at
+    // fixed nQueries, same curve as q24's
+    "q165_hard_negatives")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
