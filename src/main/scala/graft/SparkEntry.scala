@@ -423,6 +423,10 @@ object SparkEntry {
     // hard-negative mining: top-k nearest wrong-label neighbors per
     // query — the brute plan with the label filter fused pre-dot
     "q165_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // MinHash estimator gate: per verified near-dup pair, the Broder
+    // slot-agreement estimate vs the exact Jaccard — native zip fold
+    // over the bounded pair channel
+    "q166_minhash_estimate" -> ((s, d) => Dedup.minhashEstimateGate(s, d)),
   )
 
   /** Materialized layers shared across queries — built once per
@@ -4022,5 +4026,45 @@ object SparkEntry {
         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // q166: the q20 verified-pair chain + the q21 md5-replayed MinHash
+    // signatures; agreement counted per (doc, slot) equi-join
+    "q166_minhash_estimate" ->
+      s"""WITH sh AS ($shingles),
+         |tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ctok AS ($cappedTok),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM ctok a JOIN ctok b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT doc_i, doc_j,
+         |    len(list_intersect(na.shingles, nb.shingles)) AS c,
+         |    len(na.shingles) AS ni, len(nb.shingles) AS nj
+         |  FROM cand JOIN sh na ON doc_i = na.doc_id JOIN sh nb ON doc_j = nb.doc_id),
+         |pairs AS (
+         |  SELECT doc_i, doc_j,
+         |    ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) AS jaccard
+         |  FROM v WHERE ROUND(CAST(c AS DOUBLE) / (ni + nj - c), 4) >= 0.5),
+         |pbase AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS x FROM tok),
+         |slots AS (
+         |  SELECT i,
+         |    1 + CAST('0x' || substr(md5('a' || i), 1, 7) AS BIGINT) % 2147483646 AS a,
+         |    CAST('0x' || substr(md5('b' || i), 1, 7) AS BIGINT) % 2147483647 AS b
+         |  FROM range(0, 64) t(i)),
+         |slotsig AS (
+         |  SELECT doc_id, i, MIN((a * x + b) % 2147483647) AS minh
+         |  FROM pbase CROSS JOIN slots GROUP BY doc_id, i),
+         |ag AS (
+         |  SELECT p.doc_i, p.doc_j, p.jaccard,
+         |    CAST(SUM(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree
+         |  FROM pairs p JOIN slotsig sa ON p.doc_i = sa.doc_id
+         |               JOIN slotsig sb ON p.doc_j = sb.doc_id AND sa.i = sb.i
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_i, doc_j, jaccard, n_agree,
+         |  ROUND(CAST(n_agree AS DOUBLE) / 64, 4) AS est_jaccard,
+         |  ROUND(ABS(ROUND(CAST(n_agree AS DOUBLE) / 64, 4) - jaccard), 4)
+         |    AS abs_err
+         |FROM ag""".stripMargin,
   )
 }

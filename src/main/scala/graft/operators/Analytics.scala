@@ -128,9 +128,21 @@ object Analytics {
     val u = arithHash(col("doc_id")) / lit(1048576.0)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), round(u, 6).as("u"),
-        when(u < trainFrac, "train")
-          .when(u < trainFrac + valFrac, "val")
-          .otherwise("test").as("split"))
+        splitOf(col("doc_id"), trainFrac, valFrac).as("split"))
+  }
+
+  /** The q81 split as a pure COLUMN of the key — the one definition
+    * [[splitAssign]] materializes per document and consumers like
+    * [[Dedup.splitLeakage]] evaluate map-side on whatever key column
+    * they hold, instead of shuffling a corpus-sized assignment frame
+    * through a join. */
+  private[operators] def splitOf(key: org.apache.spark.sql.Column,
+                                 trainFrac: Double = 0.8,
+                                 valFrac: Double = 0.1): org.apache.spark.sql.Column = {
+    val u = arithHash(key) / lit(1048576.0)
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + valFrac, "val")
+      .otherwise("test")
   }
 
   /** Deterministic per-group reservoir: the k events per type with the

@@ -229,20 +229,19 @@ object Dedup {
     * SAME pair channels the dedup layer materializes (q20/q156). Rows
     * with `leaked = true` and nonzero counts are the finding.
     *
-    * Scale shape: identical to [[dupFlowMatrix]] — both pair channels
-    * arrive bounded from their layers, the split column is a map-side
-    * hash of doc_id (no join against an assignment table needed, but
-    * the frame form keeps one definition with q81), and the matrix
-    * aggregation is splits²-bounded. */
+    * Scale shape: identical to [[dupFlowMatrix]] on the pair side —
+    * both channels arrive bounded from their layers — and STRICTLY
+    * cheaper on the split side: the split is [[Analytics.splitOf]]
+    * evaluated map-side on doc_i/doc_j (the q81 hash is a pure
+    * function of the key), so no corpus-sized assignment frame ever
+    * joins or shuffles. The matrix aggregation is splits²-bounded. */
   def splitLeakage(spark: SparkSession, sfDir: String,
                    threshold: Double = 0.5): DataFrame = {
-    val sp = Analytics.splitAssign(spark, sfDir)
-      .select(col("doc_id"), col("split"))
     def matrix(pairs: DataFrame, as: String): DataFrame = pairs
-      .join(sp.toDF("doc_i", "split_i"), "doc_i")
-      .join(sp.toDF("doc_j", "split_j"), "doc_j")
-      .select(least(col("split_i"), col("split_j")).as("split_a"),
-        greatest(col("split_i"), col("split_j")).as("split_b"))
+      .select(least(Analytics.splitOf(col("doc_i")),
+          Analytics.splitOf(col("doc_j"))).as("split_a"),
+        greatest(Analytics.splitOf(col("doc_i")),
+          Analytics.splitOf(col("doc_j"))).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as(as))
     matrix(materializedNearPairs(spark, sfDir, threshold)
@@ -254,6 +253,38 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
         (col("split_a") =!= col("split_b")).as("leaked"))
+  }
+
+  /** q166: MinHash estimator-accuracy gate — for every VERIFIED
+    * near-dup pair, the signature-agreement estimate of Jaccard
+    * (matching slots / 64, the Broder 1997 estimator the q21 LSH
+    * banding is built on) next to the exact Jaccard the pair layer
+    * verified, plus the absolute error. The q136/q143/q144-style
+    * "measured, not assumed" discipline applied to the dedup family:
+    * LSH recall math PREMISES that slot agreement concentrates on the
+    * true Jaccard; this query measures that premise on the corpus
+    * instead of citing it (E[est] = J, σ = √(J(1−J)/64) ≈ 0.06 at
+    * J = 0.5).
+    *
+    * Scale shape: the pair channel arrives bounded from the
+    * `near_pairs` layer; signatures are the same map-side expression
+    * work as q21 (zero shuffle until the doc-keyed join), each join
+    * pulls one 64-slot array, and the agreement count is a native
+    * zip_with/aggregate fold — O(64) per pair, no explode. */
+  def minhashEstimateGate(spark: SparkSession, sfDir: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir).select(col("doc_id"), col("sig"))
+    val est = round(col("n_agree").cast("double") / NumHashes, 4)
+    materializedNearPairs(spark, sfDir, threshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+      .join(sigs.toDF("doc_i", "sig_i"), "doc_i")
+      .join(sigs.toDF("doc_j", "sig_j"), "doc_j")
+      .withColumn("n_agree", expr(
+        "CAST(aggregate(zip_with(sig_i, sig_j, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v) AS BIGINT)"))
+      .select(col("doc_i"), col("doc_j"), col("jaccard"), col("n_agree"),
+        est.as("est_jaccard"),
+        round(abs(est - col("jaccard")), 4).as("abs_err"))
   }
 
   /** [[jaccardPairs]] over an arbitrary `(doc_id, shingles)` frame —

@@ -136,7 +136,11 @@ object ScaleBench {
     // round 13: hard negatives — the brute scan with the label filter
     // fused pre-dot; pair work grows linearly with the corpus at
     // fixed nQueries, same curve as q24's
-    "q165_hard_negatives")
+    "q165_hard_negatives",
+    // round 13: minhash estimator gate — signatures are map-side over
+    // the 10x shingle space, the agreement fold is O(64) per pair on
+    // the bounded near_pairs channel
+    "q166_minhash_estimate")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -445,4 +445,25 @@ class DedupSpec extends SparkSpec {
       (6L, 10L, 10L, ""),
       (7L, 10L, 10L, "")), s"unexpected strip: $got")
   }
+
+  test("minhash estimator gate: agreement replays driver-side, error concentrated") {
+    val out = Dedup.minhashEstimateGate(spark, sf()).collect()
+    assert(out.nonEmpty)
+    // the gate covers EXACTLY the verified pair layer
+    assert(out.length == Dedup.materializedNearPairs(spark, sf()).count())
+    val sigs = Dedup.minhashSignatures(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    out.foreach { r =>
+      val agree = sigs(r.getLong(0)).zip(sigs(r.getLong(1)))
+        .count { case (a, b) => a == b }.toLong
+      assert(r.getLong(3) == agree, s"pair (${r.getLong(0)},${r.getLong(1)})")
+      assert(r.getDouble(4) == r4(agree / 64.0))
+      assert(r.getDouble(5) == r4(math.abs(r4(agree / 64.0) - r.getDouble(2))))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // Broder concentration: mean |est - J| well under 2 sigma(J=0.5) = 0.125
+    val meanErr = out.map(_.getDouble(5)).sum / out.length
+    assert(meanErr < 0.1, s"estimator mean error $meanErr - signatures broken?")
+  }
 }
