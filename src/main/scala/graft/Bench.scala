@@ -105,23 +105,45 @@ object Bench {
         false
       }
     // Stdout gets a COMPACT twin of the same measurements, sized to
-    // survive a 2000-char tail capture whole: query keys shortened to
-    // their unique qNN prefix, 3dp times (sub-ms noise anyway), the
-    // layer map left to the file (its total stays inline). ~1.9 kB at
-    // 132 queries vs ~5 kB for the full line. "full" names the
-    // companion carrying the unabridged map.
+    // survive a 2000-char tail capture whole. At 166 queries even the
+    // qNN-keyed 3dp map overflowed that window (r13's driver artifact
+    // recorded "parsed": null with the line's head cut off, and sbt's
+    // trailing "[success] ..." line eats ~75 more chars of the tail),
+    // so the per-query map is now BUDGETED: queries inline slowest-
+    // first until the whole line would exceed LineBudget, the rest
+    // collapse into other_sec/other_n. The unabridged map lives in the
+    // "full" companion file either way; the inline total is always the
+    // complete total.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val LineBudget = 1750
     val shortNames = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
     val collide = shortNames.diff(shortNames.distinct).toSet
-    val qsShort = results.collect { case (k, v, true) =>
-      val sk = k.takeWhile(_ != '_')
-      "\"" + (if (collide(sk)) k else sk) + "\":" + r3(v)
-    }.mkString("{", ",", "}")
     val fullRef = if (wrote) s""","full":"$out"""" else ""
-    println(
+    def envelope(qsShort: String, omitted: Seq[Double]): String = {
+      val other = if (omitted.isEmpty) ""
+        else s""","other_sec":${r2(omitted.sum)},"other_n":${omitted.size}"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","layers_sec":${r3(layerTotal)},""" +
-        s"""$loadJson,"queries":$qsShort,"errors":$errs,"sf":"$sfDir"$fullRef}""")
+        s"""$loadJson,"queries":$qsShort$other,"errors":$errs,"sf":"$sfDir"$fullRef}"""
+    }
+    val bySlowest = results.collect { case (k, v, true) => (k, v) }
+      .sortBy { case (k, v) => (-v, k) }
+    val entries = bySlowest.map { case (k, v) =>
+      val sk = k.takeWhile(_ != '_')
+      ("\"" + (if (collide(sk)) k else sk) + "\":" + r2(v), v)
+    }
+    // fixed overhead of the envelope with every query omitted; each kept
+    // entry then costs its own length + a comma
+    val fixed = envelope("{}", bySlowest.map(_._2)).length
+    var used = fixed
+    val keep = entries.takeWhile { case (s, _) =>
+      val cost = s.length + 1
+      if (used + cost <= LineBudget) { used += cost; true } else false
+    }
+    val omitted = bySlowest.drop(keep.size).map(_._2)
+    println(envelope(keep.map(_._1).mkString("{", ",", "}"), omitted))
     spark.stop()
   }
 }

@@ -476,32 +476,16 @@ object Analytics {
       .groupBy(col("l_partkey").as("part_id"))
       .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
         .as("rev_d"))
-    val ranged = pr
-      .repartitionByRange(nParts, desc("rev_d"), asc("part_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val perPart = ranged.groupBy(col("pid"))
-      .agg(sum(col("rev_d")).as("s")).collect()
-      .map(r => r.getInt(0) -> r.getDecimal(1)).sortBy(_._1)
-    val zero = java.math.BigDecimal.ZERO
-    val scanned = perPart.scanLeft((-1, zero)) {
-      case ((_, acc), (p, s)) => (p, acc.add(s))
-    }
-    val total = scanned.last._2
-    val offsets = scanned.sliding(2)
-      .collect { case Array((_, prev), (p, _)) => (p, prev, total) }.toSeq
-    import spark.implicits._
+    val (ranged, total) = graft.operators.PrefixScan.withDecimalOffsets(
+      pr, Seq(desc("rev_d"), asc("part_id")), col("rev_d"), scale = 2)
     val dec = DecimalType(38, 2)
-    val offDf = offsets.toDF("pid", "off", "total")
-      .select(col("pid"), col("off").cast(dec).as("off"),
-        col("total").cast(dec).as("total"))
     val w = Window.partitionBy(col("pid"))
       .orderBy(desc("rev_d"), asc("part_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "pid")
+    ranged
       .withColumn("cum", col("off") + sum(col("rev_d").cast(dec)).over(w))
       .withColumn("cum_share",
-        round(col("cum").cast("double") / col("total").cast("double"), 6))
+        round(col("cum").cast("double") / lit(total).cast("double"), 6))
       .select(col("part_id"), col("rev_d").cast("double").as("revenue"),
         col("cum_share"),
         when(col("cum_share") <= 0.80, "A")

@@ -236,12 +236,17 @@ object Dedup {
     * function of the key), so no corpus-sized assignment frame ever
     * joins or shuffles. The matrix aggregation is splits²-bounded. */
   def splitLeakage(spark: SparkSession, sfDir: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    // fractions are parameters (defaulting to splitAssign's own
+    // defaults) so a pipeline running a non-default split can audit THE
+    // split it uses — an audit hard-wired to 0.8/0.1 would silently
+    // check a different partition than the one in production
+    def splitOf(c: org.apache.spark.sql.Column) =
+      Analytics.splitOf(c, trainFrac, valFrac)
     def matrix(pairs: DataFrame, as: String): DataFrame = pairs
-      .select(least(Analytics.splitOf(col("doc_i")),
-          Analytics.splitOf(col("doc_j"))).as("split_a"),
-        greatest(Analytics.splitOf(col("doc_i")),
-          Analytics.splitOf(col("doc_j"))).as("split_b"))
+      .select(least(splitOf(col("doc_i")), splitOf(col("doc_j"))).as("split_a"),
+        greatest(splitOf(col("doc_i")), splitOf(col("doc_j"))).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as(as))
     matrix(materializedNearPairs(spark, sfDir, threshold)

@@ -32,24 +32,13 @@ object Sharding {
   def tokenBalancedShards(spark: SparkSession, sfDir: String,
                           nShards: Int = 8): DataFrame = {
     require(nShards >= 2, "nShards must be >= 2")
-    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val ranged = toks
-      .repartitionByRange(nParts, desc("n_tokens"), asc("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // per-partition row counts: an nParts-row collect (config-bounded)
-    val perPart = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val scanned = perPart.scanLeft((-1, 0L)) {
-      case ((_, acc), (p, c)) => (p, acc + c)
-    }
-    val offs = scanned.sliding(2)
-      .collect { case Array((_, prev), (p, _)) => (p, prev) }.toSeq
-    import spark.implicits._
-    val offDf = offs.toDF("pid", "off")
+    // global rank via the shared range-partitioned prefix scan: off =
+    // exclusive row-count prefix per partition (config-bounded collect)
+    val ranged = PrefixScan.withLongOffsets(
+      toks, Seq(desc("n_tokens"), asc("doc_id")), lit(1L))
     val w = Window.partitionBy(col("pid"))
       .orderBy(desc("n_tokens"), asc("doc_id"))
     val n = nShards.toLong
@@ -59,7 +48,7 @@ object Sharding {
     // floor((rn−1)/n) is exact only for power-of-two n)
     val pos = pmod(rn - 1, lit(n))
     val block = ((rn - 1 - pos) / lit(n)).cast("long")
-    ranged.join(broadcast(offDf), "pid")
+    ranged
       .select(col("doc_id"), col("n_tokens"), rn.cast("long").as("rn"),
         when(pmod(block, lit(2L)) === 0L, pos)
           .otherwise(lit(n) - 1 - pos).cast("long").as("shard"))

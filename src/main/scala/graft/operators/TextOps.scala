@@ -991,26 +991,13 @@ object TextOps {
   private def cntBefore(freq: DataFrame, valueCol: String,
                         ascending: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = freq.sparkSession
-    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ord = if (ascending) col(valueCol).asc else col(valueCol).desc
-    val ranged = freq.repartitionByRange(nParts, ord)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val perPart = ranged.groupBy(col("pid")).agg(sum(col("c")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val scanned = perPart.scanLeft((-1, 0L)) {
-      case ((_, acc), (p, s)) => (p, acc + s)
-    }
-    val offs = scanned.sliding(2)
-      .collect { case Array((_, prev), (p, _)) => (p, prev) }.toSeq
-    import spark.implicits._
-    val offDf = offs.toDF("pid", "off")
+    val ranged = graft.operators.PrefixScan.withLongOffsets(
+      freq, Seq(ord), col("c"))
     val w = Window.partitionBy(col("pid")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "pid")
-      .select(col(valueCol),
-        (col("off") + sum(col("c")).over(w) - col("c")).as("cnt_before"))
+    ranged.select(col(valueCol),
+      (col("off") + sum(col("c")).over(w) - col("c")).as("cnt_before"))
   }
 
   /** q164: ensemble quality ranking — the rank-average ("Borda") blend

@@ -87,17 +87,17 @@ class EnsembleNegativesSpec extends SparkSpec {
   }
 
   test("plan audit: ensemble has no single-partition window, negatives no UDF") {
-    val pe = TextOps.qualityEnsemble(spark, sf())
-      .queryExecution.executedPlan.toString
-    // every rank window must carry the pid partition key from the
-    // prefix scan; the only windowspecdefinitions allowed are pid-led
-    assert(!pe.contains("windowspecdefinition(lm_score") &&
-      !pe.contains("windowspecdefinition(mean_surprisal") &&
-      !pe.contains("windowspecdefinition(entropy"),
-      s"a percentile window runs unpartitioned:\n$pe")
-    assert(!pe.contains("ScalaUDF"))
-    val pn = Similarity.hardNegatives(spark, sf())
-      .queryExecution.executedPlan.toString
-    assert(!pn.contains("ScalaUDF") && !pn.contains("CartesianProduct"))
+    val dfe = TextOps.qualityEnsemble(spark, sf())
+    // typed traversal: every rank window must carry the pid partition
+    // key from the prefix scan — a window keyed only on the signal
+    // value would be a single-partition global sort
+    val wins = graft.PlanAudit.windowPartitionKeys(dfe)
+    assert(wins.nonEmpty, "percentile windows missing from the plan")
+    wins.foreach(keys => assert(keys.contains("pid"),
+      s"a percentile window runs unpartitioned: $wins"))
+    assert(!graft.PlanAudit.hasScalaUDF(dfe))
+    val dfn = Similarity.hardNegatives(spark, sf())
+    assert(!graft.PlanAudit.hasScalaUDF(dfn) &&
+      !graft.PlanAudit.hasCartesian(dfn))
   }
 }

@@ -116,25 +116,28 @@ class RetrievalFusionSpec extends SparkSpec {
   }
 
   test("plan audit: hamming scan native (bit_count/xor), no UDF, no cartesian") {
-    val p = BinaryAnn.hammingTopK(spark, sf())
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("ScalaUDF"), s"UDF in the binary ANN path:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in the scan:\n$p")
-    assert(p.contains("bit_count"), s"popcount not native:\n$p")
+    val df = BinaryAnn.hammingTopK(spark, sf())
+    assert(!graft.PlanAudit.hasScalaUDF(df), "UDF in the binary ANN path")
+    assert(!graft.PlanAudit.hasCartesian(df), "cartesian in the scan")
+    assert(graft.PlanAudit.hasExpression(df, "BitwiseCount"),
+      "popcount not native")
     // the broadcast side of the candidate scan is the nQueries-row code
     // frame — same bounded-broadcast shape as the brute baseline
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"query side not broadcast:\n$p")
+    val hasBroadcast = graft.PlanAudit.hasBroadcastNestedLoop(df) ||
+      graft.PlanAudit.nodes(df).exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+    assert(hasBroadcast, "query side not broadcast")
   }
 
   test("plan audit: hybrid fusion runs over two take-ordered cuts") {
-    val p = Retrieval.hybridTopK(spark, sf())
-      .queryExecution.executedPlan.toString
+    val df = Retrieval.hybridTopK(spark, sf())
     // each retrieval side must reach the fusion through a distributed
     // k-row cut (TakeOrdered), never a global sort materialization
-    val cuts = "TakeOrderedAndProject".r.findAllIn(p).length
-    assert(cuts >= 2, s"fusion inputs not take-ordered ($cuts):\n$p")
-    assert(!p.contains("ScalaUDF"))
+    val cuts = graft.PlanAudit.takeOrderedCount(df)
+    assert(cuts >= 2, s"fusion inputs not take-ordered ($cuts)")
+    assert(!graft.PlanAudit.hasScalaUDF(df))
   }
 
   test("more-like-this: probe doc excluded, every hit shares a derived term") {

@@ -50,21 +50,21 @@ class ShardingLeakageSpec extends SparkSpec {
   }
 
   test("plan audit: shard rank windows are pid-partitioned, never global") {
-    val p = Sharding.tokenBalancedShards(spark, sf())
-      .queryExecution.executedPlan.toString
-    assert(p.contains("windowspecdefinition(pid"),
-      s"rank window lost its partition key:\n$p")
-    // exactly one window, and no empty-partition (global) window spec
-    assert(!p.contains("windowspecdefinition(n_tokens"),
-      s"a window runs without the pid partition key:\n$p")
-    assert(!p.contains("ScalaUDF"))
+    val df = Sharding.tokenBalancedShards(spark, sf())
+    // typed node traversal (graft.PlanAudit), not plan-string matching:
+    // every window node must carry the prefix scan's pid partition key
+    val wins = graft.PlanAudit.windowPartitionKeys(df)
+    assert(wins.nonEmpty, "rank window missing from the plan")
+    wins.foreach(keys => assert(keys.contains("pid"),
+      s"a window runs without the pid partition key: $wins"))
+    assert(!graft.PlanAudit.hasScalaUDF(df))
   }
 
   test("plan audit: leakage matrix joins stay keyed, no quadratic strategy") {
-    val p = Dedup.splitLeakage(spark, sf())
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"leakage join degenerated:\n$p")
+    val df = Dedup.splitLeakage(spark, sf())
+    assert(!graft.PlanAudit.hasCartesian(df) &&
+      !graft.PlanAudit.hasBroadcastNestedLoop(df),
+      "leakage join degenerated to a quadratic strategy")
   }
 
   test("split leakage: flags follow the pair, totals reconcile with the layers") {
@@ -94,6 +94,28 @@ class ShardingLeakageSpec extends SparkSpec {
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val got = Dedup.splitLeakage(spark, sf()).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    expected.foreach { case (k, n) =>
+      assert(got.getOrElse(k, 0L) == n, s"near count mismatch at $k")
+    }
+    got.filter(_._2 > 0).keys.foreach(k => assert(expected.contains(k)))
+  }
+
+  test("split leakage: fractions parameterize the audited split") {
+    // a pipeline splitting 50/25/25 must be audited against THAT split,
+    // not the 80/10/10 default — replay with the same non-default
+    // fractions through splitAssign and require exact agreement
+    val sp = Analytics.splitAssign(spark, sf(), trainFrac = 0.5, valFrac = 0.25)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Dedup.materializedNearPairs(spark, sf())
+      .select("doc_i", "doc_j").collect()
+      .map { r =>
+        val (a, b) = (sp(r.getLong(0)), sp(r.getLong(1)))
+        (if (a <= b) a else b, if (a <= b) b else a)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Dedup.splitLeakage(spark, sf(), trainFrac = 0.5, valFrac = 0.25)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     expected.foreach { case (k, n) =>
       assert(got.getOrElse(k, 0L) == n, s"near count mismatch at $k")
     }
