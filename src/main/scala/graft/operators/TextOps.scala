@@ -494,22 +494,130 @@ object TextOps {
       .toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
 
-  /** The learned merge table as a MATERIALIZED LAYER — one 10-iteration
-    * fit per (session, sfDir, merges), shared by [[bpeLearn]] (the
-    * query surface) and [[bpeApply]] (the tokenizer), same discipline
-    * as the IVF centroid fit. The value is merges×5 driver scalars. */
+  /** Vocabulary ceiling for the IN-MEMORY merge fit: a distinct-word
+    * frequency table at or below this row count is collected to the
+    * driver and the merge loop runs locally ([[bpeFitLocal]]) — the
+    * industry-standard tokenizer-training shape (Sennrich's learn_bpe,
+    * HF tokenizers, SentencePiece all fit in memory over a distributed
+    * word count), giving a CONSTANT Spark-job count at any `merges`.
+    * 2M words × ~short strings is a few hundred MB of driver heap;
+    * corpora whose vocabulary exceeds the ceiling fall back to the
+    * distributed batched loop ([[bpeLearnMerges]]), which is exact but
+    * pays ~0.9 counting jobs per merge on chain-heavy natural text. */
+  val BpeMaxLocalVocab: Int = 2 * 1024 * 1024
+
+  /** The learned merge table as a MATERIALIZED LAYER — one fit per
+    * (session, sfDir, merges), shared by [[bpeLearn]] (the query
+    * surface) and [[bpeApply]] (the tokenizer), same discipline as the
+    * IVF centroid fit. The value is merges×5 driver scalars. The fit
+    * itself: one distributed word-count pass, then the in-memory loop
+    * when the vocabulary is [[BpeMaxLocalVocab]]-bounded (one collect,
+    * job count independent of `merges`), else the distributed batched
+    * loop — both spec-pinned to identical sequential-greedy output. */
   def learnedMerges(spark: SparkSession, sfDir: String,
                     merges: Int): Array[(Long, String, String, String, Long)] =
     mergeCache.getOrCompute(spark, (sfDir, merges)) {
       import spark.implicits._
-      bpeLearnFrom(
-        Tables.documents(spark, sfDir)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(length(col("word")) >= 2)
-          .groupBy(col("word")).agg(count(lit(1)).as("n")),
-        merges)
-        .as[(Long, String, String, String, Long)].collect()
+      val wordFreq = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      // one job decides the path: the limit caps the collect at
+      // ceiling+1 rows, so an over-ceiling vocabulary can never pull
+      // more than the ceiling onto the driver
+      val local = wordFreq.limit(BpeMaxLocalVocab + 1)
+        .as[(String, Long)].collect()
+      if (local.length <= BpeMaxLocalVocab) bpeFitLocal(local, merges).toArray
+      else bpeLearnMerges(wordFreq, merges)._1.toArray
     }
+
+  /** Exact in-memory BPE fit over a collected word-frequency table:
+    * the merge loop of Sennrich et al. 2016 (`learn_bpe.py`, which is
+    * itself in-memory) with the standard incremental bookkeeping — a
+    * lazy-deletion priority queue over pair counts plus a pair→words
+    * index, so each merge touches only the words containing its pair
+    * instead of recounting the table. Identical output to the
+    * distributed paths: greedy left-to-right application, (freq desc,
+    * left asc, right asc) tie-break (spec-verified against the
+    * independent token-array reference at merges >= 100). */
+  private[graft] def bpeFitLocal(freqs: Seq[(String, Long)],
+                                 merges: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = freqs.iterator
+      .map { case (w, n) => (mutable.ArrayBuffer(w.toCharArray.map(_.toString): _*), n) }
+      .toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val wordsOf = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-freq first; ties pop lexically-smallest (left, right) — the
+    // sequential argmax order
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val f = java.lang.Long.compare(a._1, b._1)
+        if (f != 0) f
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def indexWord(i: Int, sign: Long): Unit = {
+      val (ts, n) = words(i)
+      var j = 0
+      while (j + 1 < ts.length) {
+        val p = (ts(j), ts(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * n
+        if (c <= 0L) { counts.remove(p); wordsOf.get(p).foreach(_ -= i) }
+        else {
+          counts(p) = c
+          if (sign > 0) wordsOf.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+      // one queue entry per touched pair per pass (not per occurrence)
+      if (sign > 0) {
+        j = 0
+        val seen = mutable.Set.empty[(String, String)]
+        while (j + 1 < ts.length) {
+          val p = (ts(j), ts(j + 1))
+          if (seen.add(p)) pq.enqueue((counts(p), p._1, p._2))
+          j += 1
+        }
+      }
+    }
+    words.indices.foreach(indexWord(_, 1L))
+    // decreased pairs also need fresh queue entries after a merge
+    def refresh(p: (String, String)): Unit =
+      counts.get(p).foreach(c => pq.enqueue((c, p._1, p._2)))
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    while (out.length < merges && pq.nonEmpty) {
+      val (f, w1, w2) = pq.dequeue()
+      if (counts.get((w1, w2)).contains(f)) {
+        out += ((out.length + 1L, w1, w2, w1 + w2, f))
+        val merged = w1 + w2
+        val affected = wordsOf.getOrElse((w1, w2), mutable.Set.empty).toArray
+        affected.foreach { i =>
+          val (ts, n) = words(i)
+          val touched = mutable.Set.empty[(String, String)]
+          var j = 0
+          while (j + 1 < ts.length) { touched += ((ts(j), ts(j + 1))); j += 1 }
+          indexWord(i, -1L)
+          // greedy left-to-right apply
+          val nw = mutable.ArrayBuffer.empty[String]
+          j = 0
+          while (j < ts.length) {
+            if (j + 1 < ts.length && ts(j) == w1 && ts(j + 1) == w2) {
+              nw += merged; j += 2
+            } else { nw += ts(j); j += 1 }
+          }
+          words(i) = (nw, n)
+          indexWord(i, 1L)
+          touched.foreach(refresh)
+        }
+      }
+    }
+    out.toSeq
+  }
 
   private val mergeCache =
     new graft.SessionCache[(String, Int), Array[(Long, String, String, String, Long)]]()
@@ -519,13 +627,57 @@ object TextOps {
   private[graft] def bpeLearnFrom(wordFreq: DataFrame, merges: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
+    bpeLearnMerges(wordFreq, merges)._1
+      .toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** The BPE fit loop, BATCHED: one distributed pair-count job can
+    * commit several merges when doing so provably reproduces the
+    * sequential greedy argmax — the fix for the one-full-Spark-job-per-
+    * merge latency wall (a 32k-merge fit would otherwise launch 32k
+    * sequential jobs). Per iteration the top `batch`+1 pairs arrive in
+    * one TakeOrdered job and a maximal RANK-PREFIX is accepted under
+    * three driver-side checks, then trimmed to strict dominance:
+    *
+    *   1. pairwise token-disjoint — no accepted pair shares w1/w2/the
+    *      merged string with an earlier accepted pair, so each accepted
+    *      pair's own count is invariant under the earlier applies;
+    *   2. no self-pairs past the first slot and no merged string that
+    *      collides with an already-existing token string — the two
+    *      cases where a merge can ADD occurrences to a surviving pair;
+    *   3. every accepted pair's freq strictly exceeds the first
+    *      rejected candidate's (trailing ties are trimmed).
+    *
+    * Exactness argument: any pair CREATED by an accepted merge has
+    * count bounded by some old pair that shares a token with an
+    * accepted pair — which, because the accepted set is a prefix of
+    * the ranked list and is token-disjoint, is itself non-accepted and
+    * hence has freq <= the first rejected candidate's < every kept
+    * pair's (check 3, strictly — so no tie-break can reorder). Old
+    * pairs only lose occurrences (check 2 excludes the collision
+    * cases), and every pair ranked above an accepted p_i is an earlier
+    * accepted pair, already applied. So at each inner step the
+    * sequential argmax over the evolving counts IS the next accepted
+    * pair, and the batched result equals merge-by-merge Sennrich BPE
+    * (spec-verified against an independent driver implementation at
+    * merges >= 100). Returns the merge table plus the number of Spark
+    * counting jobs the fit launched. */
+  private[graft] def bpeLearnMerges(wordFreq: DataFrame, merges: Int,
+                                    batch: Int = 16)
+      : (Seq[(Long, String, String, String, Long)], Int) = {
+    require(batch >= 1, "batch must be >= 1")
     // " h e l l o " — space-joined chars, padded so every adjacent
     // pair (including edges) matches the " l r " search pattern
     var words = wordFreq.select(col("n"),
       concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("toks"))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    var rank = 1
-    while (rank <= merges) {
+    // every multi-char token string minted so far (initial tokens are
+    // single chars, so this is the full collision surface for check 2)
+    val minted = scala.collection.mutable.Set.empty[String]
+    var jobs = 0
+    var exhausted = false
+    while (out.length < merges && !exhausted) {
+      val want = math.min(batch, merges - out.length)
       val top = words
         // fully-merged single-token words have no pairs left —
         // sequence(1, 0) would DESCEND ([1,0]) and index out of bounds
@@ -537,24 +689,60 @@ object TextOps {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(sum(col("n")).as("freq"))
         .orderBy(desc("freq"), asc("w1"), asc("w2"))
-        .limit(1).collect()
-      if (top.isEmpty) rank = merges + 1
+        .limit(want + 1).collect()
+      jobs += 1
+      if (top.isEmpty) exhausted = true
       else {
-        val r = top.head
-        val (w1, w2, freq) = (r.getString(0), r.getString(1), r.getLong(2))
-        out += ((rank.toLong, w1, w2, w1 + w2, freq))
-        val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
-          java.util.regex.Pattern.quote(w2) + "(?= )"
-        val rep = java.util.regex.Matcher.quoteReplacement(w1 + w2)
-        words = words.withColumn("toks", regexp_replace(col("toks"), pat, rep))
-        // checkpoint every 4 merges: keeps the lineage (and codegen
-        // stack of nested replaces) shallow without paying a
-        // materialization per round
-        if (rank % 4 == 0) words = words.localCheckpoint()
-        rank += 1
+        val cand = top.take(want)
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var i = 0
+        var stop = false
+        while (i < cand.length && !stop) {
+          val (w1, w2, f) = cand(i)
+          val merged = w1 + w2
+          val selfPair = w1 == w2
+          val conflict = used(w1) || used(w2) || used(merged) ||
+            minted(merged)
+          if (i == 0) {
+            accepted += ((w1, w2, f))
+            // a self-pair merge can create runs-leftover pairs bounded
+            // only by ITS OWN freq — safe alone, never mid-batch
+            if (selfPair || minted(merged)) stop = true
+            else { used += w1; used += w2; used += merged }
+          } else if (conflict || selfPair) stop = true
+          else {
+            accepted += ((w1, w2, f))
+            used += w1; used += w2; used += merged
+          }
+          if (!stop) i += 1
+        }
+        // check 3: freq of the first candidate NOT accepted (everything
+        // outside the accepted prefix is bounded by it); trailing
+        // accepted pairs tied with it are trimmed — except the head,
+        // which is the plain sequential argmax and always exact
+        val cutIdx = accepted.length
+        val cutF = if (cutIdx < top.length) top(cutIdx).getLong(2) else 0L
+        val kept = accepted.head +: accepted.tail.takeWhile(_._3 > cutF)
+        var col0 = col("toks")
+        kept.foreach { case (w1, w2, f) =>
+          out += ((out.length + 1L, w1, w2, w1 + w2, f))
+          minted += (w1 + w2)
+          val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
+            java.util.regex.Pattern.quote(w2) + "(?= )"
+          val rep = java.util.regex.Matcher.quoteReplacement(w1 + w2)
+          // replacements chain IN RANK ORDER inside one map stage —
+          // the same corpus-wide apply order as merge-by-merge
+          col0 = regexp_replace(col0, lit(pat), lit(rep))
+        }
+        // one checkpoint per iteration: the plan would otherwise deepen
+        // by up to `batch` nested replaces every round
+        words = words.withColumn("toks", col0).localCheckpoint()
       }
     }
-    out.toSeq.toDF("rank", "left", "right", "merged", "freq")
+    (out.toSeq, jobs)
   }
 
   /** Tokenizer APPLICATION under the [[bpeLearn]]-learned vocabulary —

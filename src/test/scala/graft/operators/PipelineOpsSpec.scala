@@ -431,35 +431,45 @@ class PipelineOpsSpec extends SparkSpec {
       "MMR set is not more diverse than plain top-k")
   }
 
-  test("BPE learn matches an independent token-array driver BPE") {
-    // independent reference: greedy left-to-right merge over TOKEN
-    // ARRAYS (no string/regex machinery shared with the engine path)
-    def naiveBpe(freqs: Map[String, Long], merges: Int): Seq[(Long, String, String, String, Long)] = {
-      var words = freqs.map { case (w, n) => (w.toCharArray.map(_.toString).toVector, n) }.toVector
-      (1 to merges).flatMap { rank =>
-        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        words.foreach { case (ts, n) =>
-          ts.sliding(2).filter(_.length == 2).foreach { p =>
-            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
-          }
-        }
-        if (counts.isEmpty) None
-        else {
-          val ((w1, w2), freq) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
-          words = words.map { case (ts, n) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < ts.length) {
-              if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
-                out += w1 + w2; i += 2
-              } else { out += ts(i); i += 1 }
-            }
-            (out.toVector, n)
-          }
-          Some((rank.toLong, w1, w2, w1 + w2, freq))
+  // independent reference for the BPE fit: greedy left-to-right merge
+  // over TOKEN ARRAYS (no string/regex machinery shared with the
+  // engine path), one merge per iteration — sequential Sennrich
+  // semantics, which the engine's BATCHED fit must reproduce exactly
+  private def naiveBpe(freqs: Map[String, Long],
+                       merges: Int): Seq[(Long, String, String, String, Long)] = {
+    var words = freqs.map { case (w, n) => (w.toCharArray.map(_.toString).toVector, n) }.toVector
+    (1 to merges).flatMap { rank =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (ts, n) =>
+        ts.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
         }
       }
+      if (counts.isEmpty) None
+      else {
+        val ((w1, w2), freq) = counts.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+        words = words.map { case (ts, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ts.length) {
+            if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+              out += w1 + w2; i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          (out.toVector, n)
+        }
+        Some((rank.toLong, w1, w2, w1 + w2, freq))
+      }
     }
+  }
+
+  private def fixtureWordFreqs(): Map[String, Long] =
+    graft.Tables.documents(spark, sf("0.001"))
+      .select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  test("BPE learn matches an independent token-array driver BPE") {
     // planted corpus exercising shared-boundary and identical-run
     // merges (the semantics that distinguish greedy BPE from plain
     // string replace)
@@ -470,14 +480,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotPlanted == naiveBpe(planted.toMap, 6),
       s"planted diverged:\n$gotPlanted\nvs\n${naiveBpe(planted.toMap, 6)}")
     // real fixture, 10 merges
-    val fixtureFreqs = graft.Tables.documents(spark, sf("0.001"))
-      .select("text").as[String].collect()
-      .flatMap(_.split(" ")).filter(_.length >= 2)
-      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val fixtureFreqs = fixtureWordFreqs()
     val got = TextOps.bpeLearn(spark, sf("0.001"), merges = 10)
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got == naiveBpe(fixtureFreqs, 10),
       s"fixture diverged:\n$got\nvs\n${naiveBpe(fixtureFreqs, 10)}")
+  }
+
+  test("BPE in-memory fit: merges>=100 matches sequential exactly") {
+    // the default fit path: one distributed word count, then the merge
+    // loop in memory (constant Spark-job count at ANY merges) — must
+    // agree merge-for-merge with the sequential token-array reference,
+    // including the exhaustion point (sf0.001 dries up at 89 merges)
+    val fixtureFreqs = fixtureWordFreqs()
+    val got = TextOps.bpeFitLocal(fixtureFreqs.toSeq, merges = 100)
+    val expect = naiveBpe(fixtureFreqs, 100)
+    assert(got == expect, s"in-memory fit diverged from sequential at " +
+      s"${got.zip(expect).indexWhere { case (a, b) => a != b }}")
+    assert(got.length == expect.length && got.length >= 60)
+    // planted corpus: shared boundaries + identical runs
+    val planted = Seq(("aaaaa", 3L), ("banana", 2L), ("abab", 5L), ("bandana", 1L))
+    assert(TextOps.bpeFitLocal(planted, 6) == naiveBpe(planted.toMap, 6))
+  }
+
+  test("BPE batched distributed fit: exact, strictly fewer jobs than merges") {
+    // the over-ceiling fallback: commits a provably-exact prefix of the
+    // top pairs per counting job. Chain-dependent merges (an→can→scan,
+    // tied freqs inside one word) can NEVER batch without changing the
+    // sequential result, so the win on natural text is modest — the
+    // contract is exactness plus jobs < merges, with the in-memory fit
+    // as the real scale path for bounded vocabularies
+    val fixtureFreqs = fixtureWordFreqs()
+    val (got, jobs) = TextOps.bpeLearnMerges(
+      fixtureFreqs.toSeq.toDF("word", "n"), merges = 100)
+    val expect = naiveBpe(fixtureFreqs, 100)
+    assert(got == expect, s"batched fit diverged from sequential at " +
+      s"${got.zip(expect).indexWhere { case (a, b) => a != b }}")
+    assert(got.length == expect.length && got.length >= 60)
+    assert(jobs < got.length,
+      s"batching never committed >1 merge: $jobs jobs for ${got.length} merges")
   }
 
   test("BPE apply matches a driver-side apply of the learned merges") {
