@@ -343,6 +343,11 @@ object SparkEntry {
     // the empirical claim, measured per query
     "q144_ivfadc_residual_recall" ->
       ((s, d) => operators.Pq.residualRecallVsBrute(s, d)),
+    // the two recall gates swept over nProbe ∈ {1,2,4,8} — the
+    // operating-range evidence behind the residual-coupling decision,
+    // hash-checked per (variant, n_probe, query)
+    "q167_recall_grid" ->
+      ((s, d) => operators.Pq.recallGrid(s, d)),
     // the end-to-end nightly curation query: strip dup spans → quality
     // + English gate on the cleaned text → near-dup canonical keep →
     // semantic (embedding) dedup → mixture-weighted sampling, all
@@ -739,6 +744,77 @@ object SparkEntry {
        |SELECT hits.qid,
        |  ROUND(CAST(n_hit AS DOUBLE) / brute_k, 4) AS recall
        |FROM hits JOIN bknt ON hits.qid = bknt.qid""".stripMargin
+
+  /** The q143 oracle as a FUNCTION of nProbe — q143 pins the
+    * deployment point (nProbe = 4); q167 sweeps the operating grid
+    * {1, 2, 4, 8} through the identical chain. */
+  private def ivfRecallSql(nProbe: Int): String =
+    s"""WITH $ivfKmeans,
+       |$pqFit,
+       |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+       |       FROM af WHERE vec_id < 10),
+       |${ivfProbes(nProbe)},
+       |$pqLut,
+       |cand AS (
+       |  SELECT probes.qid, af.vec_id
+       |  FROM af JOIN probes ON af.cluster = probes.probe
+       |  WHERE af.vec_id <> probes.qid),
+       |terms AS (
+       |  SELECT cand.qid, cand.vec_id, paf.s, lut.t
+       |  FROM cand
+       |  JOIN paf ON paf.vec_id = cand.vec_id
+       |  JOIN lut ON lut.qid = cand.qid
+       |    AND lut.s = paf.s AND lut.code = paf.code),
+       |sc AS (
+       |  SELECT qid, vec_id,
+       |    ROUND(list_sum(list(t ORDER BY s)), 4) AS adc_ip
+       |  FROM terms GROUP BY qid, vec_id),
+       |annk AS (
+       |  SELECT qid, vec_id AS nbr_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY adc_ip DESC, vec_id) AS rank
+       |    FROM sc)
+       |  WHERE rank <= 5),
+       |$recallTail""".stripMargin
+
+  /** The q144 (residual IVFADC) oracle as a function of nProbe. */
+  private def residualRecallSql(nProbe: Int): String =
+    s"""WITH $ivfKmeans,
+       |$pqResidualSv,
+       |$pqFitCore,
+       |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+       |       FROM af WHERE vec_id < 10),
+       |${ivfProbes(nProbe)},
+       |$pqLut,
+       |celld AS (
+       |  SELECT probes.qid, probes.probe,
+       |    ${ivfDot("qv.qemb", "c2.c")} AS celldot
+       |  FROM probes
+       |  JOIN qv USING (qid)
+       |  JOIN c2 ON c2.cluster = probes.probe),
+       |cand AS (
+       |  SELECT celld.qid, af.vec_id, celld.celldot
+       |  FROM af JOIN celld ON af.cluster = celld.probe
+       |  WHERE af.vec_id <> celld.qid),
+       |terms AS (
+       |  SELECT cand.qid, cand.vec_id, cand.celldot, paf.s, lut.t
+       |  FROM cand
+       |  JOIN paf ON paf.vec_id = cand.vec_id
+       |  JOIN lut ON lut.qid = cand.qid
+       |    AND lut.s = paf.s AND lut.code = paf.code),
+       |sc AS (
+       |  SELECT qid, vec_id,
+       |    ROUND(celldot + list_sum(list(t ORDER BY s)), 4) AS adc_ip
+       |  FROM terms GROUP BY qid, vec_id, celldot),
+       |annk AS (
+       |  SELECT qid, vec_id AS nbr_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY adc_ip DESC, vec_id) AS rank
+       |    FROM sc)
+       |  WHERE rank <= 5),
+       |$recallTail""".stripMargin
 
   // --- Stupid-backoff LM scoring chain (q130/q139): train on the
   // doc_id%10<8 partition, per-bigram 9dp-decimal log terms, per-doc
@@ -3057,71 +3133,18 @@ object SparkEntry {
         |      ORDER BY cos_eval DESC, eid) AS r
         |  FROM p)
         |WHERE r = 1""".stripMargin,
-    "q143_ivf_pq_recall" ->
-      s"""WITH $ivfKmeans,
-         |$pqFit,
-         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
-         |       FROM af WHERE vec_id < 10),
-         |${ivfProbes(4)},
-         |$pqLut,
-         |cand AS (
-         |  SELECT probes.qid, af.vec_id
-         |  FROM af JOIN probes ON af.cluster = probes.probe
-         |  WHERE af.vec_id <> probes.qid),
-         |terms AS (
-         |  SELECT cand.qid, cand.vec_id, paf.s, lut.t
-         |  FROM cand
-         |  JOIN paf ON paf.vec_id = cand.vec_id
-         |  JOIN lut ON lut.qid = cand.qid
-         |    AND lut.s = paf.s AND lut.code = paf.code),
-         |sc AS (
-         |  SELECT qid, vec_id,
-         |    ROUND(list_sum(list(t ORDER BY s)), 4) AS adc_ip
-         |  FROM terms GROUP BY qid, vec_id),
-         |annk AS (
-         |  SELECT qid, vec_id AS nbr_id FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY adc_ip DESC, vec_id) AS rank
-         |    FROM sc)
-         |  WHERE rank <= 5),
-         |$recallTail""".stripMargin,
-    "q144_ivfadc_residual_recall" ->
-      s"""WITH $ivfKmeans,
-         |$pqResidualSv,
-         |$pqFitCore,
-         |qv AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
-         |       FROM af WHERE vec_id < 10),
-         |${ivfProbes(4)},
-         |$pqLut,
-         |celld AS (
-         |  SELECT probes.qid, probes.probe,
-         |    ${ivfDot("qv.qemb", "c2.c")} AS celldot
-         |  FROM probes
-         |  JOIN qv USING (qid)
-         |  JOIN c2 ON c2.cluster = probes.probe),
-         |cand AS (
-         |  SELECT celld.qid, af.vec_id, celld.celldot
-         |  FROM af JOIN celld ON af.cluster = celld.probe
-         |  WHERE af.vec_id <> celld.qid),
-         |terms AS (
-         |  SELECT cand.qid, cand.vec_id, cand.celldot, paf.s, lut.t
-         |  FROM cand
-         |  JOIN paf ON paf.vec_id = cand.vec_id
-         |  JOIN lut ON lut.qid = cand.qid
-         |    AND lut.s = paf.s AND lut.code = paf.code),
-         |sc AS (
-         |  SELECT qid, vec_id,
-         |    ROUND(celldot + list_sum(list(t ORDER BY s)), 4) AS adc_ip
-         |  FROM terms GROUP BY qid, vec_id, celldot),
-         |annk AS (
-         |  SELECT qid, vec_id AS nbr_id FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY adc_ip DESC, vec_id) AS rank
-         |    FROM sc)
-         |  WHERE rank <= 5),
-         |$recallTail""".stripMargin,
+    "q143_ivf_pq_recall" -> ivfRecallSql(4),
+    "q144_ivfadc_residual_recall" -> residualRecallSql(4),
+    // q167: both recall gates swept over the nProbe operating range —
+    // the SAME parameterized SQL as q143/q144, once per grid point
+    "q167_recall_grid" ->
+      Seq(1, 2, 4, 8).map { np =>
+        s"""SELECT 'raw' AS variant, $np AS n_probe, qid, recall FROM (
+           |${ivfRecallSql(np)})
+           |UNION ALL
+           |SELECT 'residual' AS variant, $np AS n_probe, qid, recall FROM (
+           |${residualRecallSql(np)})""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     // q145: the component oracle chains composed — dup-span strip
     // (q134, z-prefixed to avoid CTE collisions), quality+English gate
     // over the CLEANED text (q27/q28 predicates), near-dup canonical

@@ -286,7 +286,7 @@ object PolicyEval {
     * recall, q99 NDCG): per-interaction-group arms scored by the
     * popularity and hash-random policies, melted to one row per
     * (policy, group, arm). */
-  private def meltedScores(spark: SparkSession, sfDir: String): DataFrame = {
+  private def rankedScores(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = graft.Tables.lineitem(spark, sfDir)
       .join(broadcast(graft.Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))
@@ -298,23 +298,27 @@ object PolicyEval {
           .otherwise(0.0).as("y"),
         pmod(col("l_orderkey") * 131 + col("l_linenumber"), lit(10007))
           .cast("double").as("rnd_score"))
-    fb.join(
+    val scored = fb.join(
       broadcast(fb.groupBy("arm").agg(round(avg("y"), 6).as("pop_score"))), "arm")
-      .selectExpr("group_id", "line_no", "arm", "y",
-        "stack(2, 'popularity', pop_score, 'random', rnd_score) AS (policy, s)")
+    // Rank BOTH policies off one group_id shuffle (two partition-local
+    // sorts share the exchange), melting to (policy, rn) only AFTER
+    // ranking — the pre-rank melt shuffled 2x the rows with the policy
+    // string on every one, and was q99's whole wall at the 10x lake.
+    // (group, line_no) is NOT unique in the synthetic lineitem table,
+    // so y joins the tie-break: rows that still tie after it carry
+    // equal y and cannot change hit counts or gains either way.
+    val byGroup = Window.partitionBy(col("group_id"))
+    val wPop = byGroup.orderBy(desc("pop_score"), asc("arm"), asc("line_no"), desc("y"))
+    val wRnd = byGroup.orderBy(desc("rnd_score"), asc("arm"), asc("line_no"), desc("y"))
+    scored
+      .withColumn("rn_pop", row_number().over(wPop))
+      .withColumn("rn_rnd", row_number().over(wRnd))
+      .selectExpr("group_id", "y",
+        "stack(2, 'popularity', rn_pop, 'random', rn_rnd) AS (policy, rn)")
   }
 
-  // (group, line_no) is NOT unique in the synthetic lineitem table, so
-  // y joins the tie-break: rows that still tie after it carry equal y
-  // and cannot change hit counts or gains whichever order they land in.
-  private def rankWindow =
-    Window.partitionBy(col("policy"), col("group_id"))
-      .orderBy(desc("s"), asc("arm"), asc("line_no"), desc("y"))
-
   def rankingMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val melted = meltedScores(spark, sfDir)
-    val w = rankWindow
-    val perGroup = melted.withColumn("rn", row_number().over(w))
+    val perGroup = rankedScores(spark, sfDir)
       .groupBy(col("policy"), col("group_id"))
       .agg(sum(when(col("rn") <= k, col("y")).otherwise(0.0)).as("hits"),
         sum(col("y")).as("tot"))
@@ -338,8 +342,7 @@ object PolicyEval {
   def ndcgMetrics(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     require(k == 3, "oracle is written for k=3")
     val dec = org.apache.spark.sql.types.DecimalType(18, 12)
-    val melted = meltedScores(spark, sfDir)
-    val perGroup = melted.withColumn("rn", row_number().over(rankWindow))
+    val perGroup = rankedScores(spark, sfDir)
       .groupBy(col("policy"), col("group_id"))
       .agg(
         sum(when(col("rn") <= k,

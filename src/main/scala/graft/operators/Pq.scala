@@ -401,6 +401,38 @@ object Pq {
       ivfAdcResidualTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
       Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
 
+  /** q167: the raw-vs-residual recall comparison swept over the nProbe
+    * operating range — one row per (variant, n_probe, query). q143/q144
+    * pin the deployment point (nProbe = 4); this grid is the evidence
+    * that the residual-coupling decision holds ACROSS the operating
+    * range, not just at one point (residual >= raw at every probe
+    * budget is the claim; where they converge shows how much of the
+    * gap coarse pruning itself closes).
+    *
+    * Scale shape: each grid point is the q143/q144 plan unchanged —
+    * nQueries-bounded broadcast sides, cell-pruned candidate joins —
+    * and the brute-force baseline is materialized ONCE (nQueries×topk
+    * rows, a localCheckpoint) and reused by all 8 grid points, so the
+    * sweep pays 8 pruned scans plus one brute scan, not 8. */
+  def recallGrid(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                 topk: Int = 5, kClusters: Int = 16,
+                 probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, nQueries, topk)
+      .localCheckpoint()
+    probes.map { np =>
+      recallAgainst(ivfAdcTopK(spark, sfDir, nQueries, topk, kClusters, np),
+          brute)
+        .select(lit("raw").as("variant"), lit(np).as("n_probe"),
+          col("qid"), col("recall"))
+        .unionByName(
+          recallAgainst(
+            ivfAdcResidualTopK(spark, sfDir, nQueries, topk, kClusters, np),
+            brute)
+            .select(lit("residual").as("variant"), lit(np).as("n_probe"),
+              col("qid"), col("recall")))
+    }.reduce(_ unionByName _)
+  }
+
   /** Shared recall arithmetic: one row per query, |ann ∩ brute| divided
     * by the per-query brute list's ACTUAL size — never the `topk`
     * parameter: on a corpus with fewer than topk+1 vectors both lists

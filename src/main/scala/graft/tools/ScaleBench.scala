@@ -140,7 +140,14 @@ object ScaleBench {
     // round 13: minhash estimator gate — signatures are map-side over
     // the 10x shingle space, the agreement fold is O(64) per pair on
     // the bounded near_pairs channel
-    "q166_minhash_estimate")
+    "q166_minhash_estimate",
+    // round 14 (r13 verdict item 2): the lake's two slowest queries
+    // join the audit set. q99: ranked-list build behind nDCG — the
+    // per-policy rank windows are partitioned by (policy, round),
+    // population-bounded per key; the ratio measures the scoring scan
+    // staying linear. q83: direction-aware containment — DF-capped
+    // shingle postings, same plan family as q20's jaccard join
+    "q99_policy_ndcg", "q83_containment")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))
@@ -200,8 +207,20 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
+    // optional second arg: comma-separated query subset — the 100x run
+    // measures the headline pipelines, not all 49 audit queries
+    val selected: Seq[String] = if (args.length > 1) {
+      val want = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val unknown = want.filterNot(graft.SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+      want
+    } else AuditQueries
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = "target/scale-sf1"
+    // k=10 keeps the historical sf1 label (and reuses its lake); other
+    // factors label by the equivalent driver scale factor when exact
+    // (k=100 over sf0.1 -> sf10), else by the raw factor
+    val label = if (k % 10 == 0) s"sf${k / 10}" else s"${k}x"
+    val outDir = s"target/scale-$label"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -239,15 +258,20 @@ object ScaleBench {
     // runs first at each scale carries that scale's layer builds and
     // the ratios measure attribution luck, not per-row growth (r10:
     // q62's base rode a warm dedup layer while its 10x built one,
-    // reading as 18x for a linear-cost query)
-    graft.SparkEntry.layers.toSeq.sortBy(_._1).foreach { case (name, build) =>
-      Seq(baseDir, outDir).foreach { d =>
+    // reading as 18x for a linear-cost query). Layer times go into the
+    // artifact (r13 verdict: separated layer times ARE the evidence
+    // that the shared builds scale, not just the queries over them).
+    val layerTimes = graft.SparkEntry.layers.toSeq.sortBy(_._1).map { case (name, build) =>
+      val ts = Seq(baseDir, outDir).map { d =>
         val t0 = System.nanoTime()
         try build(spark, d)
         catch { case e: Throwable =>
           System.err.println(s"[scale] layer $name ($d) FAILED: ${e.getMessage}") }
-        System.err.println(f"[scale] layer $name ($d) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] layer $name ($d) $dt%.2f s")
+        dt
       }
+      (name, ts.head, ts.last)
     }
     // Output cardinality at each scale (untimed .count() with its
     // pruned plan — NOT the timed noop write): makes per-row cost
@@ -257,7 +281,7 @@ object ScaleBench {
     // mostly fixed cost — and needs no out-of-band adjudication.
     def rowsOf(dir: String, name: String): Long =
       graft.SparkEntry.queries(name)(spark, dir).count()
-    val rows = AuditQueries.map { q =>
+    val rows = selected.map { q =>
       val base = time(baseDir, q)
       val scaled = time(outDir, q)
       val ratio = scaled / math.max(base, 1e-9)
@@ -276,11 +300,15 @@ object ScaleBench {
     // needed out-of-band adjudication every round this was absent.
     val load1 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val layersJson = layerTimes.map { case (n, b, s) =>
+      s""""$n":{"base_sec":$b,"scaled_sec":$s,"ratio":${s / math.max(b, 1e-9)}}"""
+    }.mkString(",")
     val json = s"""{"k":$k,"base":"$baseDir","load1_end":$load1,""" +
       s""""queries":{${rows.mkString(",")}},""" +
+      s""""layers":{$layersJson},""" +
       s""""note":"ratio <= $k means per-row cost did not grow; audits claim <= 2x per-row, i.e. ratio <= ${2 * k}"}"""
     println(json)
-    Files.write(Paths.get("BENCH_sf1.json"),
+    Files.write(Paths.get(s"BENCH_$label.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

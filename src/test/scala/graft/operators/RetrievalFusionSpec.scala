@@ -11,6 +11,29 @@ import graft.SparkSpec
   * derivation. */
 class RetrievalFusionSpec extends SparkSpec {
 
+  test("recall grid covers the full (variant, n_probe, query) lattice, " +
+    "each point agreeing with its single-point gate") {
+    val rows = Pq.recallGrid(spark, sf()).collect()
+    val nq = graft.Tables.embeddings(spark, sf())
+      .filter(col("vec_id") < 10).count().toInt
+    assert(rows.length == 2 * 4 * nq, s"grid size ${rows.length}")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall $rec out of range")
+    }
+    // the deployment point (nProbe=4) must reproduce the q143/q144
+    // gates exactly — the grid is the same chain, swept
+    val at4 = rows.filter(_.getAs[Int]("n_probe") == 4)
+      .map(r => (r.getAs[String]("variant"), r.getAs[Long]("qid")) ->
+        r.getAs[Double]("recall")).toMap
+    Pq.ivfAdcRecallVsBrute(spark, sf()).collect().foreach { r =>
+      assert(at4(("raw", r.getAs[Long]("qid"))) == r.getAs[Double]("recall"))
+    }
+    Pq.residualRecallVsBrute(spark, sf()).collect().foreach { r =>
+      assert(at4(("residual", r.getAs[Long]("qid"))) == r.getAs[Double]("recall"))
+    }
+  }
+
   test("rrfFuse on known tiny lists reproduces Cormack's arithmetic exactly") {
     import spark.implicits._
     val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "lex_rank")
