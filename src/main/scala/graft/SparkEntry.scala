@@ -321,6 +321,20 @@ object SparkEntry {
     // spec-asserted batch≡stream
     "q140_ingest_monitor" ->
       ((s, d) => streaming.IngestMonitorStream.batchMonitor(s, d)),
+    // the streaming curation pipeline's batch surface: q140's monitor
+    // over the DEDUPED corpus (first arrival per sha2(text), the q112
+    // fingerprint) — the exact frame CurationStream's one-writeStream
+    // composition emits, hash-checked here so the streaming twin has
+    // an oracle-pinned footprint beyond the batch≡stream spec
+    "q168_curated_ingest" ->
+      ((s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+          .withColumn("ts", timestamp_seconds(
+            lit(streaming.IngestMonitorStream.EpochBase) + col("doc_id")))
+          .select(col("source"), col("ts"), col("text"), col("n_chars"))
+        streaming.CurationStream.batchMonitor(docs)
+      }),
     // full IVFADC (residual encoding, the paper's §IV-A deployment):
     // PQ codebooks fit on float-cast cell residuals, score =
     // ⟨q,c_cell⟩ + residual ADC — hash-checked via the composed
@@ -3060,6 +3074,33 @@ object SparkEntry {
         |  SELECT source, n_chars, string_split(text, ' ') AS t,
         |    1704067200 + doc_id AS es
         |  FROM documents),
+        |m AS (
+        |  SELECT source, es // 60 * 60 AS ws,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    (len(t) >= 10 AND n_chars >= 50 AND
+        |     len(list_filter(t, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) > 0)
+        |      AS passes
+        |  FROM d)
+        |SELECT
+        |  strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(make_timestamp((ws + 60) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+        |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+        |    AS pass_rate
+        |FROM m GROUP BY 1, 2, 3""".stripMargin,
+    // q168: q140's chain with the first-arrival dedup stage in front —
+    // first arrival per text ≡ per sha2(text) (the synthetic ts is
+    // strictly monotone in doc_id, so min-ts = min-doc_id)
+    "q168_curated_ingest" ->
+      """WITH d0 AS (
+        |  SELECT source, n_chars, text, 1704067200 + doc_id AS es,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS t, es
+        |  FROM d0 WHERE rn = 1),
         |m AS (
         |  SELECT source, es // 60 * 60 AS ws,
         |    CAST(len(t) AS BIGINT) AS n_tokens,
