@@ -362,6 +362,14 @@ object SparkEntry {
     // hash-checked per (variant, n_probe, query)
     "q167_recall_grid" ->
       ((s, d) => operators.Pq.recallGrid(s, d)),
+    // SQ8 scalar quantization: per-dimension 8-bit codes between the
+    // corpus min/max (FAISS QT_8bit) — the third compression family
+    // next to PQ and binary signs; asymmetric reconstructed-dot scan
+    "q169_ann_sq8" ->
+      ((s, d) => operators.Sq.sqTopK(s, d)),
+    // ...and its measured recall gate vs exact brute force
+    "q170_sq8_recall" ->
+      ((s, d) => operators.Sq.sqRecallVsBrute(s, d)),
     // the end-to-end nightly curation query: strip dup spans → quality
     // + English gate on the cleaned text → near-dup canonical keep →
     // semantic (embedding) dedup → mixture-weighted sampling, all
@@ -791,6 +799,39 @@ object SparkEntry {
        |    FROM sc)
        |  WHERE rank <= 5),
        |$recallTail""".stripMargin
+
+  /** Shared SQ8 oracle chain (q169/q170): per-dim min/max fit, integer
+    * quantize (round-half-up on non-negative values — portable),
+    * reconstruct, i-ordered dot fold. Ends with `sc(qid, vec_id,
+    * sq_ip)`; callers append their tail. */
+  private val sqChain =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |b AS (
+      |  SELECT t.i AS i,
+      |    MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+      |    MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      |  FROM e CROSS JOIN range(1, 65) t(i)
+      |  GROUP BY t.i),
+      |enc AS (
+      |  SELECT e.vec_id, t.i AS i,
+      |    CASE WHEN b.mx > b.mn
+      |      THEN CAST(round((CAST(e.embedding[t.i] AS DOUBLE) - b.mn)
+      |        / (b.mx - b.mn) * 255, 0) AS INT)
+      |      ELSE 0 END AS code,
+      |    b.mn, b.mx
+      |  FROM e CROSS JOIN range(1, 65) t(i) JOIN b ON b.i = t.i),
+      |rec AS (
+      |  SELECT vec_id, i,
+      |    CASE WHEN mx > mn THEN mn + CAST(code AS DOUBLE) * (mx - mn) / 255
+      |      ELSE mn END AS rv
+      |  FROM enc),
+      |qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT qv.qid, rec.vec_id,
+      |    ROUND(list_sum(list(rv * CAST(qemb[i] AS DOUBLE) ORDER BY i)), 4) AS sq_ip
+      |  FROM rec CROSS JOIN qv
+      |  WHERE rec.vec_id <> qv.qid
+      |  GROUP BY qv.qid, rec.vec_id)""".stripMargin
 
   /** The q144 (residual IVFADC) oracle as a function of nProbe. */
   private def residualRecallSql(nProbe: Int): String =
@@ -3186,6 +3227,26 @@ object SparkEntry {
            |SELECT 'residual' AS variant, $np AS n_probe, qid, recall FROM (
            |${residualRecallSql(np)})""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    "q169_ann_sq8" ->
+      s"""WITH $sqChain
+         |SELECT qid, vec_id AS nbr_id, CAST(rank AS BIGINT) AS rank, sq_ip
+         |FROM (
+         |  SELECT qid, vec_id, sq_ip,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sq_ip DESC, vec_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin,
+    "q170_sq8_recall" ->
+      s"""WITH $sqChain,
+         |annk AS (
+         |  SELECT qid, vec_id AS nbr_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY sq_ip DESC, vec_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 5),
+         |af AS (SELECT vec_id, embedding, $ivfNrm AS nrm FROM e),
+         |$recallTail""".stripMargin,
     // q145: the component oracle chains composed — dup-span strip
     // (q134, z-prefixed to avoid CTE collisions), quality+English gate
     // over the CLEANED text (q27/q28 predicates), near-dup canonical

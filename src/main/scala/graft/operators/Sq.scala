@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SQ8 scalar quantization — the third published vector-compression
+  * family next to PQ (q135-q137/q141) and binary sign codes (q159):
+  * each dimension quantizes independently to an 8-bit level between
+  * the corpus-wide per-dimension min and max (the FAISS
+  * `ScalarQuantizer QT_8bit` shape). 4 bytes/dim becomes 1 byte/dim
+  * with far better fidelity than 1-bit signs; search is asymmetric
+  * (exact query against reconstructed corpus values), the same ADC
+  * idea as PQ but with a trivial per-dimension codebook.
+  *
+  * Scale shape: the fit is ONE aggregation producing d (min, max)
+  * pairs — a d-bounded collect (64 doubles here, config-bounded at
+  * any corpus size) broadcast back as literals; encode and
+  * reconstruct are map-side `transform` expressions; the scan is the
+  * q24 brute shape (bounded query side broadcast, corpus side
+  * streaming) over 1-byte codes instead of floats. Everything
+  * hash-checks: quantization is round-half-up integer arithmetic and
+  * the score folds in index order, so DuckDB replays it exactly.
+  */
+object Sq {
+
+  val Levels = 255
+
+  private val boundsCache =
+    new graft.SessionCache[String, (Seq[Double], Seq[Double])]()
+
+  /** Per-dimension (min, max) over the corpus — the whole SQ8 "model".
+    * One shuffle of d-keyed partials, a d-row collect, cached per
+    * (session, sfDir). */
+  def fittedBounds(spark: SparkSession,
+                   sfDir: String): (Seq[Double], Seq[Double]) =
+    boundsCache.getOrCompute(spark, sfDir) {
+      val dims = Tables.embeddings(spark, sfDir)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(min(col("v").cast("double")).as("mn"),
+          max(col("v").cast("double")).as("mx"))
+        .orderBy(col("i")).collect()
+      (dims.map(_.getDouble(1)).toSeq, dims.map(_.getDouble(2)).toSeq)
+    }
+
+  /** (vec_id, codes) — the encoded corpus. Codes are
+    * `round((v - min_j) / (max_j - min_j) * 255)` (half-up on
+    * non-negative values: engine-portable); constant dimensions encode
+    * as 0 and reconstruct to their min. */
+  def encoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (mn, mx) = fittedBounds(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
+      .withColumn("codes", expr(
+        "transform(embedding, (v, j) -> CASE " +
+          "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
+          "THEN CAST(round((CAST(v AS DOUBLE) - element_at(mns, j + 1)) " +
+          "/ (element_at(mxs, j + 1) - element_at(mns, j + 1)) * 255, 0) AS INT) " +
+          "ELSE 0 END)"))
+      .select(col("vec_id"), col("codes"))
+  }
+
+  /** q169: asymmetric SQ8 top-k — exact query vectors against the
+    * reconstructed corpus, ranked by the 4dp-rounded inner product
+    * with a vec_id tie-break (the q24/q135 serving shape). */
+  def sqTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+             k: Int = 5): DataFrame = {
+    val (mn, mx) = fittedBounds(spark, sfDir)
+    val q = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val scored = encoded(spark, sfDir)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("qid"), col("qemb"), col("codes"),
+        typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
+      // reconstruct map-side, then fold the dot IN INDEX ORDER (the
+      // oracle's list_sum over an i-ordered list is the same fold)
+      .withColumn("rv", expr(
+        "transform(codes, (c, j) -> CASE " +
+          "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
+          "THEN element_at(mns, j + 1) + CAST(c AS DOUBLE) " +
+          "* (element_at(mxs, j + 1) - element_at(mns, j + 1)) / 255 " +
+          "ELSE element_at(mns, j + 1) END)"))
+      .withColumn("sq_ip", round(expr(
+        "aggregate(zip_with(rv, qemb, (r, qv) -> r * CAST(qv AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("sq_ip"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("sq_ip"))
+  }
+
+  /** q170: recall\@k of the SQ8 scan against exact brute force — the
+    * measured-not-assumed gate every quantization family in the engine
+    * carries (q136/q143/q144/q159's discipline). */
+  def sqRecallVsBrute(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                      topk: Int = 5): DataFrame =
+    Pq.recallAgainst(sqTopK(spark, sfDir, nQueries, topk),
+      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+}

@@ -147,7 +147,11 @@ object ScaleBench {
     // population-bounded per key; the ratio measures the scoring scan
     // staying linear. q83: direction-aware containment — DF-capped
     // shingle postings, same plan family as q20's jaccard join
-    "q99_policy_ndcg", "q83_containment")
+    "q99_policy_ndcg", "q83_containment",
+    // round 14: SQ8 — the fit is a d-bounded aggregate, encode/score
+    // map-side; the ratio measures the reconstructed-dot scan staying
+    // linear per corpus row (fixed nQueries), the q24 curve
+    "q169_ann_sq8")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

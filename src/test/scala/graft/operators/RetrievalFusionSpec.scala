@@ -34,6 +34,47 @@ class RetrievalFusionSpec extends SparkSpec {
     }
   }
 
+  test("SQ8: bounds exact, reconstruction within a half-step, recall strong") {
+    import spark.implicits._
+    val (mn, mx) = Sq.fittedBounds(spark, sf())
+    val vecs = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val d = vecs.head._2.length
+    assert(mn.length == d && mx.length == d)
+    // independent bounds replay
+    (0 until d).foreach { j =>
+      assert(mn(j) == vecs.map(_._2(j).toDouble).min)
+      assert(mx(j) == vecs.map(_._2(j).toDouble).max)
+    }
+    // the quantizer's whole contract: every reconstructed value within
+    // half a quantization step of the original (driver replay of the
+    // engine's integer arithmetic)
+    val codes = Sq.encoded(spark, sf())
+      .as[(Long, Array[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val c = codes(id)
+      (0 until d).foreach { j =>
+        val span = mx(j) - mn(j)
+        if (span > 0) {
+          val rv = mn(j) + c(j).toDouble * span / 255
+          assert(math.abs(rv - v(j)) <= span / 510 + 1e-12,
+            s"vec $id dim $j: |${rv} - ${v(j)}| > half-step")
+          assert(c(j) >= 0 && c(j) <= 255)
+        } else assert(c(j) == 0)
+      }
+    }
+    // 8-bit fidelity at d=64 should be near-exact on the fixture —
+    // far above the PQ (q136) and binary (q159) operating points
+    val rec = Sq.sqRecallVsBrute(spark, sf()).collect()
+      .map(_.getAs[Double]("recall"))
+    assert(rec.sum / rec.length >= 0.9,
+      s"mean SQ8 recall ${rec.sum / rec.length} suspiciously low")
+    // plan: no UDF, no true cartesian (the bounded query side may be BNLJ)
+    val df = Sq.sqTopK(spark, sf())
+    assert(!graft.PlanAudit.hasScalaUDF(df))
+    assert(!graft.PlanAudit.hasCartesian(df))
+  }
+
   test("rrfFuse on known tiny lists reproduces Cormack's arithmetic exactly") {
     import spark.implicits._
     val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "lex_rank")
