@@ -68,11 +68,21 @@ object Sq {
     * reconstructed corpus, ranked by the 4dp-rounded inner product
     * with a vec_id tie-break (the q24/q135 serving shape). */
   def sqTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-             k: Int = 5): DataFrame = {
+             k: Int = 5): DataFrame =
+    sqTopKFor(spark, sfDir,
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+      k)
+
+  /** [[sqTopK]] over an ARBITRARY `(qid, qemb)` query frame — the one
+    * scoring definition both the q169 batch surface and the online
+    * serving stream ([[graft.streaming.AnnServeStream]]) execute, so
+    * the two cannot drift. The query side must stay bounded (it
+    * broadcasts); the corpus side streams through once per call. */
+  def sqTopKFor(spark: SparkSession, sfDir: String, q: DataFrame,
+                k: Int = 5): DataFrame = {
     val (mn, mx) = fittedBounds(spark, sfDir)
-    val q = Tables.embeddings(spark, sfDir)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val scored = encoded(spark, sfDir)
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("vec_id"), col("qid"), col("qemb"), col("codes"),
