@@ -370,6 +370,10 @@ object SparkEntry {
     // ...and its measured recall gate vs exact brute force
     "q170_sq8_recall" ->
       ((s, d) => operators.Sq.sqRecallVsBrute(s, d)),
+    // the per-source datasheet card (Gebru et al.): volume, exact-dup
+    // count, q27 pass rate, labeled-language mix — one aggregation
+    "q171_dataset_card" ->
+      ((s, d) => operators.Curation.datasetCard(s, d)),
     // the end-to-end nightly curation query: strip dup spans → quality
     // + English gate on the cleaned text → near-dup canonical keep →
     // semantic (embedding) dedup → mixture-weighted sampling, all
@@ -3236,6 +3240,28 @@ object SparkEntry {
          |      ORDER BY sq_ip DESC, vec_id) AS rank
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin,
+    "q171_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (len(string_split(text, ' ')) >= 10 AND n_chars >= 50 AND
+        |     len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) > 0)
+        |      AS passes,
+        |    COUNT(*) OVER (PARTITION BY text) AS tc
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+        |  CAST(SUM(CASE WHEN tc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
+        |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS pass_rate,
+        |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS en_share,
+        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+        |FROM d GROUP BY source""".stripMargin,
     "q170_sq8_recall" ->
       s"""WITH $sqChain,
          |annk AS (

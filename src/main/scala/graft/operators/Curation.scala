@@ -187,4 +187,50 @@ object Curation {
         round(col("n_semantic").cast("double") / col("n_pool"), 6)
           .as("sem_rate"))
   }
+
+  /** q171: the per-source DATASHEET card (Gebru et al. 2021's
+    * "datasheets for datasets", the summary block) — the numbers a
+    * corpus release publishes per source: volume (docs, tokens,
+    * chars), the exact-duplication exposure (within-source dup rows
+    * AND rows whose text duplicates anywhere in the corpus — syndicated
+    * content shows up in the second, not the first), the q27
+    * quality-gate pass rate, and the English share from the corpus's
+    * language labels (detection is q28's job; the card reports the
+    * labeled mix).
+    *
+    * Scale shape: every metric is a map-side expression over the
+    * document row except the duplication columns — within-source dups
+    * come from `count(DISTINCT text)` inside the grouped aggregate
+    * (two-phase expand keyed on (source, text)), cross-corpus dups
+    * from one text-keyed group count joined back (the q19 exact-dedup
+    * shuffle). Sources-bounded output; exact integer counts and single
+    * divisions, so it hash-checks on any engine. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextOps.stopHits.as("n_stop"))
+      .withColumn("passes", TextOps.qualityGate)
+      .withColumn("is_en", col("lang") === "en")
+    val textCounts = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("tc"))
+    docs.join(textCounts, Seq("text"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        sum(when(col("tc") > 1, 1L).otherwise(0L)).as("n_dup_rows"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_passed"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_exact_dups"), col("n_dup_rows"),
+        round(col("n_passed").cast("double") / col("n_docs"), 6)
+          .as("pass_rate"),
+        round(col("n_en").cast("double") / col("n_docs"), 6).as("en_share"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens"))
+  }
 }

@@ -70,4 +70,31 @@ class CurationSpec extends SparkSpec {
       assert(verdicts(id) == cos, s"doc $id margin $cos != q142 ${verdicts(id)}")
     }
   }
+
+  test("dataset card reconciles with a driver-side replay (sf0.1 plants dups)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf("0.1"))
+      .select("source", "lang", "text").as[(String, String, String)].collect()
+    val got = Curation.datasetCard(spark, sf("0.1")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.values.map(_.getLong(1)).sum == docs.length)
+    val globalTc = docs.groupBy(_._3).map { case (t, g) => t -> g.length }
+    val bySrc = docs.groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      val r = got(src)
+      assert(r.getLong(1) == rows.length, s"$src n_docs")
+      assert(r.getLong(4) == rows.length - rows.map(_._3).distinct.length,
+        s"$src n_exact_dups")
+      assert(r.getLong(5) == rows.count(d => globalTc(d._3) > 1),
+        s"$src n_dup_rows")
+      val en = rows.count(_._2 == "en").toDouble / rows.length
+      assert(r.getDouble(7) ==
+        BigDecimal(en).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$src en_share")
+    }
+    // sf0.1's planted exact duplicates are CROSS-source (syndication):
+    // they must surface in n_dup_rows while within-source counts may
+    // legitimately stay zero — the distinction is the column's point
+    assert(got.values.map(_.getLong(5)).sum > 0, "no dup rows counted at sf0.1")
+  }
 }
