@@ -1,18 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** 1-min system loadavg, or -1 where the JVM can't read it. Recorded
-    * into every artifact because host contention has repeatedly dilated
-    * identical binaries 3-4× (rounds 2/9/12 all needed out-of-band
-    * adjudication of blips a recorded loadavg would have settled
-    * mechanically). */
-  private def load1(): Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val loadStart = load1()
+    // Provenance mark BEFORE any work: host contention has repeatedly
+    // dilated identical binaries 3-4× (rounds 2/9/12/14 all needed
+    // out-of-band adjudication); the steal-time delta recorded by
+    // HostMeter settles those disputes inside the artifact itself.
+    val meterStart = HostMeter.mark()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // GraftSession carries the shared configs (nanosAsLong for the
     // events reader, UTC session timezone, AQE) so Bench times the same
@@ -85,11 +80,12 @@ object Bench {
     // rounds' semantics; layer cost is its own headline field.
     val total = results.collect { case (_, v, true) => v }.sum
     val layerTotal = layerTimes.collect { case (_, v, true) => v }.sum
-    val loadEnd = load1()
-    val loadJson = s""""load1_start":$loadStart,"load1_end":$loadEnd"""
+    // steal_sec/steal_pct/contended + load1 bounds — the machine-
+    // checkable provenance block every timing artifact now carries
+    val provJson = HostMeter.provenanceJson(meterStart, HostMeter.mark())
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","layers_sec":$layerTotal,""" +
-        s"""$loadJson,"queries":$qs,"layers":$ls,"errors":$errs,"sf":"$sfDir"}"""
+        s"""$provJson,"queries":$qs,"layers":$ls,"errors":$errs,"sf":"$sfDir"}"""
     // The FULL artifact (full query names, full precision, layer map)
     // goes to a stable file — a consumer that only captures a
     // truncated log tail would otherwise lose the early queries'
@@ -126,7 +122,7 @@ object Bench {
       val other = if (omitted.isEmpty) ""
         else s""","other_sec":${r2(omitted.sum)},"other_n":${omitted.size}"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","layers_sec":${r3(layerTotal)},""" +
-        s"""$loadJson,"queries":$qsShort$other,"errors":$errs,"sf":"$sfDir"$fullRef}"""
+        s"""$provJson,"queries":$qsShort$other,"errors":$errs,"sf":"$sfDir"$fullRef}"""
     }
     val bySlowest = results.collect { case (k, v, true) => (k, v) }
       .sortBy { case (k, v) => (-v, k) }
@@ -134,16 +130,15 @@ object Bench {
       val sk = k.takeWhile(_ != '_')
       ("\"" + (if (collide(sk)) k else sk) + "\":" + r2(v), v)
     }
-    // fixed overhead of the envelope with every query omitted; each kept
-    // entry then costs its own length + a comma
-    val fixed = envelope("{}", bySlowest.map(_._2)).length
-    var used = fixed
-    val keep = entries.takeWhile { case (s, _) =>
-      val cost = s.length + 1
-      if (used + cost <= LineBudget) { used += cost; true } else false
-    }
-    val omitted = bySlowest.drop(keep.size).map(_._2)
-    println(envelope(keep.map(_._1).mkString("{", ",", "}"), omitted))
+    // greedy packing against the EXACT rendered envelope at each step
+    // (the other_sec/other_n tail shrinks as entries move inline, so a
+    // fixed reservation left budget on the table for large query sets)
+    def lineFor(n: Int): String =
+      envelope(entries.take(n).map(_._1).mkString("{", ",", "}"),
+        bySlowest.drop(n).map(_._2))
+    val nKeep = (entries.size to 0 by -1)
+      .find(n => lineFor(n).length <= LineBudget).getOrElse(0)
+    println(lineFor(nKeep))
     spark.stop()
   }
 }

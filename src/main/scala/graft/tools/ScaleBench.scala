@@ -241,6 +241,9 @@ object ScaleBench {
       generate(spark, baseDir, outDir, k)
       Files.write(marker, (want + "\n").getBytes)
     }
+    // provenance covers the TIMED region (warmup + layers + queries),
+    // not the one-off lake generation above
+    val meterStart = graft.HostMeter.mark()
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       // noop-format write: materializes EVERY column of every row
@@ -300,14 +303,14 @@ object ScaleBench {
       s""""$q":{"base_sec":$base,"scaled_sec":$scaled,"ratio":$ratio,""" +
         s""""base_rows":$baseRows,"scaled_rows":$scaledRows,"per_row_ratio":$perRow}"""
     }
-    // In-artifact 1-min loadavg: ratio blips under host contention have
-    // needed out-of-band adjudication every round this was absent.
-    val load1 = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // In-artifact steal/load provenance (graft.HostMeter): ratio blips
+    // under host contention needed out-of-band adjudication every round
+    // this was absent; the steal-time delta makes the verdict mechanical.
+    val provJson = graft.HostMeter.provenanceJson(meterStart, graft.HostMeter.mark())
     val layersJson = layerTimes.map { case (n, b, s) =>
       s""""$n":{"base_sec":$b,"scaled_sec":$s,"ratio":${s / math.max(b, 1e-9)}}"""
     }.mkString(",")
-    val json = s"""{"k":$k,"base":"$baseDir","load1_end":$load1,""" +
+    val json = s"""{"k":$k,"base":"$baseDir",$provJson,""" +
       s""""queries":{${rows.mkString(",")}},""" +
       s""""layers":{$layersJson},""" +
       s""""note":"ratio <= $k means per-row cost did not grow; audits claim <= 2x per-row, i.e. ratio <= ${2 * k}"}"""
