@@ -482,6 +482,9 @@ object SparkEntry {
     // residual-PQ codebooks over the k16 cell layer (q141)
     "pq_codebooks_residual" ->
       ((s, d) => { operators.Pq.fittedResidualCodebooks(s, d); () }),
+    // SQ8 index: per-dim bounds fit + the checkpointed 1-int/dim code
+    // table (q169/q170 and the online ANN serving stream)
+    "sq8_encoded" -> ((s, d) => { operators.Sq.encoded(s, d); () }),
     // near-dup cluster labels: shingle join + label propagation +
     // localCheckpoint (q60/q61/q62)
     "dedup_clusters" -> ((s, d) => { Dedup.materializedClusters(s, d); () }),

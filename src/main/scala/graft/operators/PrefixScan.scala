@@ -31,8 +31,19 @@ object PrefixScan {
     * pinned frame plus `pid` and `off` columns, broadcast-joined —
     * callers add `sum(...) over (partition by pid order by sort)` and
     * `off` to finish the global scan. */
+  /** Both entry points inject `pid` and `off`; a caller whose frame
+    * already carries either name would get an ambiguous reference (or a
+    * silently wrong join), so the collision fails loudly here. */
+  private def requireFreeNames(df: DataFrame): Unit = {
+    val taken = df.columns.filter(c => c == "pid" || c == "off")
+    require(taken.isEmpty,
+      s"PrefixScan injects 'pid'/'off' columns; input already has " +
+        s"${taken.mkString(", ")} — rename before the scan")
+  }
+
   def withLongOffsets(df: DataFrame, sort: Seq[Column],
                       weight: Column): DataFrame = {
+    requireFreeNames(df)
     val spark = df.sparkSession
     val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = df.repartitionByRange(nParts, sort: _*)
@@ -56,6 +67,7 @@ object PrefixScan {
     * share consumers need as the denominator. */
   def withDecimalOffsets(df: DataFrame, sort: Seq[Column], weight: Column,
                          scale: Int): (DataFrame, java.math.BigDecimal) = {
+    requireFreeNames(df)
     val spark = df.sparkSession
     val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = df.repartitionByRange(nParts, sort: _*)

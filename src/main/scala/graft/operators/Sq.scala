@@ -49,20 +49,35 @@ object Sq {
   /** (vec_id, codes) — the encoded corpus. Codes are
     * `round((v - min_j) / (max_j - min_j) * 255)` (half-up on
     * non-negative values: engine-portable); constant dimensions encode
-    * as 0 and reconstruct to their min. */
-  def encoded(spark: SparkSession, sfDir: String): DataFrame = {
-    val (mn, mx) = fittedBounds(spark, sfDir)
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
-      .withColumn("codes", expr(
-        "transform(embedding, (v, j) -> CASE " +
-          "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
-          "THEN CAST(round((CAST(v AS DOUBLE) - element_at(mns, j + 1)) " +
-          "/ (element_at(mxs, j + 1) - element_at(mns, j + 1)) * 255, 0) AS INT) " +
-          "ELSE 0 END)"))
-      .select(col("vec_id"), col("codes"))
-  }
+    * as 0 and reconstruct to their min.
+    *
+    * Materialized once per (session, sfDir) — a localCheckpoint in the
+    * LRU-bounded layer cache, evicted eagerly like the other
+    * DataFrame-valued layers. This is what makes the online serving
+    * stream ([[graft.streaming.AnnServeStream]]) pay only the scan per
+    * micro-batch: without it every batch re-ran the encode projection
+    * over a full corpus pass (that index-build-vs-serve split is the
+    * whole point of an encoded index — FAISS builds QT_8bit codes once
+    * too). The checkpoint holds 1 int/dim/row — the compressed
+    * footprint the format exists to have. */
+  def encoded(spark: SparkSession, sfDir: String): DataFrame =
+    encodedCache.getOrCompute(spark, sfDir) {
+      val (mn, mx) = fittedBounds(spark, sfDir)
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"),
+          typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
+        .withColumn("codes", expr(
+          "transform(embedding, (v, j) -> CASE " +
+            "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
+            "THEN CAST(round((CAST(v AS DOUBLE) - element_at(mns, j + 1)) " +
+            "/ (element_at(mxs, j + 1) - element_at(mns, j + 1)) * 255, 0) AS INT) " +
+            "ELSE 0 END)"))
+        .select(col("vec_id"), col("codes"))
+        .localCheckpoint()
+    }
+
+  private val encodedCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** q169: asymmetric SQ8 top-k — exact query vectors against the
     * reconstructed corpus, ranked by the 4dp-rounded inner product

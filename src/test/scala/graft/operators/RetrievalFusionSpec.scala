@@ -73,6 +73,15 @@ class RetrievalFusionSpec extends SparkSpec {
     val df = Sq.sqTopK(spark, sf())
     assert(!graft.PlanAudit.hasScalaUDF(df))
     assert(!graft.PlanAudit.hasCartesian(df))
+    // the code table is an index, built once per (session, sfDir): both
+    // calls above must have resolved to the SAME checkpointed RDD — the
+    // contract that lets the serving stream pay only the scan per batch
+    val rdds = Seq(Sq.encoded(spark, sf()), Sq.encoded(spark, sf()))
+      .map(_.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      })
+    assert(rdds.forall(_.nonEmpty), "encoded corpus is not checkpointed")
+    assert(rdds.head == rdds.last, "encode re-ran instead of memoizing")
   }
 
   test("rrfFuse on known tiny lists reproduces Cormack's arithmetic exactly") {
