@@ -79,7 +79,17 @@ object CurationStream {
   /** Batch twin of [[dedupedDocs]]: first arrival = the (ts, source,
     * text)-least row per fingerprint. Deterministic on any engine —
     * the agreement specs feed true re-deliveries (identical tuples),
-    * for which ANY kept copy is the same row. */
+    * for which ANY kept copy is the same row.
+    *
+    * CONTRACT BOUNDARY (spec-pinned, not just noted): the twins
+    * diverge by design for (a) the same text arriving from different
+    * (source, ts) out of event-time order — the stream keeps the
+    * processing-order first, this twin the (ts, source, text)-least —
+    * and (b) duplicates re-delivered after the watermark evicted their
+    * fingerprint state, which the stream re-emits and this twin never
+    * does. Feed sources that need agreement across those cases must
+    * deliver in event-time order within the watermark, the standard
+    * log-compaction assumption. */
   def batchDeduped(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     fingerprinted(docs)

@@ -116,6 +116,53 @@ class CurationStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contract boundary pinned: out-of-order cross-source duplicates and " +
+    "post-eviction re-deliveries DIVERGE from the batch twin by design") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = CurationStream.curatedStream(withCols(mem.toDF()))
+      .writeStream.format("memory").queryName("curated_boundary")
+      .outputMode("append").start()
+    try {
+      // same text from two sources, delivered OUT of event-time order:
+      // src_z's later-ts copy arrives in micro-batch 1, src_a's
+      // earlier-ts copy in micro-batch 2 (inside the watermark)
+      mem.addData(("src_z", passA, ts("2024-01-01 00:01:30")))
+      q.processAllAvailable()
+      mem.addData(("src_a", passA, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // then advance the watermark far past the duplicate's state and
+      // re-deliver: the fingerprint's state has been evicted
+      mem.addData(("src_b", passC, ts("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      mem.addData(("src_z", passA, ts("2024-01-01 00:30:05")))
+      q.processAllAvailable()
+      val streamed = spark.table("curated_boundary")
+        .select("fp", "source", "ts").as[(String, String, java.sql.Timestamp)]
+        .collect().toSet
+      val batch = CurationStream.batchCurated(withCols(Seq(
+          ("src_z", passA, ts("2024-01-01 00:01:30")),
+          ("src_a", passA, ts("2024-01-01 00:01:00")),
+          ("src_b", passC, ts("2024-01-01 00:30:00")),
+          ("src_z", passA, ts("2024-01-01 00:30:05"))).toDF()))
+        .select("fp", "source", "ts").as[(String, String, java.sql.Timestamp)]
+        .collect().toSet
+      val dupFp = streamed.collect {
+        case (fp, s, _) if s == "src_z" || s == "src_a" => fp
+      }.head
+      // stream: processing-order first arrival (src_z's late-ts copy),
+      // PLUS the post-eviction re-delivery — two emissions for the fp
+      assert(streamed.filter(_._1 == dupFp) == Set(
+        (dupFp, "src_z", ts("2024-01-01 00:01:30")),
+        (dupFp, "src_z", ts("2024-01-01 00:30:05"))), s"stream: $streamed")
+      // batch twin: ONE (ts, source, text)-least row for the fp
+      assert(batch.filter(_._1 == dupFp) ==
+        Set((dupFp, "src_a", ts("2024-01-01 00:01:00"))), s"batch: $batch")
+      // and the two surfaces agree everywhere else
+      assert(streamed.filter(_._1 != dupFp) == batch.filter(_._1 != dupFp))
+    } finally q.stop()
+  }
+
   test("q168 batch surface: dedup removes exactly the corpus's exact-duplicate " +
     "rows vs the undeduped monitor (sf0.1, the SF that plants them)") {
     val qs = graft.SparkEntry.queries
