@@ -56,6 +56,31 @@ object Pq {
     * oracle's unrolled CTE chain. */
   val DefaultIters = 2
 
+  /** The deployment-facing probe budget, set by MEASUREMENT — the q167
+    * recall grid ([[recallGrid]], PLANS.md r14) swept both variants over
+    * nProbe ∈ {1,2,4,8} at sf0.1 and the 10× lake: recall is
+    * nProbe-FLAT across 1–4 at this geometry (the nearest cell already
+    * holds every reachable true neighbor) and RAW even dips at 8 (extra
+    * cells admit quantization-noise rivals that displace true
+    * neighbors). 4 is the top of the measured-safe range — headroom for
+    * corpora whose cells are less separated than this one's, while
+    * staying off the measured regression at 8. Re-run the grid before
+    * changing this on a new corpus; it is one hash-checked query. */
+  val DeployedNProbe = 4
+
+  /** The deployed codes variant, set by the same grid: RAW-vector
+    * codebooks ([[ivfAdcTopK]]), NOT the paper's residual coding
+    * ([[ivfAdcResidualTopK]]). Residual wins on the 500-vector fixture
+    * (0.34 vs 0.28) but LOSES at every probe budget beyond it (sf0.1:
+    * 0.18 vs 0.30; 10× lake: 0.94 vs 1.00 — the float-cast residual
+    * round-trip costs neighbors once cells are truly populated). The
+    * residual family stays implemented as the published form with its
+    * own recall gates (q141/q144); [[deployedAnnTopK]] is what a
+    * serving tier should bind to. */
+  def deployedAnnTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                      topk: Int = 5, kClusters: Int = 16): DataFrame =
+    ivfAdcTopK(spark, sfDir, nQueries, topk, kClusters, DeployedNProbe)
+
   /** Lloyd fit over an arbitrary `(vec_id, embedding)` frame —
     * spec-visible so determinism and planted-corpus convergence are
     * testable off the fixture lake. Returns `books(s)(code)(dim)` with
@@ -236,7 +261,7 @@ object Pq {
     * the broadcast equi-condition `cluster === probe` — no shuffle, no
     * join fan-out beyond the pruned candidates. */
   def ivfAdcTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-                 topk: Int = 5, kClusters: Int = 16, nProbe: Int = 4,
+                 topk: Int = 5, kClusters: Int = 16, nProbe: Int = DeployedNProbe,
                  m: Int = DefaultSubspaces, k: Int = DefaultCodes,
                  iters: Int = DefaultIters): DataFrame = {
     import spark.implicits._
@@ -277,8 +302,12 @@ object Pq {
     * RESIDUALS r = x − c_cell(x) instead of the raw vectors. Residuals
     * concentrate near zero, so the same 4-bit codebooks spend their
     * resolution on the part of the vector the coarse quantizer hasn't
-    * already explained — the recall-per-byte win that makes this the
-    * paper's deployed configuration. The inner product decomposes as
+    * already explained — the recall-per-byte argument that makes this
+    * the paper's deployed configuration. MEASURED CAVEAT: on this
+    * engine's corpora the q167 grid inverts that preference beyond the
+    * 500-vector fixture (see [[DeployedNProbe]]/[[deployedAnnTopK]]) —
+    * this operator is kept as the published form with its own recall
+    * gate (q144), not as the serving default. The inner product decomposes as
     * ⟨q,x⟩ = ⟨q,c_cell⟩ + ⟨q,r⟩: the first term is exact per
     * (query, probed cell) — k values per query, computed with the
     * query batch — and the second is the standard ADC fold over the
@@ -291,7 +320,7 @@ object Pq {
     * the whole fit replayable in SQL; a raw double residual would not
     * survive the 12dp cast unchanged. */
   def ivfAdcResidualTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-                         topk: Int = 5, kClusters: Int = 16, nProbe: Int = 4,
+                         topk: Int = 5, kClusters: Int = 16, nProbe: Int = DeployedNProbe,
                          m: Int = DefaultSubspaces, k: Int = DefaultCodes,
                          iters: Int = DefaultIters): DataFrame = {
     import spark.implicits._
@@ -387,7 +416,7 @@ object Pq {
     * queries rather than a fixture assertion. */
   def ivfAdcRecallVsBrute(spark: SparkSession, sfDir: String,
                           nQueries: Int = 10, topk: Int = 5,
-                          kClusters: Int = 16, nProbe: Int = 4): DataFrame =
+                          kClusters: Int = 16, nProbe: Int = DeployedNProbe): DataFrame =
     recallAgainst(ivfAdcTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
       Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
 
@@ -396,7 +425,7 @@ object Pq {
     * brute force — the residual twin of the q136/q143 gates. */
   def residualRecallVsBrute(spark: SparkSession, sfDir: String,
                             nQueries: Int = 10, topk: Int = 5,
-                            kClusters: Int = 16, nProbe: Int = 4): DataFrame =
+                            kClusters: Int = 16, nProbe: Int = DeployedNProbe): DataFrame =
     recallAgainst(
       ivfAdcResidualTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
       Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
