@@ -374,6 +374,12 @@ object SparkEntry {
     // count, q27 pass rate, labeled-language mix — one aggregation
     "q171_dataset_card" ->
       ((s, d) => operators.Curation.datasetCard(s, d)),
+    // the card's lineage block: per-source survivor counts through each
+    // stage of the decontaminated curation chain (gate → canonical →
+    // semantic → mixture → decontam), cumulative in chain order — the
+    // last two stages are q145/q146's row counts by construction
+    "q172_curation_funnel" ->
+      ((s, d) => operators.Curation.curationFunnel(s, d)),
     // the end-to-end nightly curation query: strip dup spans → quality
     // + English gate on the cleaned text → near-dup canonical keep →
     // semantic (embedding) dedup → mixture-weighted sampling, all
@@ -3326,6 +3332,56 @@ object SparkEntry {
          |JOIN dvv ON dvv.vec_id = k.doc_id
          |WHERE k.doc_id >= 5 AND dvv.max_eval_cos < 0.6
          |  AND k.doc_id NOT IN (SELECT doc_id FROM ngc)""".stripMargin,
+    // q172: the q146 chain's stage memberships left-joined onto the
+    // document table and folded into cumulative flags — the funnel's
+    // n_sampled/n_final replay q145/q146's membership per source
+    "q172_curation_funnel" ->
+      s"""WITH RECURSIVE $curationChain,
+         |evg AS (SELECT DISTINCT s FROM tok WHERE doc_id < 5),
+         |ngc AS (SELECT DISTINCT tok.doc_id FROM tok JOIN evg USING (s)
+         |        WHERE tok.doc_id >= 5),
+         |dev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
+         |        FROM af WHERE vec_id % 50 = 0),
+         |dp AS (
+         |  SELECT af.vec_id, dev.eid,
+         |    ROUND(${ivfDot("af.embedding", "dev.eemb")}
+         |      / (af.nrm * dev.enrm), 4) AS cos_eval
+         |  FROM af CROSS JOIN dev WHERE af.vec_id % 50 <> 0),
+         |dvv AS (
+         |  SELECT vec_id, cos_eval AS max_eval_cos
+         |  FROM (SELECT vec_id, cos_eval, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cos_eval DESC, eid) AS r
+         |        FROM dp)
+         |  WHERE r = 1),
+         |fl AS (
+         |  SELECT d.doc_id, d.source,
+         |    (k.doc_id IS NOT NULL) AS s1,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL) AS s2,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL) AS s3,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL) AS s4,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL
+         |      AND d.doc_id >= 5 AND ngc.doc_id IS NULL
+         |      AND COALESCE(dvv.max_eval_cos < 0.6, FALSE)) AS s5
+         |  FROM documents d
+         |  LEFT JOIN keepg k ON k.doc_id = d.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM clusters
+         |             WHERE doc_id = cluster_id) cc ON cc.doc_id = d.doc_id
+         |  LEFT JOIN sem ON sem.doc_id = d.doc_id
+         |  LEFT JOIN smp ON smp.doc_id = d.doc_id
+         |  LEFT JOIN ngc ON ngc.doc_id = d.doc_id
+         |  LEFT JOIN dvv ON dvv.vec_id = d.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+         |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+         |  CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  ROUND(CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS keep_rate
+         |FROM fl GROUP BY source""".stripMargin,
     // q147: every metric is a per-document list fold; rule comparisons
     // run on the unrounded doubles exactly as the engine's
     "q147_gopher_rules" ->

@@ -43,13 +43,14 @@ import graft.Tables
   */
 object Curation {
 
-  def trainingSet(spark: SparkSession, sfDir: String): DataFrame = {
-    // 1. strip (dup_spans layer); gate metrics bind to the CLEANED text
-    val cleaned = Dedup.stripDupSpans(spark, sfDir)
+  /** Stages 1+2 of the chain — substring strip (dup_spans layer) with
+    * the quality + English gate bound to the CLEANED text. Shared by
+    * [[trainingSet]] and the q172 funnel so the gate population has
+    * exactly one definition. */
+  private def gatedCleaned(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.stripDupSpans(spark, sfDir)
       .select(col("doc_id"), col("n_removed"),
         col("clean_text").as("text"))
-    // 2. quality + English gate on what would actually be trained on
-    val gated = cleaned
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_stop", TextOps.stopHits)
@@ -60,6 +61,11 @@ object Curation {
       .filter(TextOps.qualityGate && TextOps.englishArgmax)
       .select(col("doc_id"), col("n_tokens").as("n_tokens_clean"),
         col("n_removed"), col("text").as("clean_text"))
+
+  def trainingSet(spark: SparkSession, sfDir: String): DataFrame = {
+    // 1+2. strip (dup_spans layer) + quality/English gate on what would
+    // actually be trained on
+    val gated = gatedCleaned(spark, sfDir)
     // 3. canonical near-dup representative (dedup_clusters layer)
     val canonical = Dedup.materializedClusters(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
@@ -205,6 +211,78 @@ object Curation {
     * from one text-keyed group count joined back (the q19 exact-dedup
     * shuffle). Sources-bounded output; exact integer counts and single
     * divisions, so it hash-checks on any engine. */
+  /** q172: the per-source curation FUNNEL — the lineage block a
+    * datasheet (q171) publishes next to its volume stats: how many of
+    * each source's documents survive each stage of the decontaminated
+    * curation chain (q146), in chain order —
+    *
+    *   `n_docs` → `n_gated` (strip + quality/English gate) →
+    *   `n_canonical` (near-dup representative keep) → `n_semantic`
+    *   (embedding-space dedup) → `n_sampled` (mixture membership =
+    *   q145's rows) → `n_final` (both decontamination gates = q146's
+    *   rows) — plus the end-to-end `keep_rate`.
+    *
+    * This explains WHY a source's volume dropped, which the card alone
+    * can't: a source bleeding at `n_gated` has a boilerplate/quality
+    * problem, one bleeding at `n_canonical`/`n_semantic` is syndicating
+    * content, one bleeding at `n_final` is leaking eval data.
+    *
+    * Composition only: every stage membership is the EXISTING session
+    * layer/operator output (the gate population via [[gatedCleaned]] —
+    * one definition with q145), left-joined doc-keyed onto the document
+    * table and folded into cumulative flags, so the funnel's last two
+    * columns are per-source row counts of q145/q146 BY CONSTRUCTION.
+    * Scale shape: six doc-keyed equi-joins against frames the chain
+    * already materializes, one sources-bounded aggregate — no new
+    * corpus-shaped shuffle beyond what q146 itself pays. */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+                     nEvalDocs: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val gated = gatedCleaned(spark, sfDir)
+      .select(col("doc_id"), lit(true).as("in_gate"))
+    val canon = Dedup.materializedClusters(spark, sfDir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("in_canon"))
+    val semantic = Ivf.semanticKeep(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), lit(true).as("in_sem"))
+    val sampled = TextOps.mixtureSample(spark, sfDir)
+      .select(col("doc_id"), lit(true).as("in_mix"))
+    val lexHit = TextOps.decontamination(spark, sfDir, nEvalDocs)
+      .select(col("doc_id"), lit(true).as("lex_hit"))
+    val semVerdict = Similarity.embeddingDecontam(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("contaminated"))
+    docs
+      .join(gated, Seq("doc_id"), "left")
+      .join(canon, Seq("doc_id"), "left")
+      .join(semantic, Seq("doc_id"), "left")
+      .join(sampled, Seq("doc_id"), "left")
+      .join(lexHit, Seq("doc_id"), "left")
+      .join(semVerdict, Seq("doc_id"), "left")
+      // cumulative in chain order; the final stage replays q146's
+      // membership exactly: non-eval, no lexical hit, a semantic verdict
+      // present (eval vectors have none — the q146 inner join) and clean
+      .withColumn("s1", coalesce(col("in_gate"), lit(false)))
+      .withColumn("s2", col("s1") && coalesce(col("in_canon"), lit(false)))
+      .withColumn("s3", col("s2") && coalesce(col("in_sem"), lit(false)))
+      .withColumn("s4", col("s3") && coalesce(col("in_mix"), lit(false)))
+      .withColumn("s5", col("s4") && col("doc_id") >= nEvalDocs &&
+        !coalesce(col("lex_hit"), lit(false)) &&
+        coalesce(!col("contaminated"), lit(false)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("s1").cast("long")).as("n_gated"),
+        sum(col("s2").cast("long")).as("n_canonical"),
+        sum(col("s3").cast("long")).as("n_semantic"),
+        sum(col("s4").cast("long")).as("n_sampled"),
+        sum(col("s5").cast("long")).as("n_final"))
+      .select(col("source"), col("n_docs"), col("n_gated"),
+        col("n_canonical"), col("n_semantic"), col("n_sampled"),
+        col("n_final"),
+        round(col("n_final").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+  }
+
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"),

@@ -151,7 +151,11 @@ object ScaleBench {
     // round 14: SQ8 — the fit is a d-bounded aggregate, encode/score
     // map-side; the ratio measures the reconstructed-dot scan staying
     // linear per corpus row (fixed nQueries), the q24 curve
-    "q169_ann_sq8")
+    "q169_ann_sq8",
+    // round 15: the curation funnel — six doc-keyed joins over frames
+    // the q146 chain already materializes + a sources-bounded rollup;
+    // the ratio bounds the flag-fold adding only linear work on top
+    "q172_curation_funnel")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

@@ -71,6 +71,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are monotone and its last two stages ARE q145/q146's " +
+    "per-source row counts") {
+    val funnel = Curation.curationFunnel(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // cumulative flags -> every stage count is <= its predecessor
+    funnel.values.foreach { r =>
+      val chain = Seq("n_docs", "n_gated", "n_canonical", "n_semantic",
+        "n_sampled", "n_final").map(r.getAs[Long])
+      assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
+        s"${r.getAs[String]("source")}: non-monotone funnel $chain")
+    }
+    def perSource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q145 = perSource(Curation.trainingSet(spark, sf()))
+    val q146 = perSource(Curation.trainingSetDecontaminated(spark, sf()))
+    funnel.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_sampled") == q145.getOrElse(src, 0L),
+        s"$src: n_sampled != q145 rows")
+      assert(r.getAs[Long]("n_final") == q146.getOrElse(src, 0L),
+        s"$src: n_final != q146 rows")
+    }
+  }
+
   test("dataset card reconciles with a driver-side replay (sf0.1 plants dups)") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf("0.1"))
