@@ -506,6 +506,14 @@ object TextOps {
     * pays ~0.9 counting jobs per merge on chain-heavy natural text. */
   val BpeMaxLocalVocab: Int = 2 * 1024 * 1024
 
+  /** Merge-chain batch size for [[bpeApply]]: how many regexp merges
+    * stack into one expression before the vocab frame is pinned with a
+    * localCheckpoint. 64 nested replaces is comfortably inside codegen
+    * limits (the 10-merge default never checkpoints at all); a 32k
+    * table then costs ~512 vocabulary-bounded materializations instead
+    * of one unanalyzable 32k-deep expression. */
+  private[graft] val BpeApplyBatch: Int = 64
+
   /** The learned merge table as a MATERIALIZED LAYER — one fit per
     * (session, sfDir, merges), shared by [[bpeLearn]] (the query
     * surface) and [[bpeApply]] (the tokenizer), same discipline as the
@@ -765,11 +773,19 @@ object TextOps {
       .filter(length(col("word")) >= 2).distinct()
       .withColumn("toks",
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
-    learned.foreach { case (_, w1, w2, _, _) =>
+    learned.zipWithIndex.foreach { case ((_, w1, w2, _, _), i) =>
       val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
         java.util.regex.Pattern.quote(w2) + "(?= )"
       vocab = vocab.withColumn("toks",
         regexp_replace(col("toks"), pat, java.util.regex.Matcher.quoteReplacement(w1 + w2)))
+      // tokenizer-scale merge tables (32k-class) can't live in ONE
+      // expression: pin the vocab frame every BpeApplyBatch merges so
+      // plan depth stays batch-bounded while each checkpointed pass is
+      // still a codegen'd map over the vocabulary-bounded frame — total
+      // work merges/batch extra vocab materializations, never
+      // corpus-shaped. Small tables (the q132/q160 default of 10) never
+      // checkpoint, so their plans and oracles are untouched.
+      if ((i + 1) % BpeApplyBatch == 0) vocab = vocab.localCheckpoint()
     }
     val wordTokens = vocab.select(col("word"),
       size(split(trim(col("toks")), " ")).cast("long").as("n_subwords"))

@@ -559,6 +559,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeApply with a checkpoint-batch-crossing merge table equals the " +
+    "driver replay (the 32k-table plan-depth path)") {
+    import spark.implicits._
+    // request far past saturation: the fixture vocabulary collapses
+    // completely, and the learned table must cross BpeApplyBatch so the
+    // batched localCheckpoint path actually runs
+    val learned = TextOps.learnedMerges(spark, sf("0.001"), 32768)
+    assert(learned.length > TextOps.BpeApplyBatch,
+      s"saturation ${learned.length} <= batch ${TextOps.BpeApplyBatch}: " +
+        "test no longer crosses a checkpoint — lower the batch or plant words")
+    def applyWord(w: String): Long = {
+      var ts: Vector[String] = w.map(_.toString).toVector
+      learned.foreach { case (_, w1, w2, _, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+            out += w1 + w2; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        ts = out.toVector
+      }
+      ts.length
+    }
+    val got = TextOps.bpeApply(spark, sf("0.001"), 32768)
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf("0.001"))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val exp = text.split(" ").filter(_.nonEmpty)
+        .map(w => if (w.length >= 2) applyWord(w) else 1L).sum
+      assert(got(id) == exp, s"doc $id: ${got(id)} subwords, replay says $exp")
+    }
+    // fully saturated table -> every multi-char word is ONE token, so
+    // fertility collapses to exactly 1.0 everywhere
+    TextOps.tokenizerFertility(spark, sf("0.001"), 32768).collect()
+      .foreach(r => assert(r.getAs[Double]("fertility") == 1.0, r.toString))
+  }
+
   test("BPE pair counts equal a naive recompute; top merge empties its own pair") {
     val k = 20
     val got = TextOps.bpePairCounts(spark, sf("0.001"), k).collect()
