@@ -370,6 +370,14 @@ object SparkEntry {
     // ...and its measured recall gate vs exact brute force
     "q170_sq8_recall" ->
       ((s, d) => operators.Sq.sqRecallVsBrute(s, d)),
+    // IVF-SQ8 (FAISS IVF…,SQ8): the SQ8 family's pruned scale path —
+    // coarse cells cut the q169 scan to |corpus|·nProbe/k at the
+    // grid-measured DeployedNProbe; one pass assigns cell + codes
+    "q173_ann_ivf_sq8" ->
+      ((s, d) => operators.Sq.ivfSqTopK(s, d)),
+    // ...and the gate pricing what that pruning costs in recall
+    "q174_ivf_sq8_recall" ->
+      ((s, d) => operators.Sq.ivfSqRecallVsBrute(s, d)),
     // the per-source datasheet card (Gebru et al.): volume, exact-dup
     // count, q27 pass rate, labeled-language mix — one aggregation
     "q171_dataset_card" ->
@@ -813,13 +821,12 @@ object SparkEntry {
        |  WHERE rank <= 5),
        |$recallTail""".stripMargin
 
-  /** Shared SQ8 oracle chain (q169/q170): per-dim min/max fit, integer
-    * quantize (round-half-up on non-negative values — portable),
-    * reconstruct, i-ordered dot fold. Ends with `sc(qid, vec_id,
-    * sq_ip)`; callers append their tail. */
-  private val sqChain =
-    """e AS (SELECT vec_id, embedding FROM embeddings),
-      |b AS (
+  /** SQ8 fit + encode + reconstruct core (b/enc/rec), expecting `e` in
+    * scope — shared by the flat chain below (q169/q170) and the
+    * IVF-pruned chain (q173/q174), whose `e` arrives from the IVF
+    * k-means fragment. */
+  private val sqCore =
+    """b AS (
       |  SELECT t.i AS i,
       |    MIN(CAST(embedding[t.i] AS DOUBLE)) AS mn,
       |    MAX(CAST(embedding[t.i] AS DOUBLE)) AS mx
@@ -837,7 +844,15 @@ object SparkEntry {
       |  SELECT vec_id, i,
       |    CASE WHEN mx > mn THEN mn + CAST(code AS DOUBLE) * (mx - mn) / 255
       |      ELSE mn END AS rv
-      |  FROM enc),
+      |  FROM enc)""".stripMargin
+
+  /** Shared SQ8 oracle chain (q169/q170): per-dim min/max fit, integer
+    * quantize (round-half-up on non-negative values — portable),
+    * reconstruct, i-ordered dot fold. Ends with `sc(qid, vec_id,
+    * sq_ip)`; callers append their tail. */
+  private val sqChain =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |$sqCore,
       |qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
       |sc AS (
       |  SELECT qv.qid, rec.vec_id,
@@ -845,6 +860,26 @@ object SparkEntry {
       |  FROM rec CROSS JOIN qv
       |  WHERE rec.vec_id <> qv.qid
       |  GROUP BY qv.qid, rec.vec_id)""".stripMargin
+
+  /** The IVF-pruned SQ8 chain (q173/q174): the IVF k-means fragment's
+    * `e`/`af`/`c2` + the SQ8 core + cell-pruned candidates, ending with
+    * `sc(qid, vec_id, sq_ip)` over only the probed cells' rows. */
+  private val ivfSqChain =
+    s"""$ivfKmeans,
+       |$sqCore,
+       |qv AS (SELECT vec_id AS qid, embedding AS qemb FROM e WHERE vec_id < 10),
+       |${ivfProbes(operators.Pq.DeployedNProbe)},
+       |cand AS (
+       |  SELECT probes.qid, af.vec_id
+       |  FROM af JOIN probes ON af.cluster = probes.probe
+       |  WHERE af.vec_id <> probes.qid),
+       |sc AS (
+       |  SELECT cand.qid, rec.vec_id,
+       |    ROUND(list_sum(list(rv * CAST(qemb[i] AS DOUBLE) ORDER BY i)), 4) AS sq_ip
+       |  FROM cand
+       |  JOIN rec ON rec.vec_id = cand.vec_id
+       |  JOIN qv ON qv.qid = cand.qid
+       |  GROUP BY cand.qid, rec.vec_id)""".stripMargin
 
   /** The q144 (residual IVFADC) oracle as a function of nProbe. */
   private def residualRecallSql(nProbe: Int): String =
@@ -3281,6 +3316,29 @@ object SparkEntry {
          |    FROM sc)
          |  WHERE rank <= 5),
          |af AS (SELECT vec_id, embedding, $ivfNrm AS nrm FROM e),
+         |$recallTail""".stripMargin,
+    // q173: the SQ8 chain restricted to the IVF-probed cells — the
+    // k-means fragment supplies e/af/c2, the probe CTE replays the
+    // partial-selection order, and the score is q169's fold verbatim
+    "q173_ann_ivf_sq8" ->
+      s"""WITH $ivfSqChain
+         |SELECT qid, vec_id AS nbr_id, CAST(rank AS BIGINT) AS rank, sq_ip
+         |FROM (
+         |  SELECT qid, vec_id, sq_ip,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sq_ip DESC, vec_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin,
+    // q174: the q173 chain + the shared brute-force recall tail
+    "q174_ivf_sq8_recall" ->
+      s"""WITH $ivfSqChain,
+         |annk AS (
+         |  SELECT qid, vec_id AS nbr_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY sq_ip DESC, vec_id) AS rank
+         |    FROM sc)
+         |  WHERE rank <= 5),
          |$recallTail""".stripMargin,
     // q145: the component oracle chains composed — dup-span strip
     // (q134, z-prefixed to avoid CTE collisions), quality+English gate

@@ -127,4 +127,76 @@ object Sq {
                       topk: Int = 5): DataFrame =
     Pq.recallAgainst(sqTopK(spark, sfDir, nQueries, topk),
       Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+
+  /** q173: IVF-SQ8 — the FAISS `IVF…,SQ8` index shape: the coarse IVF
+    * quantizer prunes candidates to the query's `nProbe` cells while
+    * SQ8 codes compress what those candidates cost to hold and read.
+    * This is the MEASURED scale path for the SQ8 family: the flat q169
+    * scan is linear per corpus row by design and read 56.8× wall at
+    * 100× data (BENCH_sf10, r15) — exactly the curve the IVF
+    * deployment shape exists to cut to |corpus|·nProbe/k. One corpus
+    * pass assigns cell + codes together (the [[Pq.ivfAdcTopK]]
+    * discipline); the probe side stays a bounded broadcast
+    * (nQueries × nProbe rows) with NO driver collect — probes explode
+    * distributively since SQ8 needs no per-query LUT. Scoring is
+    * [[sqTopKFor]]'s reconstructed-dot arithmetic verbatim, so the
+    * pruned scan hash-agrees with the flat scan wherever their
+    * candidate sets overlap. `nProbe` defaults to the grid-measured
+    * [[Pq.DeployedNProbe]]. */
+  def ivfSqTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                k: Int = 5, kClusters: Int = 16,
+                nProbe: Int = Pq.DeployedNProbe): DataFrame = {
+    val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, 2)
+    val (mn, mx) = fittedBounds(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val enc = e
+      .withColumn("cluster", Ivf.assignExpr(centroids)(col("embedding")))
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
+      .withColumn("codes", expr(
+        "transform(embedding, (v, j) -> CASE " +
+          "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
+          "THEN CAST(round((CAST(v AS DOUBLE) - element_at(mns, j + 1)) " +
+          "/ (element_at(mxs, j + 1) - element_at(mns, j + 1)) * 255, 0) AS INT) " +
+          "ELSE 0 END)"))
+      .select(col("vec_id"), col("cluster"), col("codes"))
+    // bounded probe frame: nQueries × nProbe rows, broadcast — a corpus
+    // row lives in exactly one cell, so it matches ≤ 1 probe row per
+    // query and no (qid, vec_id) dedup is needed
+    val q = e.filter(col("vec_id") < nQueries)
+      .withColumn("probes", Ivf.nearestClusters(centroids, nProbe)(col("embedding")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        explode(col("probes")).as("probe"))
+    val scored = enc
+      .join(broadcast(q), col("cluster") === col("probe") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("qid"), col("qemb"), col("codes"),
+        typedLit(mn).as("mns"), typedLit(mx).as("mxs"))
+      .withColumn("rv", expr(
+        "transform(codes, (c, j) -> CASE " +
+          "WHEN element_at(mxs, j + 1) > element_at(mns, j + 1) " +
+          "THEN element_at(mns, j + 1) + CAST(c AS DOUBLE) " +
+          "* (element_at(mxs, j + 1) - element_at(mns, j + 1)) / 255 " +
+          "ELSE element_at(mns, j + 1) END)"))
+      .withColumn("sq_ip", round(expr(
+        "aggregate(zip_with(rv, qemb, (r, qv) -> r * CAST(qv AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("sq_ip"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("sq_ip"))
+  }
+
+  /** q174: recall\@k of the IVF-SQ8 scan against exact brute force —
+    * the gate that prices what the cell pruning costs in recall, the
+    * same discipline as q143/q144 price IVF-PQ's. */
+  def ivfSqRecallVsBrute(spark: SparkSession, sfDir: String,
+                         nQueries: Int = 10, topk: Int = 5,
+                         kClusters: Int = 16,
+                         nProbe: Int = Pq.DeployedNProbe): DataFrame =
+    Pq.recallAgainst(
+      ivfSqTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
+      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
 }

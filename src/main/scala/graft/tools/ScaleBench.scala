@@ -155,7 +155,11 @@ object ScaleBench {
     // round 15: the curation funnel — six doc-keyed joins over frames
     // the q146 chain already materializes + a sources-bounded rollup;
     // the ratio bounds the flag-fold adding only linear work on top
-    "q172_curation_funnel")
+    "q172_curation_funnel",
+    // round 15: IVF-SQ8 — the SQ8 family's pruned scale path; the
+    // ratio measures the cell-pruned reconstructed-dot scan growing
+    // with |corpus|·nProbe/k instead of q169's full-corpus curve
+    "q173_ann_ivf_sq8")
 
   private def shiftBase(df: DataFrame, key: String): Long =
     Option(df.agg(max(col(key))).head().get(0))

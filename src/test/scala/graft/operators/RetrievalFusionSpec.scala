@@ -96,6 +96,34 @@ class RetrievalFusionSpec extends SparkSpec {
     assert(rdds.head == rdds.last, "encode re-ran instead of memoizing")
   }
 
+  test("IVF-SQ8: pruned scores agree with the flat scan pairwise, recall " +
+    "gate bounded, plan stays equi-join + broadcast") {
+    import spark.implicits._
+    // every (qid, nbr) the pruned scan emits must carry EXACTLY the
+    // score the flat SQ8 scan assigns that pair — pruning changes the
+    // candidate set, never the arithmetic
+    val flat = Sq.sqTopKFor(spark, sf(),
+        graft.Tables.embeddings(spark, sf()).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+        k = Int.MaxValue)
+      .select("qid", "nbr_id", "sq_ip")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    val pruned = Sq.ivfSqTopK(spark, sf()).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nbr_id"))
+      assert(flat(key) == r.getAs[Double]("sq_ip"),
+        s"$key: pruned ${r.getAs[Double]("sq_ip")} != flat ${flat(key)}")
+    }
+    val rec = Sq.ivfSqRecallVsBrute(spark, sf()).collect()
+      .map(_.getAs[Double]("recall"))
+    assert(rec.nonEmpty && rec.forall(r => r >= 0.0 && r <= 1.0))
+    val df = Sq.ivfSqTopK(spark, sf())
+    assert(!graft.PlanAudit.hasScalaUDF(df))
+    assert(!graft.PlanAudit.hasCartesian(df))
+  }
+
   test("rrfFuse on known tiny lists reproduces Cormack's arithmetic exactly") {
     import spark.implicits._
     val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "lex_rank")
