@@ -678,6 +678,10 @@ object TextOps {
     // pair (including edges) matches the " l r " search pattern
     var words = wordFreq.select(col("n"),
       concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")).as("toks"))
+    // the previous iteration's checkpoint, released once the next one
+    // materializes — only frames THIS loop checkpointed, never the
+    // caller's (possibly layer-cached) input
+    var prevCkpt: DataFrame = null
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     // every multi-char token string minted so far (initial tokens are
     // single chars, so this is the full collision surface for check 2)
@@ -746,10 +750,16 @@ object TextOps {
           col0 = regexp_replace(col0, lit(pat), lit(rep))
         }
         // one checkpoint per iteration: the plan would otherwise deepen
-        // by up to `batch` nested replaces every round
+        // by up to `batch` nested replaces every round; the superseded
+        // checkpoint's blocks release eagerly (a 32k-merge fit would
+        // otherwise pin ~2k dead vocabulary frames until context end)
         words = words.withColumn("toks", col0).localCheckpoint()
+        if (prevCkpt != null) graft.SessionCache.unpersistCheckpoint(prevCkpt)
+        prevCkpt = words
       }
     }
+    // the merge table is driver-side now — the last checkpoint is dead
+    if (prevCkpt != null) graft.SessionCache.unpersistCheckpoint(prevCkpt)
     (out.toSeq, jobs)
   }
 
@@ -773,6 +783,9 @@ object TextOps {
       .filter(length(col("word")) >= 2).distinct()
       .withColumn("toks",
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+    // superseded batch checkpoints release eagerly; the LAST one must
+    // stay persisted — the returned frame's lineage truncates to it
+    var prevCkpt: DataFrame = null
     learned.zipWithIndex.foreach { case ((_, w1, w2, _, _), i) =>
       val pat = "(?<= )" + java.util.regex.Pattern.quote(w1) + " " +
         java.util.regex.Pattern.quote(w2) + "(?= )"
@@ -785,7 +798,11 @@ object TextOps {
       // work merges/batch extra vocab materializations, never
       // corpus-shaped. Small tables (the q132/q160 default of 10) never
       // checkpoint, so their plans and oracles are untouched.
-      if ((i + 1) % BpeApplyBatch == 0) vocab = vocab.localCheckpoint()
+      if ((i + 1) % BpeApplyBatch == 0) {
+        vocab = vocab.localCheckpoint()
+        if (prevCkpt != null) graft.SessionCache.unpersistCheckpoint(prevCkpt)
+        prevCkpt = vocab
+      }
     }
     val wordTokens = vocab.select(col("word"),
       size(split(trim(col("toks")), " ")).cast("long").as("n_subwords"))

@@ -21,8 +21,10 @@ object TimeOne {
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.names.foreach { n =>
+      // a lake may lack optional tables — skip those, but let fatal
+      // errors (OOM, linkage) abort rather than time a cold path
       try graft.Tables.read(spark, dir, n).foreach(_ => ())
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     names.foreach { q =>
       val times = (1 to 2).map { _ =>
