@@ -388,6 +388,10 @@ object SparkEntry {
     // last two stages are q145/q146's row counts by construction
     "q172_curation_funnel" ->
       ((s, d) => operators.Curation.curationFunnel(s, d)),
+    // card × funnel on the sources-bounded key: the one-frame datasheet
+    // a release publishes — both sides the existing q171/q172 frames
+    "q175_datasheet_v3" ->
+      ((s, d) => operators.Curation.datasheetV3(s, d)),
     // the end-to-end nightly curation query: strip dup spans → quality
     // + English gate on the cleaned text → near-dup canonical keep →
     // semantic (embedding) dedup → mixture-weighted sampling, all
@@ -1125,6 +1129,80 @@ object SparkEntry {
          |smp AS (
          |  SELECT doc_id, md.lang FROM md JOIN mr ON md.lang = mr.lang
          |  WHERE u < rate)""".stripMargin
+
+  /** q171's replay SQL — also the `card` CTE of q175's. */
+  private val cardSql =
+    """WITH d AS (
+      |  SELECT source, lang, n_chars, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    (len(string_split(text, ' ')) >= 10 AND n_chars >= 50 AND
+      |     len(list_filter(string_split(text, ' '),
+      |       x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) > 0)
+      |      AS passes,
+      |    COUNT(*) OVER (PARTITION BY text) AS tc
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+      |  CAST(SUM(CASE WHEN tc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
+      |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS pass_rate,
+      |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS en_share,
+      |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+      |FROM d GROUP BY source""".stripMargin
+
+  /** q172's replay SQL — also the `fun` CTE of q175's. */
+  private val funnelSql =
+    s"""WITH RECURSIVE $curationChain,
+         |evg AS (SELECT DISTINCT s FROM tok WHERE doc_id < 5),
+         |ngc AS (SELECT DISTINCT tok.doc_id FROM tok JOIN evg USING (s)
+         |        WHERE tok.doc_id >= 5),
+         |dev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
+         |        FROM af WHERE vec_id % 50 = 0),
+         |dp AS (
+         |  SELECT af.vec_id, dev.eid,
+         |    ROUND(${ivfDot("af.embedding", "dev.eemb")}
+         |      / (af.nrm * dev.enrm), 4) AS cos_eval
+         |  FROM af CROSS JOIN dev WHERE af.vec_id % 50 <> 0),
+         |dvv AS (
+         |  SELECT vec_id, cos_eval AS max_eval_cos
+         |  FROM (SELECT vec_id, cos_eval, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY cos_eval DESC, eid) AS r
+         |        FROM dp)
+         |  WHERE r = 1),
+         |fl AS (
+         |  SELECT d.doc_id, d.source,
+         |    (k.doc_id IS NOT NULL) AS s1,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL) AS s2,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL) AS s3,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL) AS s4,
+         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
+         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL
+         |      AND d.doc_id >= 5 AND ngc.doc_id IS NULL
+         |      AND COALESCE(dvv.max_eval_cos < 0.6, FALSE)) AS s5
+         |  FROM documents d
+         |  LEFT JOIN keepg k ON k.doc_id = d.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM clusters
+         |             WHERE doc_id = cluster_id) cc ON cc.doc_id = d.doc_id
+         |  LEFT JOIN sem ON sem.doc_id = d.doc_id
+         |  LEFT JOIN smp ON smp.doc_id = d.doc_id
+         |  LEFT JOIN ngc ON ngc.doc_id = d.doc_id
+         |  LEFT JOIN dvv ON dvv.vec_id = d.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+         |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
+         |  CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  ROUND(CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS keep_rate
+         |FROM fl GROUP BY source""".stripMargin
+
 
   // --- Quality-LR IRLS replay (q111): the fit is deterministic by the
   // decimal-term construction (QualityLR.newtonStep rounds every
@@ -3284,28 +3362,17 @@ object SparkEntry {
          |      ORDER BY sq_ip DESC, vec_id) AS rank
          |  FROM sc)
          |WHERE rank <= 5""".stripMargin,
-    "q171_dataset_card" ->
-      """WITH d AS (
-        |  SELECT source, lang, n_chars, text,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    (len(string_split(text, ' ')) >= 10 AND n_chars >= 50 AND
-        |     len(list_filter(string_split(text, ' '),
-        |       x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) > 0)
-        |      AS passes,
-        |    COUNT(*) OVER (PARTITION BY text) AS tc
-        |  FROM documents)
-        |SELECT source,
-        |  COUNT(*) AS n_docs,
-        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-        |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
-        |  CAST(SUM(CASE WHEN tc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
-        |  ROUND(CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 6) AS pass_rate,
-        |  ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 6) AS en_share,
-        |  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
-        |FROM d GROUP BY source""".stripMargin,
+    "q171_dataset_card" -> cardSql,
+    // q175: the one-frame datasheet — card × funnel joined on the
+    // sources-bounded key; both sides the q171/q172 replay SQL verbatim
+    "q175_datasheet_v3" ->
+      s"""WITH card AS ($cardSql),
+         |fun AS ($funnelSql)
+         |SELECT card.source, card.n_docs, card.n_tokens, card.n_chars,
+         |  card.n_exact_dups, card.n_dup_rows, card.pass_rate,
+         |  card.en_share, card.avg_tokens, fun.n_gated, fun.n_canonical,
+         |  fun.n_semantic, fun.n_sampled, fun.n_final, fun.keep_rate
+         |FROM card JOIN fun ON fun.source = card.source""".stripMargin,
     "q170_sq8_recall" ->
       s"""WITH $sqChain,
          |annk AS (
@@ -3393,53 +3460,7 @@ object SparkEntry {
     // q172: the q146 chain's stage memberships left-joined onto the
     // document table and folded into cumulative flags — the funnel's
     // n_sampled/n_final replay q145/q146's membership per source
-    "q172_curation_funnel" ->
-      s"""WITH RECURSIVE $curationChain,
-         |evg AS (SELECT DISTINCT s FROM tok WHERE doc_id < 5),
-         |ngc AS (SELECT DISTINCT tok.doc_id FROM tok JOIN evg USING (s)
-         |        WHERE tok.doc_id >= 5),
-         |dev AS (SELECT vec_id AS eid, embedding AS eemb, nrm AS enrm
-         |        FROM af WHERE vec_id % 50 = 0),
-         |dp AS (
-         |  SELECT af.vec_id, dev.eid,
-         |    ROUND(${ivfDot("af.embedding", "dev.eemb")}
-         |      / (af.nrm * dev.enrm), 4) AS cos_eval
-         |  FROM af CROSS JOIN dev WHERE af.vec_id % 50 <> 0),
-         |dvv AS (
-         |  SELECT vec_id, cos_eval AS max_eval_cos
-         |  FROM (SELECT vec_id, cos_eval, row_number() OVER (
-         |          PARTITION BY vec_id ORDER BY cos_eval DESC, eid) AS r
-         |        FROM dp)
-         |  WHERE r = 1),
-         |fl AS (
-         |  SELECT d.doc_id, d.source,
-         |    (k.doc_id IS NOT NULL) AS s1,
-         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL) AS s2,
-         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
-         |      AND sem.doc_id IS NOT NULL) AS s3,
-         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
-         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL) AS s4,
-         |    (k.doc_id IS NOT NULL AND cc.doc_id IS NOT NULL
-         |      AND sem.doc_id IS NOT NULL AND smp.doc_id IS NOT NULL
-         |      AND d.doc_id >= 5 AND ngc.doc_id IS NULL
-         |      AND COALESCE(dvv.max_eval_cos < 0.6, FALSE)) AS s5
-         |  FROM documents d
-         |  LEFT JOIN keepg k ON k.doc_id = d.doc_id
-         |  LEFT JOIN (SELECT DISTINCT doc_id FROM clusters
-         |             WHERE doc_id = cluster_id) cc ON cc.doc_id = d.doc_id
-         |  LEFT JOIN sem ON sem.doc_id = d.doc_id
-         |  LEFT JOIN smp ON smp.doc_id = d.doc_id
-         |  LEFT JOIN ngc ON ngc.doc_id = d.doc_id
-         |  LEFT JOIN dvv ON dvv.vec_id = d.doc_id)
-         |SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
-         |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
-         |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic,
-         |  CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-         |  CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
-         |  ROUND(CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / COUNT(*), 6) AS keep_rate
-         |FROM fl GROUP BY source""".stripMargin,
+    "q172_curation_funnel" -> funnelSql,
     // q147: every metric is a per-document list fold; rule comparisons
     // run on the unrounded doubles exactly as the engine's
     "q147_gopher_rules" ->

@@ -283,6 +283,22 @@ object Curation {
           .as("keep_rate"))
   }
 
+  /** q175: the datasheet a corpus release actually publishes — the
+    * per-source CARD stats (q171: volume, duplication exposure, quality
+    * pass rate, language mix) and the curation FUNNEL (q172: survivor
+    * counts through every stage of the decontaminated chain) in ONE
+    * frame, so "what is this source" and "why did its volume drop" read
+    * off the same row. Composition only: both sides are the existing
+    * definitions joined on the sources-bounded key — the card's numbers
+    * ARE q171's and the funnel's ARE q172's by construction (their
+    * per-source doc counts agree, so the funnel's copy drops).
+    * Scale shape: a join of two sources-bounded aggregates — free. */
+  def datasheetV3(spark: SparkSession, sfDir: String,
+                  nEvalDocs: Int = 5): DataFrame =
+    datasetCard(spark, sfDir).join(
+      curationFunnel(spark, sfDir, nEvalDocs).drop("n_docs"),
+      Seq("source"))
+
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
