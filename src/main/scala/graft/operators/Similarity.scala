@@ -244,9 +244,19 @@ object Similarity {
     * coarse-quantizer cell, every query probes its `nProbe` nearest
     * cells, and scoring is an EQUI-join on the cell id — a partitioned
     * hash join keyed on the cell, never a nested-loop over a broadcast
-    * of corpus/holdout. `nProbe <= 0` (the default) resolves via
-    * [[deriveNProbe]] from the corpus size, mirroring [[Ivf.deriveK]]:
-    * at or below [[ProbeAllMaxVectors]] it probes ALL cells, so the
+    * of corpus/holdout. BOTH index knobs derive from the corpus by
+    * default: `kClusters <= 0` resolves via [[Ivf.semanticK]]
+    * (= [[Ivf.deriveK]], the SemDeDup-family discipline — cells of
+    * ~[[Ivf.DefaultTargetCellSize]] mean size, 16-cell floor), because
+    * the HOLDOUT query side scales WITH the corpus: at a fixed 16
+    * cells the candidate join is Σ|cell|²·nProbe/k ≈ quadratic in the
+    * corpus (measured r16: the first full 100×-lake battery ground
+    * >20 min and ~40 GB of shuffle spill on q117's 1.6 G candidate
+    * pairs before being stopped; derived cells cut that ~25×), while
+    * derived cells pin candidates per query at ~cellSize·nProbe
+    * regardless of corpus size. `nProbe <= 0` resolves via
+    * [[deriveNProbe]]: at or below [[ProbeAllMaxVectors]] it probes
+    * ALL cells, so the
     * candidate set is provably the
     * full labeled corpus and the result is EXACTLY brute-force kNN —
     * regardless of where the fitted centroids landed — which keeps the
@@ -258,9 +268,13 @@ object Similarity {
     * to ~|corpus|·nProbe/kClusters, with prediction agreement vs brute
     * asserted in the spec. The vote layer is identical in all modes. */
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = 10,
-                  holdout: Int = 5, kClusters: Int = 16, nProbe: Int = -1,
+                  holdout: Int = 5, kClusters: Int = 0, nProbe: Int = -1,
                   iters: Int = 2): DataFrame = {
-    val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, iters)
+    // every driver SF sits at deriveK's 16-cell floor, so the derived
+    // default is bit-identical to the old fixed 16 below the ceiling
+    // (and shares the ivf_centroids_semantic layer's cache entry above)
+    val kc = Ivf.semanticK(spark, sfDir, kClusters)
+    val centroids = Ivf.fittedCentroids(spark, sfDir, kc, iters)
     // default derives from corpus size ([[deriveNProbe]], the
     // [[Ivf.deriveK]] discipline): probe-all below the exactness
     // ceiling — the fitted cell count, so both a non-default kClusters
