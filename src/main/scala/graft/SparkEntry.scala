@@ -163,7 +163,7 @@ object SparkEntry {
     // --- repetition/diversity quality signals (Gopher-style filters) ---
     "q78_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
     // --- eval-set decontamination + corpus token accounting ---
-    "q79_decontamination" -> ((s, d) => TextOps.decontamination(s, d)),
+    "q79_decontamination" -> ((s, d) => TextOps.materializedDecontamHits(s, d)),
     "q80_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     // --- deterministic train/val/test split assignment ---
     "q81_split_assign" -> ((s, d) => Analytics.splitAssign(s, d)),
@@ -195,13 +195,13 @@ object SparkEntry {
     "q92_zorder" -> ((s, d) => ZOrder.eventZValues(s, d)),
     // --- deterministic per-group reservoir + token entropy + FK audit ---
     "q93_group_sample" -> ((s, d) => Analytics.groupSample(s, d)),
-    "q94_token_entropy" -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    "q94_token_entropy" -> ((s, d) => TextOps.materializedEntropy(s, d)),
     "q95_fk_audit" -> ((s, d) => Joins.fkAudit(s, d)),
     // --- int8 embedding quantization (ANN memory-scale path) ---
     "q96_int8_quant" -> ((s, d) => Similarity.int8Quantize(s, d)),
     // --- mixture-weighted sampling + unigram surprisal scoring ---
     "q97_mixture_sample" -> ((s, d) => TextOps.mixtureSample(s, d)),
-    "q98_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(s, d)),
+    "q98_unigram_surprisal" -> ((s, d) => TextOps.materializedSurprisal(s, d)),
     // --- NDCG@k ranking quality (q76 companion) ---
     "q99_policy_ndcg" -> ((s, d) => graft.ml.PolicyEval.ndcgMetrics(s, d)),
     // CMS guarantees (est ≥ exact, bounded overestimate) as
@@ -275,7 +275,7 @@ object SparkEntry {
     "q128_cluster_profile" -> ((s, d) => Ivf.clusterProfile(s, d)),
     // SemDeDup-style within-cell embedding dedup — hash-checked; kept
     // set also spec-asserted against a brute within-cell replication
-    "q129_semantic_keep" -> ((s, d) => Ivf.semanticKeep(s, d)),
+    "q129_semantic_keep" -> ((s, d) => Ivf.materializedSemanticKeep(s, d)),
     // CCNet-style LM quality scoring: stupid-backoff bigram model
     // trained on the deterministic doc_id%10<8 partition, every doc
     // scored by mean bigram log-score (hash-checked)
@@ -345,7 +345,7 @@ object SparkEntry {
     // vector to the (small, broadcast) eval holdout — the semantic
     // complement of q79/q83's n-gram containment; exact by design
     "q142_embedding_decontam" ->
-      ((s, d) => Similarity.embeddingDecontam(s, d)),
+      ((s, d) => Similarity.materializedEmbeddingDecontam(s, d)),
     // recall@5 of the RAW-codes IVF-ADC shape (q137) vs brute force —
     // one half of the raw-vs-residual recall comparison that justifies
     // (or refutes) residual encoding's coupling cost, as a hash-checked
@@ -417,7 +417,7 @@ object SparkEntry {
     // CCNet-style head/middle/tail perplexity bucketing per source
     // over the shared LM layer; thresholds from the bounded
     // (source, score) frequency frame, docs bucketed by equi-join
-    "q150_ppl_buckets" -> ((s, d) => TextOps.perplexityBuckets(s, d)),
+    "q150_ppl_buckets" -> ((s, d) => TextOps.materializedPplBuckets(s, d)),
     // exact-count stratified sampling: each (source, lang) stratum
     // keeps exactly ceil(n/4) docs by deterministic hash order
     "q151_stratified_sample" -> ((s, d) => TextOps.stratifiedSample(s, d)),
@@ -500,9 +500,33 @@ object SparkEntry {
     // residual-PQ codebooks over the k16 cell layer (q141)
     "pq_codebooks_residual" ->
       ((s, d) => { operators.Pq.fittedResidualCodebooks(s, d); () }),
+    // PQ-encoded corpus: the (vec_id, codes) table every flat-ADC
+    // consumer probes (q135/q136) — built once like FAISS's code table
+    "pq_encoded" -> ((s, d) => { operators.Pq.encodedCodes(s, d); () }),
+    // IVF-PQ index over raw-vector codes: (vec_id, cluster, codes) in
+    // one corpus pass (q137/q143 and the q167 grid's raw variant)
+    "pq_ivf_encoded" -> ((s, d) => { operators.Pq.ivfEncodedRaw(s, d); () }),
+    // full-IVFADC index over cell-residual codes (q141/q144/q167)
+    "pq_ivf_encoded_residual" ->
+      ((s, d) => { operators.Pq.ivfEncodedResidual(s, d); () }),
+    // exact brute-force baseline the six recall gates compare against
+    // (q136/q143/q144/q167/q170/q174) — the eval ground-truth artifact,
+    // computed once; the SERVING brute scan q24 stays a live pass
+    "ann_brute_topk" ->
+      ((s, d) => { operators.Similarity.materializedBruteTopK(s, d); () }),
     // SQ8 index: per-dim bounds fit + the checkpointed 1-int/dim code
     // table (q169/q170 and the online ANN serving stream)
     "sq8_encoded" -> ((s, d) => { operators.Sq.encoded(s, d); () }),
+    // the shingle table + DF-capped postings behind the whole
+    // inverted-index family (near-pair build, q83, q112, q79 grams,
+    // MinHash sigs) — alphabetical layer order builds these under
+    // the dedup_clusters entry; listed so eviction rebuilds are warm
+    "shingled_docs" -> ((s, d) => { Dedup.materializedShingled(s, d); () }),
+    "capped_postings" ->
+      ((s, d) => { Dedup.materializedCappedPostings(s, d); () }),
+    // MinHash signatures over the shingle layer (q21's banding plan
+    // reads the frame four times, q166 twice more)
+    "minhash_sigs" -> ((s, d) => { Dedup.minhashSignatures(s, d); () }),
     // near-dup cluster labels: shingle join + label propagation +
     // localCheckpoint (q60/q61/q62)
     "dedup_clusters" -> ((s, d) => { Dedup.materializedClusters(s, d); () }),
@@ -516,6 +540,10 @@ object SparkEntry {
     // quality-LR weights (q111) and LinUCB sufficient stats (q30/q31/q41)
     "quality_lr_weights" -> ((s, d) => { graft.ml.QualityLR.fittedWeights(s, d); () }),
     "linucb_models" -> ((s, d) => { graft.ml.LinUCB.seededModels(s, d); () }),
+    // ranked policy lists shared by q76 (precision/recall) and q99
+    // (NDCG): interaction join + the double per-group ranking window,
+    // paid once
+    "policy_ranked" -> ((s, d) => { graft.ml.PolicyEval.rankedScores(s, d); () }),
     // learned BPE merge table (q131/q132)
     "bpe_merges" -> ((s, d) => { TextOps.learnedMerges(s, d, 10); () }),
     // duplicated-span table (q133 reads it, q134 strips through it)
@@ -525,6 +553,30 @@ object SparkEntry {
     // first, so the pair cost lands in that entry; this one is then a
     // cache hit priming q20/q156)
     "near_pairs" -> ((s, d) => { operators.Dedup.materializedNearPairs(s, d); () }),
+    // semantic-dedup survivors at the corpus-derived k (q129 and the
+    // q145/q146/q153/q172/q175 chains): within-cell dominance paid once
+    "semantic_keep" -> ((s, d) => { Ivf.materializedSemanticKeep(s, d); () }),
+    // lexical decontamination hit list (q79/q146/q155/q172/q175)
+    "decontam_hits" ->
+      ((s, d) => { TextOps.materializedDecontamHits(s, d); () }),
+    // embedding decontamination verdicts (q142/q146/q155/q172/q175)
+    "embedding_decontam" ->
+      ((s, d) => { operators.Similarity.materializedEmbeddingDecontam(s, d); () }),
+    // strip + quality/English gate survivors with cleaned text — the
+    // "cleaned corpus" artifact all five curation chains read
+    "gated_clean_docs" ->
+      ((s, d) => { operators.Curation.materializedGated(s, d); () }),
+    // per-language mixture keep rates (q97 + the curation chains)
+    "mixture_rates" ->
+      ((s, d) => { TextOps.materializedMixtureRates(s, d); () }),
+    // per-doc CCNet bucket labels over lm_scores (q150, q153's gate)
+    "ppl_buckets" -> ((s, d) => { TextOps.materializedPplBuckets(s, d); () }),
+    // per-doc surprisal / entropy signals (q98 / q94 + q164's blend)
+    "surprisal_scores" ->
+      ((s, d) => { TextOps.materializedSurprisal(s, d); () }),
+    "entropy_scores" -> ((s, d) => { TextOps.materializedEntropy(s, d); () }),
+    // exact-duplicate star edges (cluster build, q156, q163)
+    "exact_edges" -> ((s, d) => { Dedup.materializedExactEdges(s, d); () }),
     // stupid-backoff LM scoring tables (q130): two vocabulary-bounded
     // counting passes over the train split, checkpointed once
     "lm_model" -> ((s, d) => { TextOps.materializedLmModel(s, d); () }),

@@ -72,7 +72,18 @@ object PolicyEval {
     * construction, independent of data size. */
   def aucPerPolicyApprox(df: DataFrame, policy: Column, score: Column,
                          label: Column, buckets: Int = 4096): DataFrame = {
+    // The histogram needs the per-policy (min, max) BEFORE it can bin,
+    // so the melted frame is read twice — and without a materialization
+    // both reads re-execute the upstream scoring subtree (for q41 that
+    // is the full 5-policy Cholesky/Box-Muller pass over every
+    // interaction, the single most expensive expression chain in the
+    // bench — measured as 2 identical scoring stages in the SQL plan).
+    // localCheckpoint the narrow (policy, s, y) projection once: the
+    // range pass and the bin pass then both scan ~17 bytes/row instead
+    // of re-scoring (guide §1.2/§5 — don't compute things twice; cut
+    // the lineage where an intermediate is reused).
     val base = df.select(policy.as("policy"), score.as("s"), label.as("y"))
+      .localCheckpoint()
     val rng = base.groupBy(col("policy"))
       .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
     val binned = base.join(broadcast(rng), "policy")
@@ -205,7 +216,7 @@ object PolicyEval {
   }
 
   /** The melted `(policy, s, y)` frame behind [[evalLinUCB]]. */
-  private[ml] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def meltedLinPolicies(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val fb = LinUCB.feedbackFromLineitem(spark, sfDir)
     // Models come from the session's materialized layer (seeded once,
@@ -285,8 +296,23 @@ object PolicyEval {
   /** Shared ranked-list build for the ranking metrics (q76 precision/
     * recall, q99 NDCG): per-interaction-group arms scored by the
     * popularity and hash-random policies, melted to one row per
-    * (policy, group, arm). */
-  private def rankedScores(spark: SparkSession, sfDir: String): DataFrame = {
+    * (policy, group, arm).
+    *
+    * MATERIALIZED once per (session, sfDir) — q76 and q99 consume the
+    * identical ranked frame, and before the layer each re-paid the
+    * interaction join + the double per-group ranking window (the most
+    * expensive stage of both queries). The checkpoint is one narrow
+    * (group_id, y, policy, rn) row per ranked interaction — the
+    * `lm_scores` discipline applied to the policy benchmark. */
+  private[graft] def rankedScores(spark: SparkSession, sfDir: String): DataFrame =
+    rankedCache.getOrCompute(spark, sfDir) {
+      rankedScoresUncached(spark, sfDir).localCheckpoint()
+    }
+
+  private val rankedCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
+  private def rankedScoresUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val fb = graft.Tables.lineitem(spark, sfDir)
       .join(broadcast(graft.Tables.part(spark, sfDir)),
         col("l_partkey") === col("p_partkey"))

@@ -46,8 +46,30 @@ object Curation {
   /** Stages 1+2 of the chain — substring strip (dup_spans layer) with
     * the quality + English gate bound to the CLEANED text. Shared by
     * [[trainingSet]] and the q172 funnel so the gate population has
-    * exactly one definition. */
+    * exactly one definition.
+    *
+    * MATERIALIZED once per (session, sfDir): FIVE chains read this
+    * frame (q145, q146, q153, q172, q175), and before the checkpoint
+    * each re-paid the span strip's per-doc array filter plus the
+    * quality/language scoring over the full text column. The
+    * checkpoint holds the gate survivors with their cleaned text —
+    * exactly the "cleaned corpus" artifact a real pipeline writes
+    * between its strip and curation stages. */
   private def gatedCleaned(spark: SparkSession, sfDir: String): DataFrame =
+    gatedCache.getOrCompute(spark, sfDir) {
+      gatedCleanedUncached(spark, sfDir).localCheckpoint()
+    }
+
+  private val gatedCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
+  /** Package-visible layer warmer (Bench builds the cache entry the
+    * chains probe, so the strip+gate cost is layer-accounted). */
+  private[graft] def materializedGated(spark: SparkSession,
+                                       sfDir: String): DataFrame =
+    gatedCleaned(spark, sfDir)
+
+  private def gatedCleanedUncached(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.stripDupSpans(spark, sfDir)
       .select(col("doc_id"), col("n_removed"),
         col("clean_text").as("text"))
@@ -70,8 +92,9 @@ object Curation {
     val canonical = Dedup.materializedClusters(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
-    // 4. semantic survivors (IVF layer, fixture doc_id = vec_id pairing)
-    val semantic = Ivf.semanticKeep(spark, sfDir)
+    // 4. semantic survivors (materialized layer, fixture doc_id =
+    // vec_id pairing)
+    val semantic = Ivf.materializedSemanticKeep(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("cell"))
     // 5. mixture-sampled membership (rates broadcast inside the op)
     val sampled = TextOps.mixtureSample(spark, sfDir)
@@ -112,9 +135,9 @@ object Curation {
     * `max_eval_cos` so downstream audits can re-check the margin. */
   def trainingSetDecontaminated(spark: SparkSession, sfDir: String,
                                 nEvalDocs: Int = 5): DataFrame = {
-    val ngramHits = TextOps.decontamination(spark, sfDir, nEvalDocs)
+    val ngramHits = TextOps.materializedDecontamHits(spark, sfDir, nEvalDocs)
       .select(col("doc_id"))
-    val semanticVerdicts = Similarity.embeddingDecontam(spark, sfDir)
+    val semanticVerdicts = Similarity.materializedEmbeddingDecontam(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("max_eval_cos"),
         col("contaminated"))
     trainingSet(spark, sfDir)
@@ -144,7 +167,7 @@ object Curation {
     * doc-keyed equi-join against q150's output (whose own shape is
     * layer-fed and window-free). Nothing new shuffles the corpus. */
   def trainingSetV2(spark: SparkSession, sfDir: String): DataFrame = {
-    val buckets = TextOps.perplexityBuckets(spark, sfDir)
+    val buckets = TextOps.materializedPplBuckets(spark, sfDir)
       .filter(col("ppl_bucket") =!= "tail")
       .select(col("doc_id"), col("ppl_bucket"))
     trainingSet(spark, sfDir)
@@ -170,9 +193,9 @@ object Curation {
     * with map-side combine — sources-bounded output. */
   def contaminationReport(spark: SparkSession, sfDir: String,
                           nEvalDocs: Int = 5): DataFrame = {
-    val lex = TextOps.decontamination(spark, sfDir, nEvalDocs)
+    val lex = TextOps.materializedDecontamHits(spark, sfDir, nEvalDocs)
       .select(col("doc_id"), lit(1L).as("lex"))
-    val sem = Similarity.embeddingDecontam(spark, sfDir)
+    val sem = Similarity.materializedEmbeddingDecontam(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("contaminated"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
@@ -243,13 +266,13 @@ object Curation {
     val canon = Dedup.materializedClusters(spark, sfDir)
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), lit(true).as("in_canon"))
-    val semantic = Ivf.semanticKeep(spark, sfDir)
+    val semantic = Ivf.materializedSemanticKeep(spark, sfDir)
       .select(col("vec_id").as("doc_id"), lit(true).as("in_sem"))
     val sampled = TextOps.mixtureSample(spark, sfDir)
       .select(col("doc_id"), lit(true).as("in_mix"))
-    val lexHit = TextOps.decontamination(spark, sfDir, nEvalDocs)
+    val lexHit = TextOps.materializedDecontamHits(spark, sfDir, nEvalDocs)
       .select(col("doc_id"), lit(true).as("lex_hit"))
-    val semVerdict = Similarity.embeddingDecontam(spark, sfDir)
+    val semVerdict = Similarity.materializedEmbeddingDecontam(spark, sfDir)
       .select(col("vec_id").as("doc_id"), col("contaminated"))
     docs
       .join(gated, Seq("doc_id"), "left")

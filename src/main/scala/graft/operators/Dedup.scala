@@ -38,6 +38,42 @@ object Dedup {
   def shingled(spark: SparkSession, sfDir: String): DataFrame =
     shingledFrom(Tables.documents(spark, sfDir))
 
+  /** The MATERIALIZED shingle table — (doc_id, shingles) checkpointed
+    * once per (session, sfDir). The whole inverted-index family reads
+    * this frame (the near-pair build, q83 containment, q112
+    * incremental dedup, the q79 gram pass, the MinHash signature
+    * layer), and each consumer's plan references it SEVERAL times
+    * (candidate explode, per-doc stats, full-array verification): the
+    * q112 plan alone evaluated `word_shingles` 34 times before the
+    * checkpoint. One tokenize+shingle pass, then every reference is a
+    * narrow checkpoint scan — the postings-materialization step every
+    * production dedup pipeline runs first. */
+  def materializedShingled(spark: SparkSession, sfDir: String): DataFrame =
+    shingledCache.getOrCompute(spark, sfDir) {
+      shingled(spark, sfDir).localCheckpoint()
+    }
+
+  private val shingledCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
+  /** The MATERIALIZED DF-capped posting list — (doc_id, s) at `maxDf`,
+    * checkpointed once per (session, sfDir, maxDf): the candidate
+    * self-join reads it twice and the prefilter stats once more, and
+    * three operators (near-pair build, q83, q112) share the identical
+    * postings — before this each reference re-ran the explode +
+    * df-count + semi-join chain. */
+  def materializedCappedPostings(spark: SparkSession, sfDir: String,
+                                 maxDf: Long = DefaultMaxDf): DataFrame =
+    cappedCache.getOrCompute(spark, (sfDir, maxDf)) {
+      cappedPostings(
+        materializedShingled(spark, sfDir)
+          .select(col("doc_id"), explode(col("shingles")).as("s")), maxDf)
+        .localCheckpoint()
+    }
+
+  private val cappedCache = new graft.SessionCache[(String, Long), DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** [[shingled]] over an arbitrary documents frame (`doc_id`, `text`) —
     * spec-visible so the dedup family is testable on planted corpora. */
   private[graft] def shingledFrom(docs: DataFrame): DataFrame =
@@ -161,7 +197,8 @@ object Dedup {
     */
   def jaccardPairs(spark: SparkSession, sfDir: String, threshold: Double,
                    maxDf: Long = DefaultMaxDf): DataFrame =
-    jaccardPairsFrom(shingled(spark, sfDir), threshold, maxDf)
+    jaccardPairsCore(materializedShingled(spark, sfDir),
+      materializedCappedPostings(spark, sfDir, maxDf), threshold)
 
   /** The MATERIALIZED verified near-dup pair layer (`near_pairs`):
     * [[jaccardPairs]] at `threshold` computed once per (session,
@@ -211,7 +248,7 @@ object Dedup {
       .agg(count(lit(1)).as(as))
     matrix(materializedNearPairs(spark, sfDir, threshold)
         .select(col("doc_i"), col("doc_j")), "n_near")
-      .join(matrix(exactEdgesFrom(Tables.documents(spark, sfDir))
+      .join(matrix(materializedExactEdges(spark, sfDir)
         .select(col("doc_i"), col("doc_j")), "n_exact"),
         Seq("source_a", "source_b"), "full_outer")
       .select(col("source_a"), col("source_b"),
@@ -251,7 +288,7 @@ object Dedup {
       .agg(count(lit(1)).as(as))
     matrix(materializedNearPairs(spark, sfDir, threshold)
         .select(col("doc_i"), col("doc_j")), "n_near")
-      .join(matrix(exactEdgesFrom(Tables.documents(spark, sfDir))
+      .join(matrix(materializedExactEdges(spark, sfDir)
         .select(col("doc_i"), col("doc_j")), "n_exact"),
         Seq("split_a", "split_b"), "full_outer")
       .select(col("split_a"), col("split_b"),
@@ -298,7 +335,15 @@ object Dedup {
   private[graft] def jaccardPairsFrom(sh: DataFrame, threshold: Double,
                                       maxDf: Long): DataFrame = {
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val capped = cappedPostings(tok, maxDf)
+    jaccardPairsCore(sh, cappedPostings(tok, maxDf), threshold)
+  }
+
+  /** The shared candidate → prefilter → verify pipeline over
+    * caller-supplied shingle and capped-posting frames (the prod path
+    * hands in the materialized layers; the spec path computes them
+    * inline on planted corpora). */
+  private def jaccardPairsCore(sh: DataFrame, capped: DataFrame,
+                               threshold: Double): DataFrame = {
     val cand = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -335,9 +380,19 @@ object Dedup {
   /** MinHash signature per doc: all map-side expression work — zero
     * shuffle until banding. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    shingled(spark, sfDir)
-      .withColumn("sig", graft.functions.minhashSig(col("shingles"), NumHashes))
-      .select(col("doc_id"), col("shingles"), col("sig"))
+    minhashSigCache.getOrCompute(spark, sfDir) {
+      // checkpointed: q21's banding plan references the signature frame
+      // four times (two band sides, two verification sides) and q166
+      // reads it twice more — each reference re-ran the 64-slot MinHash
+      // over every shingle of every doc before this
+      materializedShingled(spark, sfDir)
+        .withColumn("sig", graft.functions.minhashSig(col("shingles"), NumHashes))
+        .select(col("doc_id"), col("shingles"), col("sig"))
+        .localCheckpoint()
+    }
+
+  private val minhashSigCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** LSH banding → candidate pairs → exact-Jaccard verification. */
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
@@ -464,7 +519,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val edges = materializedNearPairs(spark, sfDir, threshold)
       .select(col("doc_i"), col("doc_j"))
-      .unionByName(exactEdgesFrom(docs))
+      .unionByName(materializedExactEdges(spark, sfDir))
     docs.select(col("doc_id"))
       .join(propagateLabels(edges, maxRounds), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
@@ -492,6 +547,19 @@ object Dedup {
     * `sha2(text, 256)` — both the aggregation and the member join
     * shuffle fixed-width hex digests, never document payloads, so the
     * edge pass stays narrow at 100 TB. */
+  /** The MATERIALIZED exact-duplicate star edges — duplicate-group-
+    * bounded, computed once per (session, sfDir): the cluster-label
+    * build, q156's flow matrix and q163's leakage audit read the
+    * identical edge set; before this each re-paid the sha2 group pass
+    * over the corpus. */
+  def materializedExactEdges(spark: SparkSession, sfDir: String): DataFrame =
+    exactEdgesCache.getOrCompute(spark, sfDir) {
+      exactEdgesFrom(Tables.documents(spark, sfDir)).localCheckpoint()
+    }
+
+  private val exactEdgesCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
   private[graft] def exactEdgesFrom(docs: DataFrame): DataFrame = {
     val keyed = docs.select(col("doc_id"), sha2(col("text"), 256).as("th"))
     val groups = keyed.groupBy(col("th"))
@@ -612,7 +680,9 @@ object Dedup {
   def incrementalNew(spark: SparkSession, sfDir: String,
                      splitId: Long = 250, threshold: Double = 0.5,
                      maxDf: Long = DefaultMaxDf): DataFrame =
-    incrementalNewFrom(Tables.documents(spark, sfDir), splitId, threshold, maxDf)
+    incrementalNewCore(Tables.documents(spark, sfDir),
+      materializedShingled(spark, sfDir),
+      materializedCappedPostings(spark, sfDir, maxDf), splitId, threshold)
 
   /** [[incrementalNew]] over an arbitrary `(doc_id, text, n_chars)`
     * frame — spec-visible so the exact-dup bypass and the DF-cap
@@ -622,7 +692,15 @@ object Dedup {
                                         maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = shingledFrom(docs)
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val capped = cappedPostings(tok, maxDf)
+    incrementalNewCore(docs, sh, cappedPostings(tok, maxDf), splitId, threshold)
+  }
+
+  /** The shared incremental pipeline over caller-supplied shingle and
+    * capped-posting frames (prod hands in the materialized layers —
+    * the q112 plan evaluated `word_shingles` 34 times before that). */
+  private def incrementalNewCore(docs: DataFrame, sh: DataFrame,
+                                 capped: DataFrame, splitId: Long,
+                                 threshold: Double): DataFrame = {
     // doc_i = existing-corpus side, doc_j = incoming side; the pair
     // aggregation keeps the capped co-occurrence count for the same
     // upper-bound prefilter as [[jaccardPairsFrom]]

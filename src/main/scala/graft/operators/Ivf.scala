@@ -201,6 +201,23 @@ object Ivf {
     semanticKeepFrom(vecs, fittedCentroids(spark, sfDir, k, iters), threshold)
   }
 
+  /** The MATERIALIZED [[semanticKeep]] survivor frame — (vec_id, cell),
+    * computed once per (session, sfDir, threshold) at the
+    * corpus-derived k. Six consumers read the identical survivor set
+    * (q129 itself, the q145/q146/q153 curation chains, the q172/q175
+    * funnel); before this layer each re-paid the within-cell dominance
+    * self-join. The `dedup_clusters` discipline applied to semantic
+    * dedup. */
+  def materializedSemanticKeep(spark: SparkSession, sfDir: String,
+                               threshold: Double = 0.4): DataFrame =
+    semKeepCache.getOrCompute(spark, (sfDir, threshold)) {
+      semanticKeep(spark, sfDir, threshold).localCheckpoint()
+    }
+
+  private val semKeepCache =
+    new graft.SessionCache[(String, Double), DataFrame](
+      onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** The k [[semanticKeep]] will fit for `sfDir` — `kClusters` wins if
     * positive, else [[deriveK]] of the corpus count (a columnar
     * metadata count, cheap; the fitted matrix itself is session-cached

@@ -51,6 +51,25 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nbr_id"), col("rank"), col("cos_sim"))
   }
 
+  /** The MATERIALIZED exact-brute baseline the recall gates share
+    * (q136/q143/q144/q167/q170/q174 — six queries, each previously
+    * paying its own full corpus × query-batch scan): one
+    * [[bruteForceTopK]] pass per (session, sfDir, nQueries, k),
+    * re-entered as a checkpointed nQueries×k-row frame — the
+    * `near_pairs`/`dedup_clusters` layer discipline applied to the
+    * ANN-eval baseline. The SERVING brute scan (q24) stays a live
+    * computation: this cache is the eval harness's ground-truth
+    * artifact, not the scan operator. */
+  def materializedBruteTopK(spark: SparkSession, sfDir: String,
+                            nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteCache.getOrCompute(spark, (sfDir, nQueries, k)) {
+      bruteForceTopK(spark, sfDir, nQueries, k).localCheckpoint()
+    }
+
+  private val bruteCache =
+    new graft.SessionCache[(String, Int, Int), DataFrame](
+      onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** Sign-random-projection bucket id: `nPlanes` pseudo-random hyperplanes
     * with weights derived arithmetically from (plane, dim) — fully
     * deterministic, no RNG state to ship. Vectors whose sign pattern
@@ -504,6 +523,24 @@ object Similarity {
       e.filter(col("vec_id") % 50 =!= 0),
       e.filter(col("vec_id") % 50 === 0), tau)
   }
+
+  /** The MATERIALIZED q142 verdict frame — one row per corpus vector,
+    * computed once per (session, sfDir, tau) and re-entered as a
+    * checkpointed frame. FIVE consumers read the identical verdicts
+    * (q142 itself, q146's semantic gate, q155's report, the q172/q175
+    * funnel columns); before this layer each re-paid the
+    * corpus × eval broadcast-argmax pass AND the eval-side count
+    * action. The `lm_scores` discipline applied to the semantic
+    * decontamination gate. */
+  def materializedEmbeddingDecontam(spark: SparkSession, sfDir: String,
+                                    tau: Double = 0.6): DataFrame =
+    embDecontamCache.getOrCompute(spark, (sfDir, tau)) {
+      embeddingDecontam(spark, sfDir, tau).localCheckpoint()
+    }
+
+  private val embDecontamCache =
+    new graft.SessionCache[(String, Double), DataFrame](
+      onEvict = graft.SessionCache.unpersistCheckpoint)
 
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 10, k: Int = 5,
               nPlanes: Int = 8): DataFrame = {

@@ -178,7 +178,7 @@ object Sq {
   def sqRecallVsBrute(spark: SparkSession, sfDir: String, nQueries: Int = 10,
                       topk: Int = 5): DataFrame =
     Pq.recallAgainst(sqTopK(spark, sfDir, nQueries, topk),
-      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+      Similarity.materializedBruteTopK(spark, sfDir, nQueries, topk))
 
   /** q173: IVF-SQ8 — the FAISS `IVF…,SQ8` index shape: the coarse IVF
     * quantizer prunes candidates to the query's `nProbe` cells while
@@ -225,5 +225,5 @@ object Sq {
                          nProbe: Int = Pq.DeployedNProbe): DataFrame =
     Pq.recallAgainst(
       ivfSqTopK(spark, sfDir, nQueries, topk, kClusters, nProbe),
-      Similarity.bruteForceTopK(spark, sfDir, nQueries, topk))
+      Similarity.materializedBruteTopK(spark, sfDir, nQueries, topk))
 }
