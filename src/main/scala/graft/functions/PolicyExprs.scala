@@ -96,6 +96,47 @@ object PolicyMath {
     else mean + alpha * math.sqrt(math.max(varTerm, 0.0))
   }
 
+  /** BOTH serving scores — the greedy mean (α = 0) and the UCB score at
+    * the given α — from ONE forward/back solve. The melted q41 frame
+    * scores every interaction under both policies; two
+    * [[linUcbCholScore]] calls ran the identical O(d²) solve twice per
+    * row. Element 0 is exactly the α = 0 path's value (the bare `mean`,
+    * no `+ 0·√·` term — a `-0.0` mean must not flip sign), element 1 is
+    * `mean + α·√(max(var, 0))` — the same float chains as the two
+    * separate calls, so the fused form is bit-identical. */
+  def linUcbCholScorePair(x: ArrayData, b: ArrayData, l: ArrayData,
+                          alpha: Double): ArrayData = {
+    val d = x.numElements()
+    val z = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = x.getDouble(i)
+      var k = 0
+      while (k < i) { acc -= l.getDouble(i * d + k) * z(k); k += 1 }
+      z(i) = acc / l.getDouble(i * d + i)
+      i += 1
+    }
+    val w = new Array[Double](d)
+    i = d - 1
+    while (i >= 0) {
+      var acc = z(i)
+      var k = i + 1
+      while (k < d) { acc -= l.getDouble(k * d + i) * w(k); k += 1 }
+      w(i) = acc / l.getDouble(i * d + i)
+      i -= 1
+    }
+    var mean = b.getDouble(0) * w(0)
+    var varTerm = x.getDouble(0) * w(0)
+    i = 1
+    while (i < d) {
+      mean += b.getDouble(i) * w(i)
+      varTerm += x.getDouble(i) * w(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(mean, mean + alpha * math.sqrt(math.max(varTerm, 0.0))))
+  }
+
   /** Thompson-sampling score `x·θ + ν·x·(Lz)` with deterministic
     * splitmix64/Box-Muller normals — exactly
     * [[graft.ml.LinUCB.scoreTSPre]] over ArrayData. */
@@ -211,6 +252,32 @@ case class LinUcbCholScore(first: Expression, second: Expression,
       newThird: Expression): LinUcbCholScore =
     copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "linucb_chol_score"
+}
+
+/** Both serving scores (greedy mean and UCB at plan-time α) from one
+  * Cholesky solve: `linucb_chol_score_pair(x, b, lcholA)` →
+  * `array(greedy, ucb)` — bit-identical to the two single-α calls. */
+case class LinUcbCholScorePair(first: Expression, second: Expression,
+                               third: Expression, alpha: Double)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    PolicyMath.requireDoubleArrays("linucb_chol_score_pair",
+      Seq(first, second, third))
+
+  override def nullSafeEval(x: Any, b: Any, l: Any): Any =
+    PolicyMath.linUcbCholScorePair(x.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], alpha)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, b, l) =>
+      s"${ev.value} = graft.functions.PolicyMath.linUcbCholScorePair($x, $b, $l, $alpha);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): LinUcbCholScorePair =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "linucb_chol_score_pair"
 }
 
 /** LinTS score as a native expression:

@@ -60,6 +60,13 @@ package object functions {
                       alpha: Double): Column =
     wrap(LinUcbCholScore(ex(x), ex(b), ex(lcholA), alpha))
 
+  /** Both LinUCB serving scores (greedy, UCB at α) from one solve —
+    * `array(greedy, ucb)`, bit-identical to two [[linucbCholScore]]
+    * calls (codegen'd). */
+  def linucbCholScorePair(x: Column, b: Column, lcholA: Column,
+                          alpha: Double): Column =
+    wrap(LinUcbCholScorePair(ex(x), ex(b), ex(lcholA), alpha))
+
   /** Deterministic LinTS score `x·θ + ν·x·(L z(seed))` (codegen'd). */
   def linTsScore(x: Column, theta: Column, lchol: Column, seed: Column,
                  nu: Double): Column =

@@ -246,16 +246,18 @@ object PolicyEval {
     // chol(A) solves (oracle-exact, within ~cond·ε of the aInv serving
     // path — spec-asserted both ways); the seeded policies keep the
     // serving-path arithmetic bit-for-bit.
-    import graft.functions.{linucbCholScore, linTsScore, seededUniform => su, seededNormal => sn}
+    import graft.functions.{linucbCholScorePair, linTsScore, seededUniform => su, seededNormal => sn}
     val cts = clustersTs(spark, seeded)
     val epsSeed = xxhash64(col("productId"), col("x"), lit("eps"))
     val scored = fb.toDF()
       .join(broadcast(models), "productId")
       .join(broadcast(cts), "productId")
-      .withColumn("s_ucb",
-        round(linucbCholScore(col("x"), col("b"), col("chol_a"), 0.1), 9))
-      .withColumn("s_greedy",
-        round(linucbCholScore(col("x"), col("b"), col("chol_a"), 0.0), 9))
+      // one solve yields both deterministic policies' scores
+      // (bit-identical to the former two linucbCholScore calls)
+      .withColumn("s_pair",
+        linucbCholScorePair(col("x"), col("b"), col("chol_a"), 0.1))
+      .withColumn("s_ucb", round(element_at(col("s_pair"), 2), 9))
+      .withColumn("s_greedy", round(element_at(col("s_pair"), 1), 9))
       // seed = content hash of (arm, context): deterministic across
       // runs and partitionings, unique per distinct interaction shape
       .withColumn("s_ts",

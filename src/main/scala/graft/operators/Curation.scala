@@ -323,22 +323,30 @@ object Curation {
       Seq("source"))
 
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    // duplication keys on the sha2 DIGEST, never the raw text (the q19
+    // exact-dedup / q118 source-profile discipline): the dup-count
+    // shuffle and the doc-keyed join back carry 64 hex chars per row
+    // instead of the document payload, and the wide text column is
+    // dropped before the per-source aggregate — counts are identical
+    // (distinct digests = distinct texts modulo birthday-bounded SHA-256
+    // collisions, the engine-wide premise)
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+      .select(col("doc_id"), col("source"), col("n_chars"),
         col("lang"),
+        sha2(col("text"), 256).as("th"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         TextOps.stopHits.as("n_stop"))
       .withColumn("passes", TextOps.qualityGate)
       .withColumn("is_en", col("lang") === "en")
-    val textCounts = docs.groupBy(col("text"))
+    val textCounts = docs.groupBy(col("th"))
       .agg(count(lit(1)).as("tc"))
-    docs.join(textCounts, Seq("text"))
+    docs.join(textCounts, Seq("th"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+        (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"),
         sum(when(col("tc") > 1, 1L).otherwise(0L)).as("n_dup_rows"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("n_passed"),
         sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))

@@ -540,41 +540,79 @@ object Pq {
     * budget is the claim; where they converge shows how much of the
     * gap coarse pruning itself closes).
     *
-    * Scale shape: each grid point is the q143/q144 SCORING TAIL
-    * unchanged ([[ivfAdcTail]]/[[ivfAdcResidualTail]] — the same
-    * definitions the single-point operators execute) over the two
-    * build-once encoded index layers ([[ivfEncodedRaw]]/
-    * [[ivfEncodedResidual]]), the brute baseline is the shared
-    * materialized gate input ([[Similarity.materializedBruteTopK]]),
-    * and the query batch is collected ONCE at the largest probe budget
-    * and prefix-sliced per point ([[probedQueries]]' prefix property) —
-    * so the sweep pays 8 cell-pruned candidate joins and NOTHING
-    * corpus-shaped: before this the grid re-encoded the corpus once per
-    * point (8 full encode passes) and re-collected the batch 8 times. */
+    * Scale shape: the whole sweep is TWO cell-pruned candidate joins —
+    * one per variant — over the build-once encoded index layers
+    * ([[ivfEncodedRaw]]/[[ivfEncodedResidual]]): the broadcast probe
+    * frame carries `n_probe` as a grid column (the budget-`p` probe
+    * list is the prefix of the budget-`p'` ≥ `p` list — [[probedQueries]]'
+    * prefix property — so one frame holds every point), the per-point
+    * ranking window partitions by (n_probe, qid), and the recall
+    * arithmetic is [[recallAgainst]]'s unchanged per (variant,
+    * n_probe, qid) group against the shared materialized brute
+    * baseline ([[Similarity.materializedBruteTopK]]). The scoring
+    * expressions are the q137/q141 tails' (`adcScore`, celldot +
+    * residual fold), so every grid cell is arithmetically the
+    * single-point operator's output. Before this the grid re-encoded
+    * the corpus once per point (8 full encode passes), re-collected
+    * the batch 8 times, and planned 8 separate join+window+recall
+    * subtrees. */
   def recallGrid(spark: SparkSession, sfDir: String, nQueries: Int = 10,
                  topk: Int = 5, kClusters: Int = 16,
                  probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import spark.implicits._
     val brute = Similarity.materializedBruteTopK(spark, sfDir, nQueries, topk)
     val centroids = Ivf.fittedCentroids(spark, sfDir, kClusters, DefaultIters)
     val books = fittedCodebooks(spark, sfDir)
     val resBooks = fittedResidualCodebooks(spark, sfDir, kClusters)
-    val encRaw = ivfEncodedRaw(spark, sfDir, kClusters)
-    val encRes = ivfEncodedResidual(spark, sfDir, kClusters)
+    val k = DefaultCodes
     val queries = probedQueries(spark, sfDir, centroids, nQueries, probes.max)
-    probes.map { np =>
-      recallAgainst(ivfAdcTail(encRaw,
-            rawQdf(spark, queries, books, np), DefaultCodes, topk),
-          brute)
-        .select(lit("raw").as("variant"), lit(np).as("n_probe"),
-          col("qid"), col("recall"))
-        .unionByName(
-          recallAgainst(ivfAdcResidualTail(encRes,
-              resQdf(spark, queries, resBooks, centroids, np),
-              DefaultCodes, topk),
-            brute)
-            .select(lit("residual").as("variant"), lit(np).as("n_probe"),
-              col("qid"), col("recall")))
-    }.reduce(_ unionByName _)
+    // one broadcast frame per variant holding EVERY grid point: a
+    // (n_probe, qid, probe) row per budget × prefix-sliced probe — a
+    // corpus row matches at most one probe row per (n_probe, qid)
+    val rawQ = queries.toSeq.flatMap { case (qid, qv, prb) =>
+      val lut = lutFor(qv, books)
+      probes.flatMap(np => prb.take(np).map(p => (np, qid, p, lut)))
+    }.toDF("n_probe", "qid", "probe", "lut")
+    val resQ = queries.toSeq.flatMap { case (qid, qv, prb) =>
+      val lut = lutFor(qv, resBooks)
+      probes.flatMap(np => prb.take(np).map { p =>
+        var cd = 0.0
+        var i = 0
+        while (i < qv.length) { cd += qv(i).toDouble * centroids(p)(i); i += 1 }
+        (np, qid, p, cd, lut)
+      })
+    }.toDF("n_probe", "qid", "probe", "celldot", "lut")
+    // per-variant: candidate join + (n_probe, qid)-windowed top-k —
+    // the q137/q141 score expressions verbatim
+    val w = Window.partitionBy(col("n_probe"), col("qid"))
+      .orderBy(desc("adc_ip"), asc("vec_id"))
+    def topkOf(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topk)
+        .select(col("n_probe"), col("qid"), col("vec_id").as("nbr_id"))
+    val annRaw = topkOf(ivfEncodedRaw(spark, sfDir, kClusters)
+      .join(broadcast(rawQ), col("cluster") === col("probe") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("adc_ip", adcScore(k)))
+    val annRes = topkOf(ivfEncodedResidual(spark, sfDir, kClusters)
+      .join(broadcast(resQ), col("cluster") === col("probe") &&
+        col("vec_id") =!= col("qid"))
+      .withColumn("adc_ip", round(col("celldot") +
+        aggregate(
+          transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
+          lit(0.0), (acc, x) => acc + x), 4)))
+    // recallAgainst's arithmetic per (variant, n_probe, qid) group
+    def recallOf(ann: DataFrame, variant: String): DataFrame = {
+      val b = brute.select(col("qid"), col("nbr_id"), lit(1L).as("hit"))
+      val bruteK = b.groupBy(col("qid")).agg(count(lit(1)).as("brute_k"))
+      ann.join(b, Seq("qid", "nbr_id"), "left")
+        .groupBy(col("n_probe"), col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .join(broadcast(bruteK), Seq("qid"))
+        .select(lit(variant).as("variant"), col("n_probe"), col("qid"),
+          round(col("hits").cast("double") / col("brute_k"), 4).as("recall"))
+    }
+    recallOf(annRaw, "raw").unionByName(recallOf(annRes, "residual"))
   }
 
   /** Shared recall arithmetic: one row per query, |ann ∩ brute| divided
