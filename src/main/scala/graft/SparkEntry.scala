@@ -592,6 +592,12 @@ object SparkEntry {
     // once; q34 and both envelope layers below read it
     "tfidf_postings" ->
       ((s, d) => { graft.features.Features.materializedTfidf(s, d); () }),
+    // raw (doc_id, term, tf) index — the one tokenize pass behind
+    // tfidf, the BM25 probes (q149/q158/q161) and the heavy-hitter
+    // verification (q91/q100); usually a cache hit here because the
+    // tfidf build above derives from it
+    "term_freqs" ->
+      ((s, d) => { graft.features.Features.materializedTermFreqs(s, d); () }),
     // SVD-embedding envelopes (q35/q77): subspace iteration + capture
     // action + basis-residual check, materialized per (sfDir, space)
     "svd_envelope_dense" ->

@@ -103,16 +103,43 @@ object Features {
 
   // --- F14: TF-IDF → truncated SVD text embeddings ---
 
+  /** Raw per-(doc, term) occurrence counts — the ONE tokenize pass the
+    * whole term-statistics family shares: the TF-IDF layer derives
+    * `tfidf` from it, the BM25 probes (q149/q158/q161) filter their
+    * query terms out of it instead of re-exploding the corpus, and the
+    * heavy-hitter verification (q91/q100) takes exact counts from it.
+    * Doc length and corpus totals derive from it EXACTLY — `dl = Σ tf`
+    * equals `size(split(text, " "))` for every non-null text (split
+    * returns ≥ 1 element, empty string included), and the fixture/lake
+    * contract has no null text — so no downstream consumer pays a
+    * second explode over the token stream. */
+  def termFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[termFreqs]] checkpointed once per (session, sfDir) — the
+    * inverted-index build every term-statistics consumer probes
+    * (narrow (doc_id, term, tf) rows, text never retained). */
+  def materializedTermFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    termFreqsCache.getOrCompute(spark, sfDir) {
+      termFreqs(spark, sfDir).localCheckpoint()
+    }
+
+  private val termFreqsCache = new graft.SessionCache[String, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
+
   /** Per-(doc, term) TF-IDF with sklearn-style smooth idf
     * (`ln((1+N)/(1+df)) + 1`), which is what the reference's TextWiser
-    * TfIdf embedding wraps. Distributed shape: tokenize → explode →
-    * per-doc term counts → join the (vocab-sized) doc-freq table. */
+    * TfIdf embedding wraps. Distributed shape: the shared
+    * [[materializedTermFreqs]] pass → join the (vocab-sized) doc-freq
+    * table, itself one aggregation over the same layer (`df` = rows
+    * per term in the tf frame ≡ the former `tokens.distinct()` count,
+    * since the tf frame is already one row per (doc, term)). */
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    val tokens = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = materializedTermFreqs(spark, sfDir)
     val nDocs = Tables.countOf(spark, sfDir, "documents")
-    val df_ = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
     tf.join(broadcast(df_), "term")
       .select(col("doc_id"), col("term"),

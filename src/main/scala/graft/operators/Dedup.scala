@@ -843,10 +843,12 @@ object Dedup {
     val e = base
       .select(col("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))
-    val bandKeys = (0 until bands).map(b => struct(lit(b).as("band"),
-      graft.functions.srpSigPortable(col("embedding"), pp, b * pp).as("bkey")))
-    val bk = e.select(col("vec_id"), explode(array(bandKeys: _*)).as("b"))
-      .select(col("vec_id"), col("b.band"), col("b.bkey"))
+    // the banding table is SELF-JOINED below — without a cut both join
+    // sides re-run the full SRP encode + the corpus scan (the plan had
+    // two identical encode subtrees). Checkpoint the narrow
+    // (vec_id, band, bkey) frame once: the LSH index is built once and
+    // probed from both sides, the aucPerPolicyApprox precedent.
+    val bk = srpBandKeys(e, pp, bands).localCheckpoint()
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -861,6 +863,17 @@ object Dedup {
           (col("na.nrm") * col("nb.nrm")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_i"), col("vec_j"), col("cos_sim"))
+  }
+
+  /** The SRP banding frame `(vec_id, band, bkey)` BEFORE the
+    * checkpoint cut — package-visible so the plan audit can pin the
+    * portable signature expression (the serving plan only shows the
+    * checkpointed index scan). */
+  private[graft] def srpBandKeys(e: DataFrame, pp: Int, bands: Int): DataFrame = {
+    val bandKeys = (0 until bands).map(b => struct(lit(b).as("band"),
+      graft.functions.srpSigPortable(col("embedding"), pp, b * pp).as("bkey")))
+    e.select(col("vec_id"), explode(array(bandKeys: _*)).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.bkey"))
   }
 
   /** Window width (tokens) for [[dupSpans]] — the `k` of Lee et al.

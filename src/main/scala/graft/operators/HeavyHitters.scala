@@ -67,6 +67,17 @@ object HeavyHitters {
       .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
   }
 
+  /** The one-pass sketch + total: the CMS aggregation and the corpus
+    * token count ride the SAME raw-token scan (they were two separate
+    * full explodes — guide §1.2, don't run the stream twice for two
+    * aggregates that combine). */
+  private def sketchAndTotal(spark: SparkSession, sfDir: String,
+                             width: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(graft.functions.Cms.sketchAgg(col("t"), width).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+
   /** Oracle-checkable twin of [[heavyTokenEstimates]]: the CMS point
     * estimates are engine-specific (xxhash64 buckets), but the
     * guarantees they carry are exact booleans over the EXACT counts —
@@ -79,14 +90,15 @@ object HeavyHitters {
     * and asserts the flags TRUE. */
   def heavyTokenChecked(spark: SparkSession, sfDir: String,
                         k: Int = 50, width: Int = 1024): DataFrame = {
-    def toks = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("t"))
-    val total = toks.agg(count(lit(1)).as("n_tokens"))
-    heavyTokenEstimates(spark, sfDir, k, width)
-      .crossJoin(broadcast(total))
-      .select(col("token"), col("exact_cnt"),
-        (col("cms_est") >= col("exact_cnt")).as("never_under"),
-        (col("cms_est") <= col("exact_cnt") +
+    // one raw-token pass for sketch AND total (was two), the exact
+    // heavy set from [[heavyTokens]] (itself MG pass + index probes)
+    heavyTokens(spark, sfDir, k)
+      .crossJoin(broadcast(sketchAndTotal(spark, sfDir, width)))
+      .withColumn("cms_est",
+        graft.functions.Cms.estimate(col("sketch"), col("token"), width))
+      .select(col("token"), col("cnt").as("exact_cnt"),
+        (col("cms_est") >= col("cnt")).as("never_under"),
+        (col("cms_est") <= col("cnt") +
           lit(10.0) * col("n_tokens") / width).as("within_bound"))
   }
 
@@ -135,17 +147,24 @@ object HeavyHitters {
   }
 
   /** Corpus tokens with count·k > n (frequency above 1/k): MG candidate
-    * pass → broadcast semi-join → exact count over candidates only. */
+    * pass over the raw token stream (the sketch IS the operator — it
+    * bounds what a 100 TB stream shuffles), then the exact counts and
+    * the corpus total come from the session's term-frequency index
+    * ([[graft.features.Features.materializedTermFreqs]]): per-token
+    * count = Σ tf over the candidate's postings, total = Σ tf — both
+    * identical to the former raw-stream counts, without re-exploding
+    * the corpus twice more. */
   def heavyTokens(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
     import spark.implicits._
     def toks = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("t"))
     val cand = candidates(toks.as[String], 4 * k)
       .toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("n_tokens"))
-    toks.join(broadcast(cand), col("t") === col("token"), "left_semi")
-      .groupBy(col("t").as("token"))
-      .agg(count(lit(1)).as("cnt"))
+    val tfl = graft.features.Features.materializedTermFreqs(spark, sfDir)
+    val total = tfl.agg(sum(col("tf")).as("n_tokens"))
+    tfl.join(broadcast(cand), col("term") === col("token"), "left_semi")
+      .groupBy(col("term").as("token"))
+      .agg(sum(col("tf")).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * k > col("n_tokens"))
       .select(col("token"), col("cnt"))

@@ -25,25 +25,33 @@ object Retrieval {
   /** BM25 top-k: score = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
     * tf(k₁+1)/(tf + k₁(1 − b + b·dl/avgdl)) over the query terms.
     *
-    * Scale shape: the term filter pushes into the tokenize pass, so
-    * only postings of the |q| query terms survive the explode — the
-    * tf aggregation (map-side combined) shuffles at most |q| rows per
-    * matching document, never the corpus token stream. The df table is
-    * |q| rows and the corpus totals one row, both broadcast; doc
-    * length joins tf on doc_id (narrow, payload-free). The final
-    * top-k is `orderBy.limit` — Spark's distributed take-ordered, one
-    * k-row reduction per partition, NO global window (ranks are
-    * assigned after the k-row cut). Per-term scores round to
-    * 9dp-decimal before the per-doc sum (order-independent fold). */
+    * Scale shape: the query probes the session's inverted index — the
+    * shared [[graft.features.Features.materializedTermFreqs]] layer —
+    * so only postings of the |q| query terms leave the (narrow,
+    * text-free) index scan; the corpus is never re-tokenized per
+    * query. The df table is |q| rows and the corpus totals one row,
+    * both broadcast; doc length joins tf on doc_id (narrow,
+    * payload-free, itself a one-agg derivation of the same index —
+    * [[docLengths]]). The final top-k is `orderBy.limit` — Spark's
+    * distributed take-ordered, one k-row reduction per partition, NO
+    * global window (ranks are assigned after the k-row cut). Per-term
+    * scores round to 9dp-decimal before the per-doc sum
+    * (order-independent fold). */
   def bm25TopK(spark: SparkSession, sfDir: String,
                terms: Seq[String] = QueryTerms, k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t").isin(terms: _*))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    bm25Ranked(docs, tf, k, excludeDocId = None)
+    val tf = graft.features.Features.materializedTermFreqs(spark, sfDir)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term").as("t"), col("tf"))
+    bm25Ranked(docLengths(spark, sfDir), tf, k, excludeDocId = None)
   }
+
+  /** Per-document token count from the term-frequency index: `Σ tf`
+    * per doc — exactly `size(split(text, " "))` for every non-null
+    * text (see [[graft.features.Features.termFreqs]]), without a
+    * second pass over the raw text column. */
+  private def docLengths(spark: SparkSession, sfDir: String): DataFrame =
+    graft.features.Features.materializedTermFreqs(spark, sfDir)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
   /** The BM25 scoring core shared by the literal-probe (q149) and
     * query-by-document (q161) entry points: `tf` arrives pre-filtered
@@ -54,10 +62,9 @@ object Retrieval {
     * window over the k survivors). `excludeDocId` drops the query
     * document from the RANKING only — corpus statistics (dl, avgdl,
     * df) keep the full corpus, the standard more-like-this contract. */
-  private def bm25Ranked(docs: DataFrame, tf: DataFrame, k: Int,
+  private def bm25Ranked(dl: DataFrame, tf: DataFrame, k: Int,
                          excludeDocId: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
     val tot = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
       count(lit(1)).as("n_docs"))
     val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
@@ -97,22 +104,21 @@ object Retrieval {
     * Scale shape: term selection reads the materialized TF-IDF layer
     * filtered to ONE doc_id (partition-prunable on a real lake) and
     * take-orders m rows; the m-row term frame drives a broadcast
-    * semi-filter on the tokenize pass — same postings bound as q149
+    * semi-filter on the term-frequency index — same postings bound as q149
     * with the literal probe, so corpus cost is independent of how the
     * terms were chosen. */
   def moreLikeThis(spark: SparkSession, sfDir: String,
                    queryDoc: Long = MltQueryDoc, mTerms: Int = 3,
                    k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
     val qterms = graft.features.Features.materializedTfidf(spark, sfDir)
       .filter(col("doc_id") === queryDoc)
       .orderBy(col("tfidf").desc, col("term").asc).limit(mTerms)
       .select(col("term").as("t"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .join(broadcast(qterms), "t")
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-    bm25Ranked(docs, tf, k, excludeDocId = Some(queryDoc))
+    val tf = graft.features.Features.materializedTermFreqs(spark, sfDir)
+      .join(broadcast(qterms), col("term") === col("t"))
+      .select(col("doc_id"), col("t"), col("tf"))
+    bm25Ranked(docLengths(spark, sfDir), tf, k,
+      excludeDocId = Some(queryDoc))
   }
 
   /** RRF smoothing constant — the k=60 of Cormack et al. 2009. */

@@ -347,17 +347,21 @@ object TextOps {
     * bounded); everything after is one doc-keyed aggregation. */
   def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(toks).as("t"))
-    val tf = tok.groupBy(col("t")).agg(count(lit(1)).as("ctf"))
-    val n = tf.agg(sum(col("ctf")).as("n_corpus"))
-    tok.join(tf, "t").crossJoin(broadcast(n))
+    // (doc, term, tf) from the shared index — the former per-OCCURRENCE
+    // join (tokenize + explode + occurrence-level vocab join) collapses
+    // to (doc, term) grain: a doc's occurrences of a term share one
+    // surprisal, so Σ_occurrences s ≡ Σ_terms tf·s (exact decimal
+    // arithmetic both ways) and the token count is Σ tf
+    val tf = graft.features.Features.materializedTermFreqs(spark, sfDir)
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val n = ctf.agg(sum(col("ctf")).as("n_corpus"))
+    tf.join(ctf, "term").crossJoin(broadcast(n))
       .withColumn("s",
         round(-log2(col("ctf").cast("double") / col("n_corpus")), 9)
           .cast(DecimalType(18, 9)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("s") * col("tf")).cast("double") / sum(col("tf")), 4)
           .as("mean_surprisal"))
   }
 
@@ -486,10 +490,10 @@ object TextOps {
   def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val counts = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(toks).as("t"))
-      .groupBy(col("doc_id"), col("t"))
-      .agg(count(lit(1)).as("cnt"))
+    // (doc, term, tf) IS the per-doc count frame this operator used to
+    // rebuild with its own tokenize pass — read the shared index
+    val counts = graft.features.Features.materializedTermFreqs(spark, sfDir)
+      .select(col("doc_id"), col("term").as("t"), col("tf").as("cnt"))
     val n = Window.partitionBy(col("doc_id"))
     counts
       .withColumn("n", sum(col("cnt")).over(n))

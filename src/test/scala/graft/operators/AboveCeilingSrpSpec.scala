@@ -69,6 +69,14 @@ class AboveCeilingSrpSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"refined-band candidate join degenerated:\n$p")
-    assert(p.contains("srp_sig_portable"), s"portable signature missing:\n$p")
+    // the banding index is checkpointed (built once, probed from both
+    // join sides); the portable signature lives in the index BUILD plan
+    assert(p.contains("ExistingRDD"),
+      s"banding index should be a checkpointed scan:\n$p")
+    val e = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val bp = Dedup.srpBandKeys(e, 7, 8).queryExecution.executedPlan.toString
+    assert(bp.contains("srp_sig_portable"), s"portable signature missing:\n$bp")
   }
 }

@@ -230,7 +230,17 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Dedup.embeddingPairsBucketed(spark, sf(), 0.4))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"bucketed join degenerated:\n$p")
-    assert(p.contains("srp_sig_portable"), s"portable signature missing:\n$p")
+    // the banding index is checkpointed once and probed from BOTH
+    // self-join sides — the serving plan reads the index, it does not
+    // re-run the SRP encode per side
+    assert(p.contains("ExistingRDD"),
+      s"banding index should be a checkpointed scan:\n$p")
+    // the portable signature expression lives in the index BUILD plan
+    val e = graft.Tables.embeddings(spark, sf())
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val bp = plan(Dedup.srpBandKeys(e, 6, 8))
+    assert(bp.contains("srp_sig_portable"), s"portable signature missing:\n$bp")
   }
 
   test("bloom join: catalyst might_contain probe on the fact side, pre-join") {
