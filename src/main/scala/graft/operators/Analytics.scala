@@ -667,20 +667,22 @@ object Analytics {
     * unstable low-frequency tail (classic collocation practice). */
   def bigramPmi(spark: SparkSession, sfDir: String, k: Int = 20,
                 minCount: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
-    // vocabulary-bounded; pinned once so the two broadcast probes and
-    // the totals fold below don't EACH re-run the corpus tokenize scan
-    // (three references to an un-pinned subtree = three scans)
-    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      .localCheckpoint()
-    // n_tokens folds off the pinned vocab; n_bigrams = n_tokens − docs
+    // Unigram counts derive EXACTLY from the session's shared
+    // term-frequency index (`cw = Σ tf` over the term's postings — the
+    // q91/q100 discipline): the query's former private tokenize +
+    // checkpoint pass is dropped, leaving the bigram adjacency scan as
+    // the only corpus pass (term_freqs loses token order, so bigrams
+    // cannot ride the index). Vocabulary-bounded aggregations over the
+    // checkpointed narrow layer, never the text column.
+    val tfl = graft.features.Features.materializedTermFreqs(spark, sfDir)
+    val uni = tfl.groupBy(col("term").as("w")).agg(sum(col("tf")).as("cw"))
+    // n_tokens folds off the same index; n_bigrams = n_tokens − docs
     // (split yields ≥ 1 token per non-null row, so per-doc bigrams =
-    // tokens − 1) — no third tokenize pass just for the denominators
-    val totals = uni.agg(sum(col("cw")).as("n_tokens"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    // tokens − 1; the lake contract has no null text — see termFreqs)
+    val totals = tfl.agg(sum(col("tf")).as("n_tokens"))
       .select(col("n_tokens"),
-        (col("n_tokens") - col("n_docs")).as("n_bigrams"))
+        (col("n_tokens") - Tables.countOf(spark, sfDir, "documents"))
+          .as("n_bigrams"))
     val bi = tokenPairs(spark, sfDir)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cab"))

@@ -209,41 +209,47 @@ object Cdc {
 
   /** Snapshot diff — the lakehouse "what changed between table
     * versions" op: the first-loaded image of every key (min-lsn insert
-    * from the changelog) full-outer-joined against the current
-    * materialized state, each key classified added / removed /
-    * changed (unchanged keys drop out). Shape: both sides aggregate to
-    * one row per PK with map-side-combinable `min_by`/`max_by`, then
-    * ONE co-partitioned PK join — the same single keyed shuffle as
-    * [[materializeLatest]], no windows, no sort beyond the join. At
-    * 100 TB this is two compaction passes plus a join that AQE plans
-    * off the same partitioning. */
+    * from the changelog) against the current materialized state, each
+    * key classified added / removed / changed (unchanged keys drop
+    * out). Shape: ONE aggregation pass over the changelog computes
+    * BOTH images per PK in the same group — `min_by` over a lsn
+    * ordering that is null unless op = 'c' (min_by/max_by skip
+    * null-ordered rows, so the base image is exactly the former
+    * op-filtered aggregate) and the [[materializeLatest]] `max_by` —
+    * replacing the former two-aggregation + full-outer-join plan
+    * (two changelog scans, two shuffles, one SMJ) with one scan and
+    * one keyed shuffle; both aggregates partial-merge map-side. A key
+    * with no base AND no surviving current image (insert-free
+    * changelog ending in a delete) matched neither full-outer side
+    * before, so it is filtered the same way here. */
   def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = decodedVersionedLog(spark, sfDir)
-      .filter(col("op") === "c")
+    val both = decodedVersionedLog(spark, sfDir)
       .groupBy(col("order_id"), col("line_no"))
-      .agg(min_by(struct(col("part_id"), col("quantity"), col("price")),
-        col("lsn")).as("b"))
-      .select(col("order_id"), col("line_no"), col("b.part_id").as("b_part"),
-        col("b.quantity").as("b_qty"), col("b.price").as("b_price"))
-    val curr = materializeLatest(spark, sfDir)
-      .select(col("order_id").as("c_oid"), col("line_no").as("c_lno"),
-        col("part_id").as("c_part"), col("quantity").as("c_qty"),
-        col("price").as("c_price"))
-    base.join(curr,
-        col("order_id") === col("c_oid") && col("line_no") === col("c_lno"),
-        "full_outer")
+      .agg(
+        min_by(struct(col("part_id"), col("quantity"), col("price")),
+          when(col("op") === "c", col("lsn"))).as("b"),
+        max_by(struct(col("part_id"), col("quantity"), col("price"), col("op")),
+          col("lsn")).as("last"))
+      // null out the current image for finally-deleted keys, exactly as
+      // materializeLatest's delete filter removed them from the join side
+      .withColumn("c",
+        when(col("last.op") =!= "d",
+          struct(col("last.part_id").as("part_id"),
+            col("last.quantity").as("quantity"),
+            col("last.price").as("price"))))
+    both
       .withColumn("change",
-        when(col("c_oid").isNull, "removed")
-          .when(col("order_id").isNull, "added")
-          .when(col("b_part") =!= col("c_part") ||
-            col("b_qty") =!= col("c_qty") ||
-            col("b_price") =!= col("c_price"), "changed")
+        when(col("c").isNull, "removed")
+          .when(col("b").isNull, "added")
+          .when(col("b.part_id") =!= col("c.part_id") ||
+            col("b.quantity") =!= col("c.quantity") ||
+            col("b.price") =!= col("c.price"), "changed")
           .otherwise("unchanged"))
-      .filter(col("change") =!= "unchanged")
-      .select(coalesce(col("order_id"), col("c_oid")).as("order_id"),
-        coalesce(col("line_no"), col("c_lno")).as("line_no"),
-        col("change"), col("b_qty").as("base_quantity"),
-        col("c_qty").as("curr_quantity"))
+      .filter(col("change") =!= "unchanged" &&
+        !(col("b").isNull && col("c").isNull))
+      .select(col("order_id"), col("line_no"),
+        col("change"), col("b.quantity").as("base_quantity"),
+        col("c.quantity").as("curr_quantity"))
   }
 
   /** Materialize the table from the changelog: decode the wire envelope,

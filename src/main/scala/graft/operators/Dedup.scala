@@ -628,19 +628,22 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "nbr"), col("doc_j") === col("nbr"))
         .groupBy(col("doc_i")).agg(min(col("lbl")).as("nlbl"))
       val stepped = labels.join(neighborMin, labels("doc_id") === neighborMin("doc_i"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer jump: lbl ← lbl(lbl). Labels only ever shrink toward the
       // component min, so composing two hops per round is safe and
       // halves the remaining path each time.
       val parents = stepped.select(col("doc_id").as("p_id"), col("lbl").as("p_lbl"))
+      // the round's OLD label rides along into the checkpoint, so the
+      // convergence test below is a narrow scan of the frame the round
+      // materializes anyway — the former labels-join probe re-shuffled
+      // both label frames once per round just to compare them
       val next = stepped.join(parents, stepped("lbl") === col("p_id"), "left")
-        .select(stepped("doc_id"),
+        .select(stepped("doc_id"), col("old"),
           least(stepped("lbl"), coalesce(col("p_lbl"), stepped("lbl"))).as("lbl"))
         .localCheckpoint() // truncate the iterative lineage each round
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next.select(col("doc_id"), col("lbl"))
       converged = changed == 0
       round += 1
     }
@@ -667,14 +670,21 @@ object Dedup {
     * maintains; here both sides derive from the same table split on
     * doc_id, so df is counted over the combined corpus.
     *
-    * BYTE-IDENTICAL incoming copies are rejected by a separate
-    * `sha2(text, 256)` semi-join against the existing side — the
-    * incremental twin of [[exactEdgesFrom]]'s role in clustering.
-    * Without it, an incoming copy of a boilerplate group with more
-    * than `maxDf` members shares only capped shingles, generates no
-    * similarity candidate, and would survive as "new" — and the
-    * mass-replicated identical page is exactly what a nightly crawl
-    * dedup must reject. One narrow digest-keyed shuffle; the residual
+    * BYTE-IDENTICAL incoming copies are rejected via the exact-
+    * duplicate star edges ([[exactEdgesFrom]]): an incoming doc
+    * duplicates an existing one exactly when it appears as a `doc_j`
+    * whose group representative `doc_i` (the group's MIN doc_id) is on
+    * the existing side — `doc_i < splitId ≤ doc_j` — since any group
+    * containing an existing member has an existing minimum. This is
+    * set-identical to the former `sha2(text, 256)` semi-join against
+    * the existing side (spec-pinned on a planted corpus), but the prod
+    * path now reads the session's `exact_edges` LAYER instead of
+    * re-hashing the text column twice per invocation — two fewer
+    * corpus-payload scans per run. Without the bypass, an incoming
+    * copy of a boilerplate group with more than `maxDf` members shares
+    * only capped shingles, generates no similarity candidate, and
+    * would survive as "new" — and the mass-replicated identical page
+    * is exactly what a nightly crawl dedup must reject. The residual
     * miss stays the NEAR-identical all-boilerplate document
     * ([[DefaultMaxDf]]). */
   def incrementalNew(spark: SparkSession, sfDir: String,
@@ -682,7 +692,8 @@ object Dedup {
                      maxDf: Long = DefaultMaxDf): DataFrame =
     incrementalNewCore(Tables.documents(spark, sfDir),
       materializedShingled(spark, sfDir),
-      materializedCappedPostings(spark, sfDir, maxDf), splitId, threshold)
+      materializedCappedPostings(spark, sfDir, maxDf),
+      materializedExactEdges(spark, sfDir), splitId, threshold)
 
   /** [[incrementalNew]] over an arbitrary `(doc_id, text, n_chars)`
     * frame — spec-visible so the exact-dup bypass and the DF-cap
@@ -692,14 +703,16 @@ object Dedup {
                                         maxDf: Long = DefaultMaxDf): DataFrame = {
     val sh = shingledFrom(docs)
     val tok = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    incrementalNewCore(docs, sh, cappedPostings(tok, maxDf), splitId, threshold)
+    incrementalNewCore(docs, sh, cappedPostings(tok, maxDf),
+      exactEdgesFrom(docs), splitId, threshold)
   }
 
   /** The shared incremental pipeline over caller-supplied shingle and
     * capped-posting frames (prod hands in the materialized layers —
     * the q112 plan evaluated `word_shingles` 34 times before that). */
   private def incrementalNewCore(docs: DataFrame, sh: DataFrame,
-                                 capped: DataFrame, splitId: Long,
+                                 capped: DataFrame, exactEdges: DataFrame,
+                                 splitId: Long,
                                  threshold: Double): DataFrame = {
     // doc_i = existing-corpus side, doc_j = incoming side; the pair
     // aggregation keeps the capped co-occurrence count for the same
@@ -719,14 +732,14 @@ object Dedup {
         (size(col("ne.shingles")) + size(col("ni.shingles")) - col("c")), 4) >= threshold)
       .select(col("doc_j").as("doc_id")).distinct()
     // exact-dup bypass: a byte-identical incoming copy is a duplicate
-    // regardless of shingle DF — semi-join on the fixed-width text
-    // digest (narrow shuffle), immune to the cap by construction
-    val exactDupIncoming = docs.filter(col("doc_id") >= splitId)
-      .select(col("doc_id"), sha2(col("text"), 256).as("th"))
-      .join(docs.filter(col("doc_id") < splitId)
-          .select(sha2(col("text"), 256).as("th")),
-        Seq("th"), "left_semi")
-      .select(col("doc_id"))
+    // regardless of shingle DF. Derived from the star edges — doc_j is
+    // an incoming exact copy of an existing doc iff its group
+    // representative doc_i (the group MIN) is existing-side; each
+    // member appears at most once as doc_j, matching the former
+    // semi-join's one-row-per-doc output (equivalence spec-pinned)
+    val exactDupIncoming = exactEdges
+      .filter(col("doc_i") < splitId && col("doc_j") >= splitId)
+      .select(col("doc_j").as("doc_id"))
     // no distinct over the union: left_anti ignores right-side
     // multiplicity, and a doc on both lists (exact copy that also
     // near-dups) appears at most twice
@@ -847,8 +860,14 @@ object Dedup {
     // sides re-run the full SRP encode + the corpus scan (the plan had
     // two identical encode subtrees). Checkpoint the narrow
     // (vec_id, band, bkey) frame once: the LSH index is built once and
-    // probed from both sides, the aucPerPolicyApprox precedent.
-    val bk = srpBandKeys(e, pp, bands).localCheckpoint()
+    // probed from both sides, the aucPerPolicyApprox precedent. Keyed
+    // by canonicalized plan in a bounded SessionCache so repeat
+    // invocations reuse one persisted index and eviction releases the
+    // blocks eagerly (previously each call checkpointed anew with no
+    // unpersist hook).
+    val bkRaw = srpBandKeys(e, pp, bands)
+    val bk = srpIndexCache.getOrCompute(spark,
+      bkRaw.queryExecution.analyzed.canonicalized)(bkRaw.localCheckpoint())
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -864,6 +883,13 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_i"), col("vec_j"), col("cos_sim"))
   }
+
+  /** Checkpointed SRP banding indexes keyed by canonicalized build
+    * plan — build-once per (corpus, geometry), blocks released on LRU
+    * eviction / session stop. */
+  private val srpIndexCache = new graft.SessionCache[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame](
+    onEvict = graft.SessionCache.unpersistCheckpoint)
 
   /** The SRP banding frame `(vec_id, band, bkey)` BEFORE the
     * checkpoint cut — package-visible so the plan audit can pin the

@@ -161,7 +161,11 @@ object HeavyHitters {
     val cand = candidates(toks.as[String], 4 * k)
       .toDF("token").distinct()
     val tfl = graft.features.Features.materializedTermFreqs(spark, sfDir)
-    val total = tfl.agg(sum(col("tf")).as("n_tokens"))
+    // coalesce: sum() is NULL on an empty corpus where the former
+    // count(*) total was 0 — keep the 0 semantics for any consumer
+    // reading n_tokens off this subtree (output is identical either
+    // way: NULL would null the cnt·k > n filter to zero rows too)
+    val total = tfl.agg(coalesce(sum(col("tf")), lit(0L)).as("n_tokens"))
     tfl.join(broadcast(cand), col("term") === col("token"), "left_semi")
       .groupBy(col("term").as("token"))
       .agg(sum(col("tf")).as("cnt"))

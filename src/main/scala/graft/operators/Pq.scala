@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -364,29 +364,36 @@ object Pq {
       .as[(Long, Array[Float], Array[Int])].collect().sortBy(_._1)
   }
 
-  /** The broadcast (qid, probe, lut) frame for RAW-codes scoring —
-    * probes sliced to `nProbe` (prefix property above). */
+  /** Per-probe rows for RAW-codes scoring — `(qid, probe, lut)` sliced
+    * to `nProbe` (prefix property above). ONE builder shared by the
+    * single-point frame ([[rawQdf]]) and every q167 grid budget, so the
+    * grid's rows are the single-point operator's rows by construction,
+    * not by copy. */
+  private def rawQRows(queries: Array[(Long, Array[Float], Array[Int])],
+                       books: Array[Array[Array[Double]]],
+                       nProbe: Int): Seq[(Long, Int, Array[Double])] =
+    queries.toSeq.flatMap { case (qid, qv, probes) =>
+      val lut = lutFor(qv, books)
+      probes.take(nProbe).map(p => (qid, p, lut))
+    }
+
+  /** The broadcast (qid, probe, lut) frame for RAW-codes scoring. */
   private def rawQdf(spark: SparkSession,
                      queries: Array[(Long, Array[Float], Array[Int])],
                      books: Array[Array[Array[Double]]],
                      nProbe: Int): DataFrame = {
     import spark.implicits._
-    queries.toSeq.flatMap { case (qid, qv, probes) =>
-      val lut = lutFor(qv, books)
-      probes.take(nProbe).map(p => (qid, p, lut))
-    }.toDF("qid", "probe", "lut")
+    rawQRows(queries, books, nProbe).toDF("qid", "probe", "lut")
   }
 
-  /** The broadcast (qid, probe, celldot, lut) frame for RESIDUAL
-    * scoring: per (query, probe) the exact ⟨q, c_probe⟩ term
-    * (ascending-dim double fold, the ivfDot order) + the shared
-    * residual LUT. */
-  private def resQdf(spark: SparkSession,
-                     queries: Array[(Long, Array[Float], Array[Int])],
-                     books: Array[Array[Array[Double]]],
-                     centroids: Array[Array[Double]],
-                     nProbe: Int): DataFrame = {
-    import spark.implicits._
+  /** Per-probe rows for RESIDUAL scoring: per (query, probe) the exact
+    * ⟨q, c_probe⟩ term (ascending-dim double fold, the ivfDot order) +
+    * the shared residual LUT — the one definition of the celldot
+    * arithmetic, shared by [[resQdf]] and the q167 grid. */
+  private def resQRows(queries: Array[(Long, Array[Float], Array[Int])],
+                       books: Array[Array[Array[Double]]],
+                       centroids: Array[Array[Double]],
+                       nProbe: Int): Seq[(Long, Int, Double, Array[Double])] =
     queries.toSeq.flatMap { case (qid, qv, probes) =>
       val lut = lutFor(qv, books)
       probes.take(nProbe).map { p =>
@@ -395,8 +402,30 @@ object Pq {
         while (i < qv.length) { cd += qv(i).toDouble * centroids(p)(i); i += 1 }
         (qid, p, cd, lut)
       }
-    }.toDF("qid", "probe", "celldot", "lut")
+    }
+
+  /** The broadcast (qid, probe, celldot, lut) frame for RESIDUAL
+    * scoring. */
+  private def resQdf(spark: SparkSession,
+                     queries: Array[(Long, Array[Float], Array[Int])],
+                     books: Array[Array[Array[Double]]],
+                     centroids: Array[Array[Double]],
+                     nProbe: Int): DataFrame = {
+    import spark.implicits._
+    resQRows(queries, books, centroids, nProbe)
+      .toDF("qid", "probe", "celldot", "lut")
   }
+
+  /** The residual ADC score `⟨q,x⟩ ≈ celldot + Σ lut[code]` — ONE
+    * column definition consumed by [[ivfAdcResidualTail]] and the q167
+    * grid's residual variant (formerly duplicated in both; a drift
+    * would have silently broken the grid's "arithmetically the
+    * single-point operator's output" claim). */
+  private def residualAdcScore(k: Int): Column =
+    round(col("celldot") +
+      aggregate(
+        transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
+        lit(0.0), (acc, x) => acc + x), 4)
 
   /** RAW-codes scoring tail: cell-pruned broadcast join + ADC fold +
     * per-query top-k — ONE definition shared by q137 and every `raw`
@@ -452,10 +481,7 @@ object Pq {
                                  topk: Int): DataFrame = {
     val scored = enc.join(broadcast(qdf),
         col("cluster") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("adc_ip", round(col("celldot") +
-        aggregate(
-          transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
-          lit(0.0), (acc, x) => acc + x), 4))
+      .withColumn("adc_ip", residualAdcScore(k))
     val w = Window.partitionBy(col("qid")).orderBy(desc("adc_ip"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topk)
@@ -569,19 +595,13 @@ object Pq {
     // one broadcast frame per variant holding EVERY grid point: a
     // (n_probe, qid, probe) row per budget × prefix-sliced probe — a
     // corpus row matches at most one probe row per (n_probe, qid)
-    val rawQ = queries.toSeq.flatMap { case (qid, qv, prb) =>
-      val lut = lutFor(qv, books)
-      probes.flatMap(np => prb.take(np).map(p => (np, qid, p, lut)))
-    }.toDF("n_probe", "qid", "probe", "lut")
-    val resQ = queries.toSeq.flatMap { case (qid, qv, prb) =>
-      val lut = lutFor(qv, resBooks)
-      probes.flatMap(np => prb.take(np).map { p =>
-        var cd = 0.0
-        var i = 0
-        while (i < qv.length) { cd += qv(i).toDouble * centroids(p)(i); i += 1 }
-        (np, qid, p, cd, lut)
-      })
-    }.toDF("n_probe", "qid", "probe", "celldot", "lut")
+    val rawQ = probes.flatMap(np =>
+        rawQRows(queries, books, np).map { case (qid, p, lut) => (np, qid, p, lut) })
+      .toDF("n_probe", "qid", "probe", "lut")
+    val resQ = probes.flatMap(np =>
+        resQRows(queries, resBooks, centroids, np)
+          .map { case (qid, p, cd, lut) => (np, qid, p, cd, lut) })
+      .toDF("n_probe", "qid", "probe", "celldot", "lut")
     // per-variant: candidate join + (n_probe, qid)-windowed top-k —
     // the q137/q141 score expressions verbatim
     val w = Window.partitionBy(col("n_probe"), col("qid"))
@@ -597,10 +617,7 @@ object Pq {
     val annRes = topkOf(ivfEncodedResidual(spark, sfDir, kClusters)
       .join(broadcast(resQ), col("cluster") === col("probe") &&
         col("vec_id") =!= col("qid"))
-      .withColumn("adc_ip", round(col("celldot") +
-        aggregate(
-          transform(col("codes"), (c, s) => element_at(col("lut"), s * k + c + 1)),
-          lit(0.0), (acc, x) => acc + x), 4)))
+      .withColumn("adc_ip", residualAdcScore(k)))
     // recallAgainst's arithmetic per (variant, n_probe, qid) group
     def recallOf(ann: DataFrame, variant: String): DataFrame = {
       val b = brute.select(col("qid"), col("nbr_id"), lit(1L).as("hit"))

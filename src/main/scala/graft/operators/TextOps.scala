@@ -1330,12 +1330,24 @@ object TextOps {
       .localCheckpoint()
     val nMinus1 = math.max(base.count() - 1, 1L)
     def freq(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as("c"))
-    val pLm = cntBefore(freq("lm_score"), "lm_score", ascending = true)
-      .withColumnRenamed("cnt_before", "r_lm")
-    val pSur = cntBefore(freq("mean_surprisal"), "mean_surprisal",
-      ascending = false).withColumnRenamed("cnt_before", "r_sur")
-    val pEnt = cntBefore(freq("entropy"), "entropy", ascending = true)
-      .withColumnRenamed("cnt_before", "r_ent")
+    // The three per-signal rank frames are independent prefix scans
+    // (each an eager range-partition + checkpoint + offsets collect over
+    // its own value grid) — build them CONCURRENTLY so the wall cost is
+    // max, not sum, and each scan's straggler tail back-fills with the
+    // next scan's tasks (guide §2.6; the q85 keyOverlap Future
+    // discipline). Results are deterministic regardless of build order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fLm = Future(cntBefore(freq("lm_score"), "lm_score", ascending = true)
+      .withColumnRenamed("cnt_before", "r_lm"))
+    val fSur = Future(cntBefore(freq("mean_surprisal"), "mean_surprisal",
+      ascending = false).withColumnRenamed("cnt_before", "r_sur"))
+    val fEnt = Future(cntBefore(freq("entropy"), "entropy", ascending = true)
+      .withColumnRenamed("cnt_before", "r_ent"))
+    val pLm = Await.result(fLm, Duration.Inf)
+    val pSur = Await.result(fSur, Duration.Inf)
+    val pEnt = Await.result(fEnt, Duration.Inf)
     val blend = round((col("r_lm") + col("r_sur") + col("r_ent")) /
       (lit(3.0) * nMinus1), 6)
     base.join(pLm, "lm_score").join(pSur, "mean_surprisal")

@@ -131,6 +131,23 @@ class PolicyAndStoreSpec extends SparkSpec {
     }
   }
 
+  test("wide-input bucketed AUC ≡ melted-input bucketed AUC on the shared scores") {
+    import org.apache.spark.sql.functions.col
+    // q41 serves through aucPerPolicyApproxWide over the wide scored
+    // frame; the melted form over the stack of the SAME frame must
+    // produce bit-identical statistics (one histAuc tail, same
+    // per-policy ranges — the r17 restructure's equivalence claim)
+    val wide = PolicyEval.aucPerPolicyApproxWide(
+      PolicyEval.scoredLinPolicies(spark, sf("0.01")),
+      PolicyEval.LinPolicyColumns, col("reward"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val melted = PolicyEval.aucPerPolicyApprox(
+      PolicyEval.meltedLinPolicies(spark, sf("0.01")),
+      col("policy"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(wide == melted, s"wide $wide vs melted $melted")
+  }
+
   test("lin_eps explores with frequency ε under its own seeding") {
     import org.apache.spark.sql.functions._
     // The exact seed expression + generator the ε-greedy scorer uses:

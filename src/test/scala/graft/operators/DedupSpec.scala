@@ -136,6 +136,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1050L), s"expected only the fresh doc, got $kept")
   }
 
+  test("incremental exact-dup bypass: star-edge derivation ≡ sha2 semi-join") {
+    // the r17 cut replaced the per-invocation sha2(text) semi-join with
+    // a filter over the exact-edge star (doc_i < split ≤ doc_j) — pin
+    // the set equivalence on a corpus exercising every case: cross-
+    // split copies (flagged), intra-batch-only copies (not flagged:
+    // group min is incoming), existing-only copies (not incoming),
+    // and unique docs on both sides
+    val docs = Seq(
+      (0L, "existing copy one"), (1L, "existing copy one"), // existing-only dup group
+      (2L, "crosses the split boundary"),
+      (3L, "unique existing document"),
+      (1000L, "crosses the split boundary"),                 // cross-split copy
+      (1001L, "crosses the split boundary"),                 // second cross-split copy
+      (1002L, "incoming only duplicate"), (1003L, "incoming only duplicate"),
+      (1004L, "unique incoming document"))
+      .toDF("doc_id", "text")
+    val splitId = 1000L
+    val viaEdges = Dedup.exactEdgesFrom(docs)
+      .filter($"doc_i" < splitId && $"doc_j" >= splitId)
+      .select($"doc_j").as[Long].collect().sorted.toSeq
+    val viaSha = docs.filter($"doc_id" >= splitId)
+      .select($"doc_id", sha2($"text", 256).as("th"))
+      .join(docs.filter($"doc_id" < splitId).select(sha2($"text", 256).as("th")),
+        Seq("th"), "left_semi")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(viaEdges == viaSha, s"edge-derived $viaEdges != semi-join $viaSha")
+    assert(viaEdges == Seq(1000L, 1001L))
+  }
+
   test("containment: DF cap keeps the low-df embedded doc, misses the all-capped pair, scores exactly") {
     val boiler = "all rights reserved by example corp limited company"
     val docs = ((0L until 100L).map(i => (i, boiler)) ++ Seq(
